@@ -1,13 +1,479 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{Melt, PagesGen}
+import graft.select._
+import graft.sim.Similarity
+import graft.stats.{Auc, Binning, ChiSq, Correlation, Entropy}
+import graft.temporal.{AsOf, Windows}
+import graft.text.{Dedup, TextFeatures}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2 that is SQL-expressible carries a DuckDB
+  * oracle in [[oracleSql]]; iterative/greedy operators (mRMR, FCBF, LSH) are
+  * registered without oracles (driver records a rows-only check) and are
+  * instead pinned by the ScalaTest suite against in-repo naive oracles.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: the SURVEY §7.2 end-to-end spine on a deterministic synthetic
+    * pages table — dedup → sessionize/lag/rolling features → as-of join to
+    * labels → infogain scoring → dual_filter → baked feature vectors. */
+  def entry(spark: SparkSession): DataFrame = {
+    val pages = PagesGen.pages(spark, nRows = 20000, nUrls = 2000)
+    val labels = PagesGen.labels(spark, nRows = 2000, nUrls = 2000)
+    val deduped = Windows.dedupLatest(pages, "url", "warc_ts", Seq(col("lang")))
+    val featured = deduped.select(
+      col("url"), col("warc_ts"),
+      length(col("text")).cast("double").as("text_len"),
+      Windows.sessionId("url", "warc_ts", 7 * 86400).as("session_id"),
+      lag(length(col("text")), 1).over(Windows.byKey("url", "warc_ts")).cast("double").as("prev_text_len"),
+      Windows.rollingCount("url", "warc_ts", 7 * 86400).cast("double").as("revisits_7d"),
+      Windows.revisitIndex("url", "warc_ts").cast("double").as("visit_no")
+    )
+    val joined = AsOf.sortMerge(
+      featured, labels, "url", "warc_ts", "label_ts",
+      Seq("text_len", "session_id", "prev_text_len", "revisits_7d", "visit_no"))
+      .where(col("text_len").isNotNull)
+    val step = InfoGainStep(topP = Some(3), nbins = 5)
+    val fitted = step.fit(
+      joined.na.fill(0.0, Seq("prev_text_len")), "label",
+      Seq("text_len", "prev_text_len", "revisits_7d", "visit_no"))
+    fitted.transform(joined)
+  }
+
+  // ---- shared query fragments -------------------------------------------
+
+  private val liFeatures = Seq("l_quantity", "l_discount", "l_tax")
+
+  private def eventsWindowed(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events").select(
+      col("event_id"),
+      lag(col("value"), 1).over(w).as("prev_value"),
+      lead(col("event_type"), 1).over(w).as("next_type")
+    )
+  }
+
+  private def scoreDF(s: SparkSession, m: Seq[(String, Double)]): DataFrame = {
+    import s.implicits._
+    m.toDF("feature", "score").select(col("feature"), round(col("score"), 6).as("score"))
+  }
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- temporal: as-of join + windowed features (north_rule core) ----
+    "q_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click").select("user_id", "ts", "value")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("probe_ts"), col("event_id").as("purchase_id"))
+      AsOf.sortMerge(clicks, purchases, "user_id", "ts", "probe_ts", Seq("value"))
+        .select(col("purchase_id"), col("user_id"), col("probe_ts"), col("value").as("last_click_value"))
+        .orderBy("purchase_id")
+    }),
+    "q_lag_lead" -> ((s, dir) => eventsWindowed(s, dir).orderBy("event_id")),
+    "q_rolling" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(unix_timestamp(col("ts"))).rangeBetween(-3600, 0)
+      t(s, dir, "events").select(
+        col("event_id"),
+        count(lit(1)).over(w).as("cnt_1h"),
+        round(sum("value").over(w), 2).as("sum_1h")
+      ).orderBy("event_id")
+    }),
+    "q_backfill" -> ((s, dir) => {
+      val v = when(col("event_type") === "error", lit(null)).otherwise(col("value"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events").select(
+        col("event_id"),
+        last(v, ignoreNulls = true).over(w).as("filled_value")
+      ).orderBy("event_id")
+    }),
+    "q_sessionize" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("session_id", Windows.sessionId("user_id", "ts", 1800))
+        .groupBy("user_id", "session_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          min("ts").as("session_start"),
+          max("ts").as("session_end"),
+          round(sum("value"), 2).as("session_value"))
+        .orderBy("user_id", "session_id")
+    }),
+    // ---- dedup family ----
+    "q_dedup_exact" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(TextFeatures.fingerprintMd5(col("text")).as("text_md5"))
+        .agg(count(lit(1)).as("n_copies"), min("doc_id").as("canonical_id"))
+        .orderBy("canonical_id")
+    }),
+    "q_jaccard_target" -> ((s, dir) => {
+      Dedup.jaccardVsTarget(t(s, dir, "documents"), "doc_id", "text", 3, 0L)
+        .select(col("doc_id"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("doc_id")
+    }),
+    "q_minhash_pairs" -> ((s, dir) => {
+      val sigs = Dedup.minHashSignatures(t(s, dir, "documents"), "doc_id", "text", 3, 8)
+      Dedup.minHashCandidates(sigs, "doc_id", bands = 4, rowsPerBand = 2).orderBy("a", "b")
+    }),
+    "q_simhash_pairs" -> ((s, dir) => {
+      val sigs = Dedup.simHash(t(s, dir, "documents"), "doc_id", "text")
+      Dedup.simHashCandidates(sigs, "doc_id", maxHamming = 3).orderBy("a", "b")
+    }),
+    "q_jaccard_pairs" -> ((s, dir) =>
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3, 0.5).orderBy("a", "b")),
+    // ---- text analysis ----
+    "q_tokens" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextFeatures.tokenCount(col("text")).as("n_tokens"),
+        TextFeatures.wordCount(col("text")).as("n_words")
+      ).orderBy("doc_id")
+    }),
+    "q_quality" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        round(TextFeatures.meanTokenLen(col("text")), 6).as("mean_token_len"),
+        round(TextFeatures.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+        round(TextFeatures.punctRatio(col("text")), 6).as("punct_ratio"),
+        round(TextFeatures.qualityScore(col("text")), 6).as("quality")
+      ).orderBy("doc_id")
+    }),
+    "q_langid" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFeatures.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+    "q_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFeatures.fingerprintMd5(col("text")).as("md5"))
+        .orderBy("doc_id")
+    }),
+    "q_fingerprint_rolling" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFeatures.rollingFingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+    // ---- similarity search ----
+    "q_cosine_sims" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toSeq
+      Similarity.cosineToQuery(emb, "embedding", q)
+        .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("vec_id")
+    }),
+    "q_knn_brute" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toSeq
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+        .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+    }),
+    "q_knn_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toSeq
+      val planes = Similarity.hyperplanes(6, q.length)
+      Similarity.lshTopK(emb, "vec_id", "embedding", q, 10, planes)
+        .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+    }),
+    // ---- filter scores ----
+    "q_corr_pearson" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val m = Correlation.pearson(li, liFeatures, "l_extendedprice")
+      scoreDF(s, liFeatures.map(f => f -> m(f).get)).orderBy("feature")
+    }),
+    "q_corr_spearman" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val m = Correlation.spearman(li, liFeatures, "l_extendedprice")
+      scoreDF(s, liFeatures.map(f => f -> m(f).get)).orderBy("feature")
+    }),
+    "q_entropy_scores" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val long0 = Melt.numeric(li, liFeatures, keep = Seq("l_returnflag", "l_orderkey", "l_linenumber"))
+      val binned = Binning.ntileBins(long0, 5, struct(col("l_orderkey"), col("l_linenumber")))
+        .select(col("feature"), col("bin").as("xb"), col("l_returnflag").as("yb"))
+      Entropy.entropyTerms(binned).select(
+        col("feature"),
+        round(col("hx") + col("hy") - col("hxy"), 6).as("infogain"),
+        round((col("hx") + col("hy") - col("hxy")) / col("hx"), 6).as("gainratio"),
+        round(lit(2) * (col("hx") + col("hy") - col("hxy")) / (col("hx") + col("hy")), 6).as("symuncert")
+      ).orderBy("feature")
+    }),
+    "q_chisq_stat" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        col("o_orderstatus"),
+        col("o_orderpriority"),
+        when(col("o_totalprice") > 100000, "hi").otherwise("lo").as("value_bucket"))
+      val long = Melt.categorical(o, Seq("o_orderpriority", "value_bucket"), keep = Seq("o_orderstatus"))
+        .select(col("feature"), col("value").as("xb"), col("o_orderstatus").as("yb"))
+      val counts = ChiSq.contingency(long).collect()
+      val stats = counts.groupBy(_.getString(0)).toSeq.map { case (f, rows) =>
+        val xs = rows.map(_.get(1).toString).distinct.sorted
+        val ys = rows.map(_.get(2).toString).distinct.sorted
+        val obs = Array.ofDim[Double](xs.length, ys.length)
+        rows.foreach { r =>
+          obs(xs.indexOf(r.get(1).toString))(ys.indexOf(r.get(2).toString)) = r.getLong(3).toDouble
+        }
+        f -> ChiSq.chisqTest(obs)._1
+      }
+      scoreDF(s, stats).withColumnRenamed("score", "stat").orderBy("feature")
+    }),
+    "q_auc" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val feats = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val long = Melt.numeric(li, feats, keep = Seq("l_linestatus"))
+        .select(col("feature"), col("value"), col("l_linestatus").as("y"))
+      Auc.scoresAuto(long)
+        .select(col("feature"), round(col("score"), 6).as("score"))
+        .orderBy("feature")
+    }),
+    "q_median_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val med = Binning.exactMedian(docs, "n_chars")
+      docs.select(Binning.medianSplitCol(col("n_chars").cast("double"), med).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    }),
+    // ---- steps without SQL-expressible oracles (rows-only checks) ----
+    "q_mrmr" -> ((s, dir) => {
+      val fitted = MrmrStep(topP = Some(2), nbins = 5)
+        .fit(t(s, dir, "lineitem"), "l_returnflag", liFeatures)
+      fitted.scoresDF(s)
+    }),
+    "q_fcbf" -> ((s, dir) => {
+      val fitted = FcbfStep(minimumSu = 0.0001)
+        .fit(t(s, dir, "lineitem"), "l_linestatus",
+          Seq("l_quantity", "l_discount", "l_tax", "l_extendedprice"))
+      fitted.scoresDF(s)
+    }),
+    "q_select_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val pipe = SelectorPipeline(Seq(
+        (CorrStep(topP = Some(3), method = "pearson"): SelectorStep) ->
+          Seq("l_quantity", "l_discount", "l_tax", "l_partkey"),
+        (CorrStep(threshold = Some(0.5), method = "spearman"): SelectorStep) -> Nil
+      ).map { case (a, b) => (a, b) })
+      val fitted = pipe.fit(li.select("l_quantity", "l_discount", "l_tax", "l_partkey", "l_extendedprice"), "l_extendedprice")
+      fitted.steps.flatMap(st => st.excluded.map(st.step -> _)).toDF("step", "excluded")
+    })
+  )
+
+  // ---- DuckDB oracles ----------------------------------------------------
+
+  private val liCase =
+    "CASE f.feature WHEN 'l_quantity' THEN l_quantity WHEN 'l_discount' THEN l_discount ELSE l_tax END"
+
+  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
+    * same parquet tables. Omit for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] = Map(
+    "q_asof_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id AS user_id, p.ts AS probe_ts,
+        | (SELECT c.value FROM events c
+        |   WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+        |   ORDER BY c.ts DESC LIMIT 1) AS last_click_value
+        |FROM events p WHERE p.event_type = 'purchase' ORDER BY purchase_id""".stripMargin,
+    "q_lag_lead" ->
+      """SELECT event_id,
+        | lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+        | lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_rolling" ->
+      """SELECT event_id, count(*) OVER w AS cnt_1h, round(sum(value) OVER w, 2) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "q_backfill" ->
+      """SELECT event_id,
+        | last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END IGNORE NULLS)
+        |   OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+        |              - CAST(epoch(date_trunc('second', lag(ts) OVER w)) AS BIGINT) > 1800
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end, round(sum(value), 2) AS session_value
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_md5, count(*) AS n_copies, min(doc_id) AS canonical_id
+        |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin,
+    "q_jaccard_target" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok,
+        |         generate_subscripts(regexp_split_to_array(trim(lower(text)), '\s+'), 1) AS pos
+        |  FROM documents),
+        |tri AS (
+        |  SELECT doc_id,
+        |    concat(tok, ' ', lead(tok, 1) OVER d, ' ', lead(tok, 2) OVER d) AS s,
+        |    pos, count(*) OVER (PARTITION BY doc_id) AS n
+        |  FROM w WINDOW d AS (PARTITION BY doc_id ORDER BY pos)),
+        |sh AS (SELECT DISTINCT doc_id, s FROM tri WHERE pos <= n - 2),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |tgt AS (SELECT s FROM sh WHERE doc_id = 0),
+        |tsz AS (SELECT count(*) AS tsz FROM tgt),
+        |inter AS (SELECT sh.doc_id, count(*) AS i FROM sh JOIN tgt USING (s) GROUP BY sh.doc_id)
+        |SELECT sz.doc_id AS doc_id,
+        |  round(CAST(COALESCE(inter.i, 0) AS DOUBLE) / (sz.sz + tsz.tsz - COALESCE(inter.i, 0)), 6) AS jaccard
+        |FROM sz LEFT JOIN inter ON sz.doc_id = inter.doc_id CROSS JOIN tsz ORDER BY doc_id""".stripMargin,
+    "q_tokens" ->
+      """SELECT doc_id,
+        | CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        | len(regexp_extract_all(text, '[a-z]+')) AS n_words
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_quality" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, n,
+        |    CASE WHEN n = 0 THEN 0.0
+        |         ELSE CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'), t -> len(t))) AS DOUBLE) / n END AS mtl,
+        |    CASE WHEN n = 0 THEN 0.0
+        |         ELSE CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], t))) AS DOUBLE) / n END AS sr,
+        |    CASE WHEN len(text) = 0 THEN 0.0
+        |         ELSE CAST(len(text) - len(regexp_replace(text, '[.,;:!?()]', '', 'g')) AS DOUBLE) / len(text) END AS pr
+        |  FROM base)
+        |SELECT doc_id, round(mtl, 6) AS mean_token_len, round(sr, 6) AS stopword_ratio,
+        |  round(pr, 6) AS punct_ratio,
+        |  round((CASE WHEN n >= 20 AND n <= 100000 THEN 1.0 WHEN n >= 5 THEN 0.5 ELSE 0.0 END) * 0.4
+        |      + (CASE WHEN sr >= 0.05 THEN 1.0 ELSE 0.0 END) * 0.4
+        |      + (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END) * 0.2, 6) AS quality
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "q_langid" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], t))) AS en,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      t -> list_contains(['der','die','das','und','ist','nicht','ein','zu','mit','von'], t))) AS de,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      t -> list_contains(['le','la','les','et','est','un','une','des','que','pour'], t))) AS fr
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN greatest(en, de, fr) = 0 THEN 'und'
+        |       WHEN en = greatest(en, de, fr) AND de < en AND fr < en THEN 'en'
+        |       WHEN de = greatest(en, de, fr) AND en < de AND fr < de THEN 'de'
+        |       WHEN fr = greatest(en, de, fr) AND en < fr AND de < fr THEN 'fr'
+        |       ELSE 'und' END AS lang_pred
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      "SELECT doc_id, md5(text) AS md5 FROM documents ORDER BY doc_id",
+    "q_cosine_sims" ->
+      """WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0)
+        |SELECT v.vec_id AS vec_id, round(
+        |  list_sum(list_transform(range(1, len(v.embedding) + 1),
+        |    i -> CAST(v.embedding[i] AS DOUBLE) * CAST(q.e[i] AS DOUBLE)))
+        |  / (sqrt(list_sum(list_transform(v.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(q.e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cosine
+        |FROM embeddings v CROSS JOIN q ORDER BY vec_id""".stripMargin,
+    "q_knn_brute" ->
+      """WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+        |s AS (
+        |  SELECT v.vec_id AS vec_id,
+        |    list_sum(list_transform(range(1, len(v.embedding) + 1),
+        |      i -> CAST(v.embedding[i] AS DOUBLE) * CAST(q.e[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(v.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(q.e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS c
+        |  FROM embeddings v CROSS JOIN q)
+        |SELECT vec_id, round(c, 6) AS cosine FROM s ORDER BY c DESC, vec_id LIMIT 10""".stripMargin,
+    "q_corr_pearson" ->
+      """SELECT 'l_quantity' AS feature, round(corr(l_quantity, l_extendedprice), 6) AS score FROM lineitem
+        |UNION ALL SELECT 'l_discount', round(corr(l_discount, l_extendedprice), 6) FROM lineitem
+        |UNION ALL SELECT 'l_tax', round(corr(l_tax, l_extendedprice), 6) FROM lineitem
+        |ORDER BY feature""".stripMargin,
+    "q_corr_spearman" ->
+      """WITH r AS (
+        |  SELECT
+        |    rank() OVER (ORDER BY l_quantity) + (count(*) OVER (PARTITION BY l_quantity) - 1) / 2.0 AS rq,
+        |    rank() OVER (ORDER BY l_discount) + (count(*) OVER (PARTITION BY l_discount) - 1) / 2.0 AS rd,
+        |    rank() OVER (ORDER BY l_tax) + (count(*) OVER (PARTITION BY l_tax) - 1) / 2.0 AS rt,
+        |    rank() OVER (ORDER BY l_extendedprice) + (count(*) OVER (PARTITION BY l_extendedprice) - 1) / 2.0 AS ry
+        |  FROM lineitem)
+        |SELECT 'l_quantity' AS feature, round(corr(rq, ry), 6) AS score FROM r
+        |UNION ALL SELECT 'l_discount', round(corr(rd, ry), 6) FROM r
+        |UNION ALL SELECT 'l_tax', round(corr(rt, ry), 6) FROM r
+        |ORDER BY feature""".stripMargin,
+    "q_entropy_scores" ->
+      s"""WITH b AS (
+        |  SELECT l_returnflag AS y, f.feature, $liCase AS v, l_orderkey, l_linenumber
+        |  FROM lineitem CROSS JOIN (VALUES ('l_quantity'), ('l_discount'), ('l_tax')) f(feature)),
+        |nb AS (
+        |  SELECT feature, ntile(5) OVER (PARTITION BY feature ORDER BY v, l_orderkey, l_linenumber) AS xb, y
+        |  FROM b),
+        |j AS (SELECT feature, xb, y, count(*) AS c FROM nb GROUP BY 1, 2, 3),
+        |tot AS (SELECT feature, sum(c) AS n FROM j GROUP BY 1),
+        |hx AS (SELECT jx.feature, -sum(cx / n * ln(cx / n)) AS hx
+        |       FROM (SELECT feature, xb, CAST(sum(c) AS DOUBLE) AS cx FROM j GROUP BY 1, 2) jx
+        |       JOIN tot USING (feature) GROUP BY 1),
+        |hy AS (SELECT jy.feature, -sum(cy / n * ln(cy / n)) AS hy
+        |       FROM (SELECT feature, y, CAST(sum(c) AS DOUBLE) AS cy FROM j GROUP BY 1, 2) jy
+        |       JOIN tot USING (feature) GROUP BY 1),
+        |hxy AS (SELECT j.feature, -sum(CAST(c AS DOUBLE) / n * ln(CAST(c AS DOUBLE) / n)) AS hxy
+        |        FROM j JOIN tot USING (feature) GROUP BY 1)
+        |SELECT feature, round(hx + hy - hxy, 6) AS infogain,
+        |  round((hx + hy - hxy) / hx, 6) AS gainratio,
+        |  round(2 * (hx + hy - hxy) / (hx + hy), 6) AS symuncert
+        |FROM hx JOIN hy USING (feature) JOIN hxy USING (feature) ORDER BY feature""".stripMargin,
+    "q_chisq_stat" ->
+      """WITH b AS (
+        |  SELECT o_orderstatus AS y, f.feature,
+        |    CASE f.feature WHEN 'o_orderpriority' THEN o_orderpriority
+        |         ELSE CASE WHEN o_totalprice > 100000 THEN 'hi' ELSE 'lo' END END AS x
+        |  FROM orders CROSS JOIN (VALUES ('o_orderpriority'), ('value_bucket')) f(feature)),
+        |j AS (SELECT feature, x, y, CAST(count(*) AS DOUBLE) AS c FROM b GROUP BY 1, 2, 3),
+        |rs AS (SELECT feature, x, sum(c) AS rc FROM j GROUP BY 1, 2),
+        |cs AS (SELECT feature, y, sum(c) AS cc FROM j GROUP BY 1, 2),
+        |n AS (SELECT feature, sum(c) AS n FROM j GROUP BY 1),
+        |e AS (SELECT rs.feature, rs.x, cs.y, rs.rc * cs.cc / n.n AS e
+        |      FROM rs JOIN cs ON rs.feature = cs.feature JOIN n ON rs.feature = n.feature)
+        |SELECT e.feature AS feature, round(sum(pow(COALESCE(j.c, 0) - e.e, 2) / e.e), 6) AS stat
+        |FROM e LEFT JOIN j ON j.feature = e.feature AND j.x = e.x AND j.y = e.y
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_auc" ->
+      """WITH m AS (
+        |  SELECT f.feature,
+        |    CASE f.feature WHEN 'l_quantity' THEN l_quantity
+        |         WHEN 'l_extendedprice' THEN l_extendedprice ELSE l_discount END AS v,
+        |    CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END AS ispos
+        |  FROM lineitem CROSS JOIN (VALUES ('l_quantity'), ('l_extendedprice'), ('l_discount')) f(feature)),
+        |bv AS (SELECT feature, v, count(*) AS cnt, sum(ispos) AS cp FROM m GROUP BY 1, 2),
+        |rk AS (SELECT feature, v, cnt, cp,
+        |         COALESCE(sum(cnt) OVER (PARTITION BY feature ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + (cnt + 1) / 2.0 AS midrank
+        |       FROM bv),
+        |agg AS (SELECT feature, sum(cp * midrank) AS rpos, sum(cp) AS npos, sum(cnt) - sum(cp) AS nneg
+        |        FROM rk GROUP BY 1)
+        |SELECT feature, round(greatest(a, 1 - a), 6) AS score
+        |FROM (SELECT feature, (rpos - npos * (npos + 1) / 2.0) / (npos * nneg) AS a FROM agg) t
+        |ORDER BY feature""".stripMargin,
+    "q_median_split" ->
+      """WITH m AS (SELECT median(n_chars) AS md FROM documents)
+        |SELECT CASE WHEN n_chars <= md THEN 'l' ELSE 'h' END AS bucket, count(*) AS n
+        |FROM documents CROSS JOIN m GROUP BY 1 ORDER BY 1""".stripMargin
+  )
 }

@@ -1,0 +1,30 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's scale-oriented defaults.
+  *
+  * Local sandbox runs on local[N]; on a real cluster the same config applies
+  * minus `master`. AQE is on for skew-join splitting + runtime coalescing
+  * (north_rule: "skewed hot urls handled with salting plus AQE skew-join
+  * splitting").
+  */
+object GraftSession {
+  def builder(cores: Int = 32): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName("colinospark")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  def get(cores: Int = 32): SparkSession = {
+    val s = builder(cores).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,335 @@
+package graft.select
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Melt
+import graft.stats.{Auc, Binning, ChiSq, Correlation, Entropy}
+
+/** Supervised filter-selection steps — the reference's 13 `step_select_*`
+  * surfaces re-expressed as fit/transform over DataFrames.
+  *
+  * Lifecycle mirrors recipes' prep/bake split (/root/reference/R/
+  * step_select_infgain.R:122–188): `fit` resolves columns, computes
+  * per-feature scores distributedly, collects the O(p) score map, applies
+  * [[DualFilter.dualFilter]] on the driver, and returns an immutable
+  * [[FittedSelector]]; `transform` is a pure projection (`df.drop`), which
+  * Catalyst folds into downstream column pruning.
+  */
+object StepCommon {
+  /** classification iff the outcome is string/boolean (factor analogue,
+    * misc.R:136–138); numeric ⇒ regression. */
+  def isClassification(df: DataFrame, outcome: String): Boolean =
+    df.schema(outcome).dataType match {
+      case StringType | BooleanType => true
+      case _                        => false
+    }
+
+  def resolvePredictors(df: DataFrame, outcome: String, requested: Seq[String]): Seq[String] = {
+    require(df.columns.contains(outcome), s"Outcome variable '$outcome' not found")
+    if (requested.nonEmpty) requested
+    else df.columns.filterNot(_ == outcome).toSeq
+  }
+
+  def numericPredictors(df: DataFrame, preds: Seq[String]): Seq[String] =
+    preds.filter(p => df.schema(p).dataType.isInstanceOf[NumericType])
+
+  def categoricalPredictors(df: DataFrame, preds: Seq[String]): Seq[String] =
+    preds.filter { p =>
+      df.schema(p).dataType match {
+        case StringType | BooleanType => true
+        case _                        => false
+      }
+    }
+
+  /** Discretize for the entropy-family steps: numeric predictors binned to
+    * string bins (equal-frequency cut points, nbins), categorical predictors
+    * cast to string; numeric outcome equal-frequency binned into nbins
+    * (README.md:27–35), categorical outcome passed through. Returns the long
+    * form (feature, xb, yb). */
+  def binnedLong(df: DataFrame, outcome: String, preds: Seq[String], nbins: Int): DataFrame = {
+    val numeric = numericPredictors(df, preds)
+    val classif = isClassification(df, outcome)
+    val toCut = if (classif) numeric else numeric :+ outcome
+    val cuts = if (toCut.nonEmpty) Binning.exactCuts(df, toCut.distinct, nbins) else Map.empty[String, Array[Double]]
+    val binnedCols = preds.map { p =>
+      if (numeric.contains(p)) Binning.binByCuts(col(p), cuts(p)).cast("string").as(p)
+      else col(p).cast("string").as(p)
+    }
+    val yCol =
+      if (classif) col(outcome).cast("string").as("__y")
+      else Binning.binByCuts(col(outcome), cuts(outcome)).cast("string").as("__y")
+    val binned = df.select(binnedCols :+ yCol: _*)
+    Melt
+      .categorical(binned, preds, keep = Seq("__y"))
+      .select(col("feature"), col("value").as("xb"), col("__y").as("yb"))
+  }
+
+  /** Shared criteria validation + dual_filter application. */
+  def select(
+      scores: Seq[(String, Option[Double])],
+      topP: Option[Double],
+      threshold: Option[Double],
+      cutoff: Option[Double],
+      maximize: Boolean,
+      stepName: String,
+      requireCriteria: Boolean = true
+  ): (Seq[String], Seq[String]) = {
+    if (requireCriteria && cutoff.isEmpty) DualFilter.checkCriteria(topP, threshold, stepName)
+    DualFilter.checkZeroOne(threshold)
+    val (clamped, warn) = DualFilter.checkTopP(topP, scores.length)
+    val excluded = DualFilter.dualFilter(scores, clamped, threshold, cutoff, maximize)
+    (excluded, warn.toSeq)
+  }
+}
+
+/** Trained state: scores + the columns to drop. Serializable to JSON by
+  * [[graft.runtime.Checkpoints]]. */
+final case class FittedSelector(
+    step: String,
+    outcome: String,
+    scores: Seq[(String, Option[Double])],
+    excluded: Seq[String],
+    warnings: Seq[String] = Nil
+) {
+  /** bake: pure anti-projection (step_select_infgain.R:183–188). */
+  def transform(df: DataFrame): DataFrame = df.drop(excluded: _*)
+
+  def kept(allCols: Seq[String]): Seq[String] = allCols.filterNot(excluded.contains)
+
+  /** tidy(type = "scores"): scores sorted descending (tidy_filter_step.R:7). */
+  def scoresDF(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    scores
+      .map { case (f, s) => (f, s.map(Double.box).orNull.asInstanceOf[java.lang.Double]) }
+      .toDF("variable", "score")
+      .orderBy(desc_nulls_last("score"))
+  }
+}
+
+trait SelectorStep extends Serializable {
+  def name: String
+  def fit(df: DataFrame, outcome: String, predictors: Seq[String] = Nil): FittedSelector
+}
+
+/** step_select_infgain (type ∈ infogain|gainratio|symuncert, nbins). */
+final case class InfoGainStep(
+    topP: Option[Double] = None,
+    threshold: Option[Double] = None,
+    cutoff: Option[Double] = None,
+    kind: Entropy.Kind = Entropy.InfoGain,
+    nbins: Int = 5
+) extends SelectorStep {
+  val name = "step_select_infgain"
+  def fit(df: DataFrame, outcome: String, predictors: Seq[String]): FittedSelector = {
+    val preds = StepCommon.resolvePredictors(df, outcome, predictors)
+    val long = StepCommon.binnedLong(df, outcome, preds, nbins)
+    val got = Entropy.scores(long, kind).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val scores = preds.map(p => p -> got.get(p).filterNot(_.isNaN))
+    val (excluded, warns) =
+      StepCommon.select(scores, topP, threshold, cutoff, maximize = true, name)
+    FittedSelector(name, outcome, scores, excluded, warns)
+  }
+}
+
+/** step_select_mrmr — praznik::MRMR greedy maximum-relevance
+  * minimum-redundancy (step_select_mrmr.R:103–153): iteratively pick
+  * argmax_X [ I(X;Y) − mean_{s∈S} I(X;X_s) ]; the stored score is the
+  * criterion value at selection; k = all features ⇒ full ranking.
+  *
+  * Scale shape: phase 1 scores I(X_i;Y) for ALL i in one shuffle; each
+  * greedy round adds ONE distributed pass computing I(candidates; last
+  * selected) — p passes total over the binned (tiny-cardinality) columns.
+  */
+final case class MrmrStep(
+    topP: Option[Double] = None,
+    threshold: Option[Double] = None,
+    cutoff: Option[Double] = None,
+    nbins: Int = 5
+) extends SelectorStep {
+  val name = "step_select_mrmr"
+  def fit(df: DataFrame, outcome: String, predictors: Seq[String]): FittedSelector = {
+    val preds = StepCommon.resolvePredictors(df, outcome, predictors)
+    val numeric = StepCommon.numericPredictors(df, preds)
+    val classif = StepCommon.isClassification(df, outcome)
+    val toCut = if (classif) numeric else numeric :+ outcome
+    val cuts = if (toCut.nonEmpty) Binning.exactCuts(df, toCut.distinct, nbins) else Map.empty[String, Array[Double]]
+    val binned = df
+      .select(
+        preds.map { p =>
+          if (numeric.contains(p)) Binning.binByCuts(col(p), cuts(p)).cast("string").as(p)
+          else col(p).cast("string").as(p)
+        } :+ (if (classif) col(outcome).cast("string").as("__y")
+              else Binning.binByCuts(col(outcome), cuts(outcome)).cast("string").as("__y")): _*
+      )
+      .cache()
+    try {
+      val relevance = Entropy.mutualInfoAgainst(binned, "__y", preds)
+      val scores = scala.collection.mutable.ListBuffer.empty[(String, Option[Double])]
+      var selected = List.empty[String]
+      var remaining = preds.filter(p => relevance.get(p).exists(v => !v.isNaN))
+      val redundancySum = scala.collection.mutable.Map.empty[String, Double].withDefaultValue(0.0)
+      while (remaining.nonEmpty) {
+        val crit = remaining.map { p =>
+          val red = if (selected.isEmpty) 0.0 else redundancySum(p) / selected.length
+          p -> (relevance(p) - red)
+        }
+        val (best, bestScore) = crit.maxBy(_._2) // stable: first max wins
+        scores += (best -> Some(bestScore))
+        selected = best :: selected
+        remaining = remaining.filterNot(_ == best)
+        if (remaining.nonEmpty) {
+          val mi = Entropy.mutualInfoAgainst(binned, best, remaining)
+          mi.foreach { case (p, v) => if (!v.isNaN) redundancySum(p) += v }
+        }
+      }
+      val allScores = scores.toList ++ preds.filterNot(p => scores.exists(_._1 == p)).map(_ -> None)
+      val (excluded, warns) =
+        StepCommon.select(allScores, topP, threshold, cutoff, maximize = true, name)
+      FittedSelector(name, outcome, allScores, excluded, warns)
+    } finally binned.unpersist()
+  }
+}
+
+/** step_select_xtab — χ²/Fisher p-values + optional BH FDR; small p = good
+  * ⇒ dual_filter(maximize = FALSE) (step_select_xtab.R:93–149). */
+final case class XtabStep(
+    topP: Option[Double] = None,
+    threshold: Option[Double] = None,
+    cutoff: Option[Double] = None,
+    fisher: Boolean = false,
+    fdr: Boolean = true
+) extends SelectorStep {
+  val name = "step_select_xtab"
+  def fit(df: DataFrame, outcome: String, predictors: Seq[String]): FittedSelector = {
+    val preds0 = StepCommon.resolvePredictors(df, outcome, predictors)
+    val preds = StepCommon.categoricalPredictors(df, preds0)
+    require(preds.nonEmpty, "step_select_xtab requires nominal predictors")
+    val long = Melt
+      .categorical(df, preds, keep = Seq(outcome))
+      .select(col("feature"), col("value").as("xb"), col(outcome).cast("string").as("yb"))
+    val scores = ChiSq.xtabScores(long, fisher, fdr)
+    val (excluded, warns) =
+      StepCommon.select(scores, topP, threshold, cutoff, maximize = false, name)
+    FittedSelector(name, outcome, scores, excluded, warns)
+  }
+}
+
+/** step_select_carscore diagonal=TRUE path and the Spearman variant:
+  * abs marginal correlation per numeric predictor vs numeric outcome
+  * (step_select_carscore.R:13–14, 133–147). */
+final case class CorrStep(
+    topP: Option[Double] = None,
+    threshold: Option[Double] = None,
+    cutoff: Option[Double] = None,
+    method: String = "pearson" // pearson | spearman | car
+) extends SelectorStep {
+  val name = s"step_select_corr_$method"
+  def fit(df: DataFrame, outcome: String, predictors: Seq[String]): FittedSelector = {
+    val preds0 = StepCommon.resolvePredictors(df, outcome, predictors)
+    val preds = StepCommon.numericPredictors(df, preds0)
+    require(!StepCommon.isClassification(df, outcome), s"$name requires a numeric outcome")
+    val raw: Map[String, Option[Double]] = method match {
+      case "pearson"  => Correlation.pearson(df, preds, outcome)
+      case "spearman" => Correlation.spearman(df, preds, outcome)
+      case "car"      => Correlation.carScores(df, preds, outcome).map { case (k, v) => k -> Some(v) }
+      case other      => throw new IllegalArgumentException(s"unknown method $other")
+    }
+    val scores = preds.map(p => p -> raw.getOrElse(p, None).map(math.abs).filterNot(_.isNaN))
+    val (excluded, warns) =
+      StepCommon.select(scores, topP, threshold, cutoff, maximize = true, name)
+    FittedSelector(name, outcome, scores, excluded, warns)
+  }
+}
+
+/** step_select_roc — per-feature ROC AUC vs categorical outcome
+  * (step_select_roc.R:87–146). */
+final case class RocStep(
+    topP: Option[Double] = None,
+    threshold: Option[Double] = None,
+    cutoff: Option[Double] = None
+) extends SelectorStep {
+  val name = "step_select_roc"
+  def fit(df: DataFrame, outcome: String, predictors: Seq[String]): FittedSelector = {
+    val preds0 = StepCommon.resolvePredictors(df, outcome, predictors)
+    val preds = StepCommon.numericPredictors(df, preds0)
+    require(StepCommon.isClassification(df, outcome), s"$name requires a categorical outcome")
+    val long = Melt
+      .numeric(df, preds, keep = Seq(outcome))
+      .select(col("feature"), col("value"), col(outcome).cast("string").as("y"))
+    val got = Auc.scoresAuto(long).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val scores = preds.map(p => p -> got.get(p).filterNot(_.isNaN))
+    val (excluded, warns) =
+      StepCommon.select(scores, topP, threshold, cutoff, maximize = true, name)
+    FittedSelector(name, outcome, scores, excluded, warns)
+  }
+}
+
+/** step_select_fcbf — Fast Correlation-Based Filter (Yu & Liu 2003;
+  * step_select_fcbf.R:144–205): median-split numeric features, keep those
+  * with SU(X;Y) >= threshold, then greedily remove features redundant to a
+  * better-ranked one (SU(X_i;X_j) >= SU(X_j;Y)). Threshold-only — no
+  * dual_filter. */
+final case class FcbfStep(minimumSu: Double = 0.025) extends SelectorStep {
+  val name = "step_select_fcbf"
+  def fit(df: DataFrame, outcome: String, predictors: Seq[String]): FittedSelector = {
+    val preds = StepCommon.resolvePredictors(df, outcome, predictors)
+    val numeric = StepCommon.numericPredictors(df, preds)
+    // all-NULL numeric columns are dropped with a warning (step_select_fcbf.R:296–309)
+    val split = Binning.medianSplit(
+      df.select((preds :+ outcome).distinct.map(col): _*), numeric
+    )
+    val nonNullCounts = split
+      .select(preds.map(p => count(col(p)).as(p)): _*)
+      .head()
+    val allNull = preds.zipWithIndex.collect { case (p, i) if nonNullCounts.getLong(i) == 0L => p }
+    val usable = preds.filterNot(allNull.contains)
+    val warns = allNull.map(p => s"Column '$p' is all NULL and was removed before FCBF")
+    val work = split
+      .select(usable.map(p => col(p).cast("string").as(p)) :+ col(outcome).cast("string").as("__y"): _*)
+      .cache()
+    try {
+      val su = Entropy.suAgainst(work, "__y", usable)
+      var ranked = usable
+        .flatMap(p => su.get(p).filterNot(_.isNaN).filter(_ >= minimumSu).map(p -> _))
+        .sortBy(-_._2)
+        .toList
+      var selected = List.empty[String]
+      while (ranked.nonEmpty) {
+        val (fp, _) = ranked.head
+        selected = fp :: selected
+        val rest = ranked.tail
+        if (rest.nonEmpty) {
+          val redSu = Entropy.suAgainst(work, fp, rest.map(_._1))
+          ranked = rest.filterNot { case (fq, suQy) => redSu.get(fq).exists(_ >= suQy) }
+        } else ranked = Nil
+      }
+      val keep = selected.toSet
+      val scores = preds.map(p => p -> su.get(p).filterNot(_.isNaN))
+      val excluded = preds.filterNot(keep.contains)
+      FittedSelector(name, outcome, scores, excluded, warns)
+    } finally work.unpersist()
+  }
+}
+
+/** Ordered list of steps with the recipes prep/bake split: each step fits on
+  * the output of the previous step's transform (test_step_select_linear.R:10–18
+  * composition style). */
+final case class SelectorPipeline(steps: Seq[(SelectorStep, Seq[String])]) {
+  def fit(df: DataFrame, outcome: String): FittedPipeline = {
+    var cur = df
+    val fitted = steps.map { case (s, preds) =>
+      val f = s.fit(cur, outcome, preds)
+      cur = f.transform(cur)
+      f
+    }
+    FittedPipeline(fitted)
+  }
+}
+
+final case class FittedPipeline(steps: Seq[FittedSelector]) {
+  def transform(df: DataFrame): DataFrame =
+    steps.foldLeft(df)((d, s) => s.transform(d))
+  def excluded: Seq[String] = steps.flatMap(_.excluded).distinct
+}

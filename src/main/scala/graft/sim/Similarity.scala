@@ -1,0 +1,128 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  *  - [[cosineToQuery]] / [[bruteForceTopK]] — exact baseline: codegen'd
+  *    `zip_with`/`aggregate` dot products against a broadcast query vector;
+  *    one narrow pass + a small top-k.
+  *  - [[lshBuckets]] / [[lshTopK]] — the scale path: sign-random-projection
+  *    LSH; only rows sharing the query's bucket (or a probe set of buckets)
+  *    are scored. Hyperplanes are derived deterministically from a seed via
+  *    splitmix-style integer mixing — no RNG state, identical across
+  *    executors and reruns.
+  *  - [[ivfAssign]] — IVF-style coarse quantization: assign each vector to
+  *    the nearest of `centroids`; queries score only their cell (callers
+  *    pick nprobe cells). Centroids are caller-provided (e.g. sampled seed
+  *    vectors), keeping the operator deterministic.
+  */
+object Similarity {
+
+  /** Cosine similarity of `vec` (array<float/double>) against a constant
+    * query vector, computed in double precision. */
+  def cosine(vec: Column, query: Seq[Double]): Column = {
+    val q = array(query.map(lit): _*)
+    val v = transform(vec, _.cast("double"))
+    val dot = aggregate(zip_with(v, q, (a, b) => a * b), lit(0.0), (acc, x) => acc + x)
+    val nv = sqrt(aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x))
+    val nq = math.sqrt(query.map(x => x * x).sum)
+    when(nv === 0.0, lit(0.0)).otherwise(dot / (nv * nq))
+  }
+
+  def cosineToQuery(df: DataFrame, vecCol: String, query: Seq[Double]): DataFrame =
+    df.withColumn("cosine", cosine(col(vecCol), query))
+
+  /** Exact top-k by cosine: per-partition top-k then global top-k (Spark's
+    * sort+limit already executes as TakeOrderedAndProject — no full sort). */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String, query: Seq[Double], k: Int): DataFrame =
+    cosineToQuery(df, vecCol, query)
+      .select(col(idCol), col("cosine"))
+      .orderBy(desc("cosine"), col(idCol))
+      .limit(k)
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * splitmix64-inspired integer mix folded to [-1, 1]. */
+  private def planeComponent(plane: Int, dim: Int, seed: Long): Double = {
+    var z = seed + plane.toLong * 0x9E3779B97F4A7C15L + dim.toLong * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    (z.toDouble / Long.MaxValue.toDouble)
+  }
+
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] =
+    Array.tabulate(nPlanes, dim)((p, d) => planeComponent(p, d, seed))
+
+  /** Sign-random-projection bucket id: bit p = sign(vec · plane_p). */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column = {
+    val v = transform(vec, _.cast("double"))
+    planes.zipWithIndex.map { case (plane, p) =>
+      val q = array(plane.map(lit).toIndexedSeq: _*)
+      val dot = aggregate(zip_with(v, q, (a, b) => a * b), lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  def lshBuckets(df: DataFrame, vecCol: String, planes: Array[Array[Double]]): DataFrame =
+    df.withColumn("bucket", lshBucket(col(vecCol), planes))
+
+  /** ANN top-k: score only the query's LSH bucket. Recall grows with fewer
+    * planes / multi-probe; exactness is traded for pruning the scan. */
+  def lshTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Double],
+      k: Int,
+      planes: Array[Array[Double]]
+  ): DataFrame = {
+    val qBucket = {
+      var acc = 0L
+      planes.zipWithIndex.foreach { case (plane, p) =>
+        val dot = plane.zip(query).map { case (a, b) => a * b }.sum
+        if (dot >= 0) acc |= (1L << p)
+      }
+      acc
+    }
+    lshBuckets(df, vecCol, planes)
+      .where(col("bucket") === qBucket)
+      .transform(d => bruteForceTopK(d, idCol, vecCol, query, k))
+  }
+
+  /** IVF coarse assignment: nearest centroid by cosine. `centroids` is small
+    * (broadcast as literals). Adds `cell`. */
+  def ivfAssign(df: DataFrame, vecCol: String, centroids: Seq[Seq[Double]]): DataFrame = {
+    val sims = centroids.zipWithIndex.map { case (c, i) =>
+      struct(cosine(col(vecCol), c).as("sim"), lit(i).as("cell"))
+    }
+    df.withColumn("cell", greatest(sims: _*).getField("cell"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: LSH-bucket join then exact
+    * cosine filter — the embedding analogue of MinHash banding. */
+  def cosineNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      planes: Array[Array[Double]],
+      minCosine: Double
+  ): DataFrame = {
+    val b = lshBuckets(df, vecCol, planes).select(col(idCol), col(vecCol), col("bucket"))
+    val l = b.select(col("bucket"), col(idCol).as("a"), col(vecCol).as("va"))
+    val r = b.select(col("bucket"), col(idCol).as("b"), col(vecCol).as("vb"))
+    val va = transform(col("va"), _.cast("double"))
+    val vb = transform(col("vb"), _.cast("double"))
+    val dot = aggregate(zip_with(va, vb, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(transform(va, x => x * x), lit(0.0), (acc, x) => acc + x))
+    val nb = sqrt(aggregate(transform(vb, x => x * x), lit(0.0), (acc, x) => acc + x))
+    l.join(r, "bucket")
+      .where(col("a") < col("b"))
+      .withColumn("cosine", dot / (na * nb))
+      .where(col("cosine") >= minCosine)
+      .select("a", "b", "cosine")
+      .distinct()
+  }
+}

@@ -1,0 +1,80 @@
+package graft.stats
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ROC AUC per numeric feature vs a categorical outcome
+  * (/root/reference/R/step_select_roc.R:87–108).
+  *
+  * AUC is the normalized Mann–Whitney U with MID-RANKS for ties:
+  *   AUC = (R_pos − n_pos(n_pos+1)/2) / (n_pos · n_neg)
+  * where R_pos is the rank-sum of positive-class values. The reference's
+  * `direction = "auto"` makes the score effectively max(AUC, 1−AUC)
+  * (step_select_roc.R:24, 91–93); >2 classes use Hand & Till 2001 — the mean
+  * of pairwise binary AUCs (step_select_roc.R:94–96).
+  *
+  * Scale shape: ranks are NOT computed per row. We aggregate to per-
+  * (feature, pair, value) counts first (map-side partial agg), then a window
+  * over the distinct values per (feature, pair) produces mid-ranks — the
+  * window input is |distinct values|, not |rows|.
+  */
+object Auc {
+
+  /** long: (feature, value: double, y: string). Returns (feature, auc) with
+    * direction-auto pairwise mean over the given class pairs. */
+  def scores(long: DataFrame, classPairs: Seq[(String, String)]): DataFrame = {
+    val pairStructs = classPairs.map { case (a, b) =>
+      when(
+        col("y") === a || col("y") === b,
+        struct(lit(s"$a|$b").as("pair"), (col("y") === a).cast("long").as("isPos"))
+      )
+    }
+    val tagged = long
+      .where(col("value").isNotNull && col("y").isNotNull)
+      .withColumn("tag", explode(array(pairStructs: _*)))
+      .where(col("tag").isNotNull)
+      .select(col("feature"), col("value"), col("tag.pair").as("pair"), col("tag.isPos").as("isPos"))
+
+    val byValue = tagged
+      .groupBy("feature", "pair", "value")
+      .agg(count(lit(1)).as("cnt"), sum("isPos").as("cntPos"))
+
+    val w = Window
+      .partitionBy("feature", "pair")
+      .orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = byValue.withColumn(
+      "midrank",
+      coalesce(sum("cnt").over(w), lit(0L)) + (col("cnt") + 1) / 2.0
+    )
+
+    ranked
+      .groupBy("feature", "pair")
+      .agg(
+        sum(col("cntPos") * col("midrank")).as("rPos"),
+        sum("cntPos").as("nPos"),
+        (sum("cnt") - sum("cntPos")).as("nNeg")
+      )
+      .where(col("nPos") > 0 && col("nNeg") > 0)
+      .withColumn(
+        "auc",
+        (col("rPos") - col("nPos") * (col("nPos") + 1) / 2.0) / (col("nPos") * col("nNeg"))
+      )
+      .withColumn("auc", greatest(col("auc"), lit(1.0) - col("auc"))) // direction auto
+      .groupBy("feature")
+      .agg(avg("auc").as("score"))
+  }
+
+  /** Convenience: derive the class pairs from the outcome's distinct values
+    * (collected — class cardinality is small by construction). */
+  def scoresAuto(long: DataFrame): DataFrame = {
+    val classes = long
+      .select("y").where(col("y").isNotNull).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    require(classes.length >= 2, "ROC needs at least two outcome classes")
+    val pairs = for { i <- classes.indices; j <- i + 1 until classes.length }
+      yield (classes(i), classes(j))
+    scores(long, pairs)
+  }
+}

@@ -1,0 +1,98 @@
+package graft.stats
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Discretization strategies for numeric columns.
+  *
+  * The reference delegates to FSelectorRcpp/praznik internals
+  * (/root/reference/R/step_select_infgain.R:140–150 `equal`, `nbins`;
+  * README.md:27–35: continuous outcomes are equal-frequency binned, default
+  * nbins = 5). We expose binning as an explicit strategy:
+  *
+  *  - [[ntileBins]]  — exact rank-based equal-frequency (SQL NTILE), used
+  *    where oracle parity matters. Ties are broken by an explicit unique
+  *    tiebreak column so the assignment is deterministic and identical across
+  *    engines. NOTE: ntile is a single ordered partition per feature — fine
+  *    for p small relative to cluster width (each feature sorts in parallel
+  *    with the others), but a skew hazard at extreme scale.
+  *  - [[cutpointBins]] — compute exact quantile cut points (one distributed
+  *    pass, relativeError = 0), broadcast them, and bin by value comparison.
+  *    Fully scalable: no global sort, pure map-side `when` chain. Rows tied
+  *    at a cut point all land in the lower bin (deterministic).
+  *  - [[medianSplit]] — the reference's FCBF discretize_var
+  *    (/root/reference/R/step_select_fcbf.R:256–270): values <= type-7
+  *    median → 'l', > median → 'h', NULL stays NULL
+  *    (tests: /root/reference/tests/testthat/test_discretize_var.R:1–13).
+  */
+object Binning {
+
+  /** Exact equal-frequency bin ids 1..nbins per feature over long form
+    * (feature, value, ...). Null values get null bins. `tiebreak` must be a
+    * unique-per-row column for deterministic tie assignment.
+    */
+  def ntileBins(long: DataFrame, nbins: Int, tiebreak: Column, outCol: String = "bin"): DataFrame = {
+    val w = Window.partitionBy(col("feature")).orderBy(col("value"), tiebreak)
+    long.withColumn(
+      outCol,
+      when(col("value").isNull, lit(null)).otherwise(ntile(nbins).over(w))
+    )
+  }
+
+  /** Exact quantile cut points for each column: nbins-1 interior cuts at
+    * probabilities i/nbins. Uses approxQuantile with relativeError 0 (exact,
+    * single distributed pass per call).
+    */
+  def exactCuts(df: DataFrame, cols: Seq[String], nbins: Int): Map[String, Array[Double]] = {
+    val probs = (1 until nbins).map(_.toDouble / nbins).toArray
+    val res = df.na.drop(cols).stat.approxQuantile(cols.toArray, probs, 0.0)
+    cols.zip(res).toMap
+  }
+
+  /** Bin a numeric column by broadcast cut points: bin i (1-based) iff
+    * value <= cuts(i-1), else last bin. Values equal to a cut go low.
+    */
+  def binByCuts(c: Column, cuts: Array[Double]): Column = {
+    val nbins = cuts.length + 1
+    var expr: Column = lit(nbins)
+    // build from the top down so the FIRST (lowest) matching cut wins
+    for (i <- cuts.indices.reverse)
+      expr = when(c <= cuts(i), lit(i + 1)).otherwise(expr)
+    when(c.isNull, lit(null)).otherwise(expr)
+  }
+
+  /** Scalable equal-frequency-style binning of wide columns in place:
+    * adds `<col>__bin` columns. One stats pass + one narrow map.
+    */
+  def cutpointBins(df: DataFrame, cols: Seq[String], nbins: Int, suffix: String = "__bin"): DataFrame = {
+    val cuts = exactCuts(df, cols, nbins)
+    cols.foldLeft(df) { (d, c) => d.withColumn(c + suffix, binByCuts(col(c), cuts(c))) }
+  }
+
+  /** R type-7 median of a column, computed exactly and distributedly. */
+  def exactMedian(df: DataFrame, c: String): Double = {
+    val r = df.select(expr(s"percentile(`$c`, 0.5)")).head()
+    if (r.isNullAt(0)) Double.NaN else r.getDouble(0)
+  }
+
+  /** discretize_var: 'l' iff value <= median(col), 'h' above, NULL stays. */
+  def medianSplitCol(c: Column, median: Double): Column =
+    when(c.isNull, lit(null: String))
+      .otherwise(when(c <= median, lit("l")).otherwise(lit("h")))
+
+  /** Median-split each numeric column to 'l'/'h' string columns in place
+    * (FCBF preprocessing, step_select_fcbf.R:256–270). All medians in one
+    * distributed pass. All-NULL columns yield all-NULL output (all-NaN median).
+    */
+  def medianSplit(df: DataFrame, cols: Seq[String]): DataFrame = {
+    if (cols.isEmpty) return df
+    val meds = df
+      .select(cols.map(c => expr(s"percentile(`$c`, 0.5)").as(c)): _*)
+      .head()
+    cols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+      if (meds.isNullAt(i)) d.withColumn(c, lit(null: String))
+      else d.withColumn(c, medianSplitCol(col(c), meds.getDouble(i)))
+    }
+  }
+}

@@ -1,0 +1,106 @@
+package graft.stats
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Correlation-based scores.
+  *
+  * Pearson covers the reference's carscore `diagonal = TRUE` path — plain
+  * marginal correlations (/root/reference/R/step_select_carscore.R:13–14,
+  * 133–147; the step stores abs(score)). Spearman = Pearson over per-column
+  * mid-ranks. Full CAR (diagonal = FALSE) decorrelates the marginal
+  * correlations with the inverse square root of the predictor correlation
+  * matrix: ω = R_X^{−1/2} · ρ_{Xy}.
+  *
+  * Scale shape: all p correlations in ONE aggregation pass (p `corr` aggs in
+  * a single `agg`, partial+final). Spearman ranks use one window per column —
+  * each a single ordered partition; acceptable for p features ranked in
+  * parallel, with the cutpoint-binned approximation available where a global
+  * per-column sort is infeasible.
+  */
+object Correlation {
+
+  /** Pearson corr(x_i, y) for all features in one pass. */
+  def pearson(df: DataFrame, features: Seq[String], outcome: String): Map[String, Option[Double]] = {
+    if (features.isEmpty) return Map.empty
+    val row = df.agg(
+      corr(col(features.head), col(outcome)).as(features.head),
+      features.tail.map(f => corr(col(f), col(outcome)).as(f)): _*
+    ).head()
+    features.zipWithIndex.map { case (f, i) =>
+      f -> (if (row.isNullAt(i)) None else Some(row.getDouble(i)))
+    }.toMap
+  }
+
+  /** Mid-ranks (average rank for ties) of each column, appended as
+    * `<col>__rank`. NULLs keep NULL ranks. rank + (ties−1)/2 where ties is
+    * the tie-group size = R's rank(ties.method = "average").
+    */
+  def midRanks(df: DataFrame, cols: Seq[String], suffix: String = "__rank"): DataFrame =
+    cols.foldLeft(df) { (d, c) =>
+      val w = Window.orderBy(col(c))
+      val tie = Window.partitionBy(col(c))
+      d.withColumn(
+        c + suffix,
+        when(col(c).isNull, lit(null))
+          .otherwise(rank().over(w) + (count(lit(1)).over(tie) - 1) / 2.0)
+      )
+    }
+
+  /** Spearman corr for all features vs outcome: Pearson over mid-ranks. */
+  def spearman(df: DataFrame, features: Seq[String], outcome: String): Map[String, Option[Double]] = {
+    if (features.isEmpty) return Map.empty
+    val cols = (features :+ outcome).distinct
+    val ranked = midRanks(df.select(cols.map(col): _*), cols)
+    pearson(
+      ranked.select(cols.map(c => col(c + "__rank").as(c)): _*),
+      features,
+      outcome
+    )
+  }
+
+  /** Full p×p Pearson correlation matrix of the features plus the feature–
+    * outcome vector, in one aggregation pass of p(p+1)/2 + p corr aggs.
+    * Fine for the reference's regime (p small; n huge).
+    */
+  def corrMatrix(df: DataFrame, features: Seq[String], outcome: String): (Array[Array[Double]], Array[Double]) = {
+    val p = features.length
+    val pairAggs = for {
+      i <- 0 until p; j <- i + 1 until p
+    } yield corr(col(features(i)), col(features(j))).as(s"c_${i}_$j")
+    val yAggs = features.zipWithIndex.map { case (f, i) => corr(col(f), col(outcome)).as(s"y_$i") }
+    val all = pairAggs ++ yAggs
+    val row = df.agg(all.head, all.tail: _*).head()
+    val m = Array.fill(p, p)(1.0)
+    var k = 0
+    for (i <- 0 until p; j <- i + 1 until p) {
+      val v = if (row.isNullAt(k)) 0.0 else row.getDouble(k)
+      m(i)(j) = v; m(j)(i) = v; k += 1
+    }
+    val y = Array.tabulate(p)(i => if (row.isNullAt(k + i)) 0.0 else row.getDouble(k + i))
+    (m, y)
+  }
+
+  /** CAR scores ω = R_X^{−1/2} ρ_{Xy} via driver-side symmetric eigensolve
+    * of the (tiny, p×p) correlation matrix (care::carscore semantics,
+    * step_select_carscore.R:133–140, shrinkage omitted ⇒ lambda = 0).
+    */
+  def carScores(df: DataFrame, features: Seq[String], outcome: String): Map[String, Double] = {
+    if (features.isEmpty) return Map.empty
+    val (m, y) = corrMatrix(df, features, outcome)
+    val p = features.length
+    val mat = new org.apache.commons.math3.linear.Array2DRowRealMatrix(m)
+    val eig = new org.apache.commons.math3.linear.EigenDecomposition(mat)
+    val v = eig.getV
+    val invSqrtD = org.apache.commons.math3.linear.MatrixUtils.createRealDiagonalMatrix(
+      (0 until p).map { i =>
+        val ev = eig.getRealEigenvalue(i)
+        if (ev > 1e-12) 1.0 / math.sqrt(ev) else 0.0
+      }.toArray
+    )
+    val invSqrt = v.multiply(invSqrtD).multiply(v.transpose())
+    val omega = invSqrt.operate(y)
+    features.zipWithIndex.map { case (f, i) => f -> omega(i) }.toMap
+  }
+}

@@ -1,0 +1,97 @@
+package graft.stats
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Entropy-family scores over a long binned form — ALL features in one
+  * shuffle.
+  *
+  * Re-expresses FSelectorRcpp::information_gain's three variants
+  * (/root/reference/R/step_select_infgain.R:140–150; natural-log entropy):
+  *   IG        = H(X) + H(Y) − H(X,Y)
+  *   gainratio = IG / H(X)
+  *   symuncert = 2·IG / (H(X) + H(Y))
+  * and FCBF's symmetrical uncertainty SU = symuncert
+  * (/root/reference/R/step_select_fcbf.R:280–288).
+  *
+  * Input contract: long DataFrame (feature: string, xb, yb) where xb/yb are
+  * the (already discretized) predictor and outcome values. Rows with a NULL
+  * xb or yb are dropped per feature (listwise within feature), matching the
+  * backend's complete-case handling.
+  *
+  * Scale shape: groupBy(feature, xb, yb).count() partially aggregates
+  * map-side, so the shuffle carries at most p·|X bins|·|Y bins| rows no
+  * matter how many input rows there are; the entropy algebra then runs over
+  * that tiny counts table with window sums — never on the driver.
+  */
+object Entropy {
+
+  sealed trait Kind { def name: String }
+  case object InfoGain extends Kind { val name = "infogain" }
+  case object GainRatio extends Kind { val name = "gainratio" }
+  case object SymUncert extends Kind { val name = "symuncert" }
+
+  /** Per-feature joint-entropy terms → DataFrame(feature, hx, hy, hxy). */
+  def entropyTerms(long: DataFrame): DataFrame = {
+    val joint = long
+      .where(col("xb").isNotNull && col("yb").isNotNull)
+      .groupBy("feature", "xb", "yb")
+      .agg(count(lit(1)).as("c"))
+
+    val n = joint.groupBy("feature").agg(sum("c").as("n"))
+
+    def h(grouped: DataFrame): DataFrame =
+      grouped
+        .join(n, "feature")
+        .groupBy("feature")
+        .agg((-sum(col("c") / col("n") * log(col("c") / col("n")))).as("h"))
+
+    val hx = h(joint.groupBy("feature", "xb").agg(sum("c").as("c"))).withColumnRenamed("h", "hx")
+    val hy = h(joint.groupBy("feature", "yb").agg(sum("c").as("c"))).withColumnRenamed("h", "hy")
+    val hxy = h(joint).withColumnRenamed("h", "hxy")
+    hx.join(hy, "feature").join(hxy, "feature")
+  }
+
+  /** DataFrame(feature, score) for the requested variant. */
+  def scores(long: DataFrame, kind: Kind): DataFrame = {
+    val t = entropyTerms(long)
+    val ig = col("hx") + col("hy") - col("hxy")
+    val s = kind match {
+      case InfoGain  => ig
+      case GainRatio => when(col("hx") === 0d, lit(0d)).otherwise(ig / col("hx"))
+      case SymUncert =>
+        when(col("hx") + col("hy") === 0d, lit(0d))
+          .otherwise(lit(2d) * ig / (col("hx") + col("hy")))
+    }
+    t.select(col("feature"), s.as("score"))
+  }
+
+  /** Mutual information I(A;B) between two (discrete) columns of `df`,
+    * complete cases only, natural log. Used pairwise by mRMR/FCBF redundancy.
+    */
+  def mutualInfo(df: DataFrame, a: String, b: String): Double = {
+    val long = df.select(lit(a + "|" + b).as("feature"), col(a).as("xb"), col(b).as("yb"))
+    val r = scores(long, InfoGain).select("score").collect()
+    if (r.isEmpty) Double.NaN else r(0).getDouble(0)
+  }
+
+  /** Pairwise MI of `target` vs each of `others` in ONE distributed pass:
+    * melt others against the fixed target column. Returns feature → MI.
+    */
+  def mutualInfoAgainst(df: DataFrame, target: String, others: Seq[String]): Map[String, Double] = {
+    if (others.isEmpty) return Map.empty
+    val long = graft.core.Melt
+      .categorical(df.select((others :+ target).distinct.map(col): _*), others, keep = Seq(target))
+      .select(col("feature"), col("value").as("xb"), col(target).cast("string").as("yb"))
+    scores(long, InfoGain).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+  }
+
+  /** Per-feature symmetrical uncertainty vs a fixed outcome column. */
+  def suAgainst(df: DataFrame, target: String, others: Seq[String]): Map[String, Double] = {
+    if (others.isEmpty) return Map.empty
+    val long = graft.core.Melt
+      .categorical(df.select((others :+ target).distinct.map(col): _*), others, keep = Seq(target))
+      .select(col("feature"), col("value").as("xb"), col(target).cast("string").as("yb"))
+    scores(long, SymUncert).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+  }
+}

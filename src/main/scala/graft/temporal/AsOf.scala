@@ -1,0 +1,98 @@
+package graft.temporal
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Point-in-time-correct as-of join: for each probe row (key, probeTs)
+  * attach the LATEST event row of the same key with eventTs <= probeTs
+  * (strictly < when `strict`).
+  *
+  * The reference has no joins at all (colino is single-table — SURVEY §2.3);
+  * this operator is mandated by the north_rule. Two physical strategies:
+  *
+  *  - [[sortMerge]] (default, scales to 10^12 rows): union-tag both sides,
+  *    ONE shuffle on `key`, then a `last(_, ignoreNulls = true)` carry-forward
+  *    window ordered by (ts, side). No row explosion, no range cross-product;
+  *    cost is a single hash exchange + per-key sort — the same exchange also
+  *    serves any downstream per-key window features, so callers should
+  *    compute windowed features on the SAME partitioning before joining.
+  *  - [[broadcastProbe]] for tiny probe sides: broadcast hash join on key
+  *    with a ts-range predicate, then `max_by` per probe row. Avoids
+  *    shuffling the big side entirely when the probe set fits in memory.
+  *
+  * Temporal-leakage guarantee: events sort BEFORE the probe at equal ts only
+  * in the inclusive (<=) mode; nothing after probeTs is ever visible because
+  * the window frame ends at the current row.
+  *
+  * Skew: hot keys are split by AQE for the shuffle; for pathological single
+  * keys the caller can pre-aggregate events per (key, ts) first (dedup) —
+  * see [[Windows.dedupLatest]].
+  */
+object AsOf {
+
+  def sortMerge(
+      events: DataFrame,
+      probes: DataFrame,
+      key: String,
+      eventTs: String,
+      probeTs: String,
+      eventCols: Seq[String],
+      strict: Boolean = false
+  ): DataFrame = {
+    val probeCols = probes.columns.filterNot(c => c == key || c == probeTs).toSeq
+    // side ordering implements the tie rule: inclusive => event (0) before
+    // probe (1) at equal ts; strict => probe first so the event is invisible.
+    val (eventSide, probeSide) = if (strict) (1, 0) else (0, 1)
+
+    val e = events.select(
+      Seq(col(key), col(eventTs).as("__ts"), lit(eventSide).as("__side")) ++
+        eventCols.map(c => col(c).as(s"__e_$c")) ++
+        probeCols.map(c => lit(null).cast(probes.schema(c).dataType).as(c)) :+
+        lit(null).cast(probes.schema(probeTs).dataType).as(probeTs): _*
+    )
+    val p = probes.select(
+      Seq(col(key), col(probeTs).as("__ts"), lit(probeSide).as("__side")) ++
+        eventCols.map(c => lit(null).cast(events.schema(c).dataType).as(s"__e_$c")) ++
+        probeCols.map(col) :+
+        col(probeTs): _*
+    )
+    val w = Window
+      .partitionBy(col(key))
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = e.unionByName(p)
+      .select(
+        (Seq(col(key), col("__ts"), col("__side"), col(probeTs)) ++
+          probeCols.map(col) ++
+          eventCols.map(c => last(col(s"__e_$c"), ignoreNulls = true).over(w).as(c))): _*
+      )
+    carried
+      .where(col("__side") === probeSide)
+      .select(Seq(col(key), col(probeTs)) ++ probeCols.map(col) ++ eventCols.map(col): _*)
+  }
+
+  /** Broadcast variant: probes must be small. Left join keeps probe rows with
+    * no qualifying event (null event cols), matching sortMerge semantics. */
+  def broadcastProbe(
+      events: DataFrame,
+      probes: DataFrame,
+      key: String,
+      eventTs: String,
+      probeTs: String,
+      eventCols: Seq[String],
+      strict: Boolean = false
+  ): DataFrame = {
+    val probeCols = probes.columns.filterNot(c => c == key || c == probeTs).toSeq
+    val cond: Column =
+      events(key) === probes(key) &&
+        (if (strict) events(eventTs) < probes(probeTs) else events(eventTs) <= probes(probeTs))
+    val joined = events.join(broadcast(probes), cond, "right")
+    val aggs =
+      probeCols.map(c => first(probes(c)).as(c)) ++
+        eventCols.map(c => max_by(events(c), events(eventTs)).as(c))
+    joined
+      .groupBy(probes(key).as(key), probes(probeTs).as(probeTs))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+}

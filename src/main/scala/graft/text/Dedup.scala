@@ -1,0 +1,166 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for web-scale corpora: exact, n-gram Jaccard,
+  * MinHash + LSH banding, SimHash. Every path is shuffle-bounded by the
+  * candidate-pair construction (band/bucket joins), never an O(n²)
+  * cross join.
+  */
+object Dedup {
+
+  /** Exact dedup on a derived content key (e.g. md5 of text): keeps the row
+    * with the smallest `idCol` per key. One shuffle on the content hash —
+    * the canonical hash-groupBy dedup. */
+  def exact(df: DataFrame, contentKey: Column, idCol: Column): DataFrame = {
+    val w = Window.partitionBy(contentKey).orderBy(idCol)
+    df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Word n-gram shingles of `text`, as a distinct array. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextFeatures.tokens(lower(text))
+    array_distinct(
+      filter(
+        transform(toks, (_, i) => when(i <= size(toks) - n, concat_ws(" ", slice(toks, i + 1, lit(n))))),
+        s => s.isNotNull
+      )
+    )
+  }
+
+  /** Long form (id, shingle) — the relational shape all pairwise similarity
+    * is computed from. */
+  def shingleTable(df: DataFrame, id: String, text: String, n: Int): DataFrame =
+    df.select(col(id), explode(shingles(col(text), n)).as("shingle"))
+
+  /** Jaccard similarity of every document against one target document:
+    * |A∩B| / |A∪B| over distinct word n-gram shingles. Pure relational —
+    * a broadcast semi-structure (target shingle set is one document). */
+  def jaccardVsTarget(df: DataFrame, id: String, text: String, n: Int, targetId: Long): DataFrame = {
+    val sh = shingleTable(df, id, text, n)
+    val sizes = sh.groupBy(id).agg(count(lit(1)).as("sz"))
+    val target = sh.where(col(id) === targetId).select(col("shingle"))
+    val targetSize = broadcast(target.agg(count(lit(1)).as("tsz")))
+    val inter = sh
+      .join(broadcast(target), "shingle")
+      .groupBy(id)
+      .agg(count(lit(1)).as("inter"))
+    sizes
+      .join(inter, Seq(id), "left")
+      .na.fill(0L, Seq("inter"))
+      .crossJoin(targetSize)
+      .select(
+        col(id),
+        (col("inter").cast("double") / (col("sz") + col("tsz") - col("inter"))).as("jaccard")
+      )
+  }
+
+  /** All candidate near-duplicate pairs with Jaccard >= `minJaccard`,
+    * discovered through a shingle-bucket join (docs sharing at least one
+    * shingle), then exact Jaccard on the co-occurrence counts. The shingle
+    * join is skew-guarded by dropping ubiquitous shingles (df > maxDocFreq).
+    */
+  def jaccardPairs(
+      df: DataFrame,
+      id: String,
+      text: String,
+      n: Int,
+      minJaccard: Double,
+      maxDocFreq: Long = 1000L
+  ): DataFrame = {
+    val sh = shingleTable(df, id, text, n).cache()
+    val sizes = sh.groupBy(id).agg(count(lit(1)).as("sz"))
+    val rare = sh
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDocFreq)
+      .select("shingle")
+    val filtered = sh.join(rare, "shingle")
+    val a = filtered.select(col("shingle"), col(id).as("a"))
+    val b = filtered.select(col("shingle"), col(id).as("b"))
+    val inter = a.join(b, "shingle")
+      .where(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(id).as("a"), col("sz").as("sza")), "a")
+      .join(sizes.select(col(id).as("b"), col("sz").as("szb")), "b")
+      .select(
+        col("a"), col("b"),
+        (col("inter").cast("double") / (col("sza") + col("szb") - col("inter"))).as("jaccard")
+      )
+      .where(col("jaccard") >= minJaccard)
+  }
+
+  /** MinHash signature: k independent permutations approximated by seeded
+    * xxhash64; signature element i = min over shingles of hash(i, shingle).
+    * Returns (id, sig: array<long>). One narrow map + per-doc aggregate. */
+  def minHashSignatures(df: DataFrame, id: String, text: String, n: Int, k: Int): DataFrame = {
+    val sh = df.select(col(id), shingles(col(text), n).as("sh"))
+    val sigCols = (0 until k).map { i =>
+      array_min(transform(col("sh"), s => xxhash64(lit(i), s))).as(s"h$i")
+    }
+    sh.select(col(id) +: sigCols: _*)
+      .select(col(id), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** LSH banding over MinHash signatures: docs sharing any band land in one
+    * bucket; bucket join yields candidate pairs (no cross join). bands·rowsPerBand
+    * must equal the signature length. */
+  def minHashCandidates(sigs: DataFrame, id: String, bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = sigs.select(
+      col(id),
+      posexplode(
+        array((0 until bands).map(b =>
+          xxhash64(lit(b), concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
+        ): _*)
+      ).as(Seq("band", "bucket"))
+    )
+    val l = banded.select(col("band"), col("bucket"), col(id).as("a"))
+    val r = banded.select(col("band"), col("bucket"), col(id).as("b"))
+    l.join(r, Seq("band", "bucket"))
+      .where(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** 64-bit SimHash over tokens: bit j of the result is 1 iff the sum of
+    * (+1/−1) contributions of token-hash bit j is positive. Expressed as 64
+    * per-bit sums in one aggregation (map-side combine). Returns (id, simhash).
+    */
+  def simHash(df: DataFrame, id: String, text: String): DataFrame = {
+    val toks = df.select(col(id), explode(TextFeatures.tokens(lower(col(text)))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
+    }
+    toks.groupBy(col(id))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(
+        col(id),
+        (0 until 64).map(j => when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash")
+      )
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup candidates within `maxHamming` via 4-segment pigeonhole
+    * (any pair within Hamming distance 3 shares at least one exact 16-bit
+    * segment): segment-bucket join then exact Hamming filter. */
+  def simHashCandidates(sigs: DataFrame, id: String, maxHamming: Int = 3): DataFrame = {
+    val seg = sigs.select(
+      col(id), col("simhash"),
+      posexplode(array((0 until 4).map(s =>
+        shiftright(col("simhash"), s * 16).bitwiseAND(0xffffL)): _*)).as(Seq("seg", "segval"))
+    )
+    val l = seg.select(col("seg"), col("segval"), col(id).as("a"), col("simhash").as("ha"))
+    val r = seg.select(col("seg"), col("segval"), col(id).as("b"), col("simhash").as("hb"))
+    l.join(r, Seq("seg", "segval"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"), hamming(col("ha"), col("hb")).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+}

@@ -1,0 +1,94 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for a web-scale training-data pipeline: token
+  * counting, quality scoring, language-ID heuristic, fingerprinting. All are
+  * pure Column expressions (whole-stage-codegen eligible — no UDFs), so they
+  * fuse into the scan and run at parquet-read speed.
+  */
+object TextFeatures {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish word count: runs of letters (cross-engine-stable regex). */
+  def wordCount(text: Column): Column = size(regexp_extract_all(text, lit("[a-z]+"), lit(0)))
+
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  val enStop = Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for")
+  val deStop = Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "von")
+  val frStop = Seq("le", "la", "les", "et", "est", "un", "une", "des", "que", "pour")
+
+  private def stopHits(text: Column, stop: Seq[String]): Column = {
+    val toks = tokens(lower(text))
+    size(filter(toks, t => t.isin(stop.map(_.asInstanceOf[Any]): _*)))
+  }
+
+  /** Fraction of tokens that are (English) stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val n = tokenCount(text)
+    when(n === 0, lit(0.0)).otherwise(stopHits(text, enStop).cast("double") / n)
+  }
+
+  /** Fraction of characters that are punctuation. */
+  def punctRatio(text: Column): Column = {
+    val n = length(text)
+    when(n === 0, lit(0.0))
+      .otherwise((n - length(regexp_replace(text, "[.,;:!?()]", ""))).cast("double") / n)
+  }
+
+  /** Mean whitespace-token length. */
+  def meanTokenLen(text: Column): Column = {
+    val n = tokenCount(text)
+    when(n === 0, lit(0.0))
+      .otherwise(aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t)).cast("double") / n)
+  }
+
+  /** Composite quality score in [0,1]: heuristic blend of length band,
+    * stopword presence and low punctuation noise (deterministic, documented
+    * — the shape of a Gopher/C4-style quality rule). */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text)
+    val lenOk = when(n >= 20 && n <= 100000, 1.0).otherwise(when(n >= 5, 0.5).otherwise(0.0))
+    val stopOk = when(stopwordRatio(text) >= 0.05, 1.0).otherwise(0.0)
+    val punctOk = when(punctRatio(text) <= 0.2, 1.0).otherwise(0.0)
+    (lenOk * 0.4 + stopOk * 0.4 + punctOk * 0.2)
+  }
+
+  /** n-gram language-ID heuristic: highest stopword hit count among the
+    * language dictionaries wins; ties and zero evidence → "und" (undetermined).
+    */
+  def langId(text: Column): Column = {
+    val en = stopHits(text, enStop)
+    val de = stopHits(text, deStop)
+    val fr = stopHits(text, frStop)
+    val mx = greatest(en, de, fr)
+    when(mx === 0, lit("und"))
+      .when(en === mx && de < mx && fr < mx, lit("en"))
+      .when(de === mx && en < mx && fr < mx, lit("de"))
+      .when(fr === mx && en < mx && de < mx, lit("fr"))
+      .otherwise(lit("und"))
+  }
+
+  /** Content fingerprint: md5 of the exact bytes (portable across engines —
+    * used for exact dedup and the byte-identity-per-url invariant). */
+  def fingerprintMd5(text: Column): Column = md5(encode(text, "UTF-8"))
+
+  /** Rolling document fingerprint: polynomial rolling hash over the token
+    * stream (base 1000003 mod 1e9+7), computed as a fold — deterministic,
+    * order-sensitive, cheap. Intermediate values stay < 2^51 so 64-bit
+    * modular arithmetic never overflows. */
+  def rollingFingerprint(text: Column): Column = {
+    val p = lit(1000000007L)
+    aggregate(
+      tokens(text),
+      lit(0L),
+      (acc, t) => pmod(acc * 1000003L + pmod(xxhash64(t), p), p)
+    )
+  }
+}
