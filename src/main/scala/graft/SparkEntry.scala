@@ -4,10 +4,11 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{Melt, PagesGen}
+import graft.multimodal.BinaryFeatures
 import graft.select._
 import graft.sim.Similarity
-import graft.stats.{Auc, Binning, ChiSq, Correlation, Entropy}
-import graft.temporal.{AsOf, Windows}
+import graft.stats.{Anova, Auc, Binning, ChiSq, Correlation, Entropy}
+import graft.temporal.{AsOf, Salting, Windows}
 import graft.text.{Dedup, TextFeatures}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -127,8 +128,12 @@ object SparkEntry {
       val sigs = Dedup.simHash(t(s, dir, "documents"), "doc_id", "text")
       Dedup.simHashCandidates(sigs, "doc_id", maxHamming = 3).orderBy("a", "b")
     }),
+    // maxDocFreq guards the shingle self-join against ubiquitous shingles
+    // (this corpus has a ~30-word vocabulary, so common 3-grams appear in
+    // thousands of docs — exactly the skew the guard exists for)
     "q_jaccard_pairs" -> ((s, dir) =>
-      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3, 0.5).orderBy("a", "b")),
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3, 0.5, maxDocFreq = 100)
+        .orderBy("a", "b")),
     // ---- text analysis ----
     "q_tokens" -> ((s, dir) => {
       t(s, dir, "documents").select(
@@ -254,6 +259,68 @@ object SparkEntry {
         .fit(t(s, dir, "lineitem"), "l_linestatus",
           Seq("l_quantity", "l_discount", "l_tax", "l_extendedprice"))
       fitted.scoresDF(s)
+    }),
+    "q_asof_strict" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click").select("user_id", "ts", "value")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("probe_ts"), col("event_id").as("purchase_id"))
+      AsOf.sortMerge(clicks, purchases, "user_id", "ts", "probe_ts", Seq("value"), strict = true)
+        .select(col("purchase_id"), col("value").as("last_click_value"))
+        .orderBy("purchase_id")
+    }),
+    "q_salted_count" -> ((s, dir) =>
+      Salting.saltedCount(t(s, dir, "events"), "user_id", col("event_id"), 16)
+        .orderBy("user_id")),
+    "q_revisit_index" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events").select(
+        col("event_id"),
+        row_number().over(w).as("visit_no"),
+        (unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w))).as("gap_sec")
+      ).orderBy("event_id")
+    }),
+    "q_aov" -> ((s, dir) => {
+      val res = Anova.typeISS(t(s, dir, "lineitem"), "l_extendedprice", Seq("l_returnflag"))
+      scoreDF(s, res.map(r => r.feature -> r.f))
+        .select(col("feature"), round(col("score"), 4).as("f_stat"))
+        .orderBy("feature")
+    }),
+    "q_aov_seq" -> ((s, dir) => {
+      import s.implicits._
+      Anova.typeISS(t(s, dir, "lineitem"), "l_extendedprice", Seq("l_returnflag", "l_linestatus"))
+        .map(r => (r.feature, r.df, r.f)).toDF("feature", "df", "f_stat")
+    }),
+    "q_linear" -> ((s, dir) =>
+      LinearStep(topP = Some(2))
+        .fit(t(s, dir, "lineitem"), "l_extendedprice", liFeatures).scoresDF(s)),
+    "q_tree" -> ((s, dir) =>
+      TreeStep(topP = Some(2))
+        .fit(t(s, dir, "lineitem"), "l_returnflag", liFeatures).scoresDF(s)),
+    "q_forest" -> ((s, dir) =>
+      ForestStep(topP = Some(2), trees = 20)
+        .fit(t(s, dir, "lineitem"), "l_returnflag", liFeatures).scoresDF(s)),
+    "q_relief" -> ((s, dir) =>
+      ReliefStep(topP = Some(2), sampleSize = 10)
+        .fit(t(s, dir, "lineitem"), "l_linestatus", liFeatures).scoresDF(s)),
+    "q_boruta" -> ((s, dir) => {
+      val sampled = t(s, dir, "lineitem").where(pmod(col("l_orderkey"), lit(10)) === 0)
+      BorutaStep(maxRuns = 8, trees = 20)
+        .fit(sampled, "l_returnflag", liFeatures).scoresDF(s)
+    }),
+    "q_media_features" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("id"), encode(col("text"), "UTF-8").as("bytes"))
+        .as[BinaryFeatures.MediaRow]
+      BinaryFeatures.decodeFeatures(s, media).toDF().orderBy("id")
+    }),
+    "q_simhash_sigs" -> ((s, dir) =>
+      Dedup.simHash(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")),
+    "q_lsh_buckets" -> ((s, dir) => {
+      val planes = Similarity.hyperplanes(6, 64)
+      Similarity.lshBuckets(t(s, dir, "embeddings"), "embedding", planes)
+        .groupBy("bucket").agg(count(lit(1)).as("n")).orderBy("bucket")
     }),
     "q_select_pipeline" -> ((s, dir) => {
       import s.implicits._
@@ -474,6 +541,32 @@ object SparkEntry {
     "q_median_split" ->
       """WITH m AS (SELECT median(n_chars) AS md FROM documents)
         |SELECT CASE WHEN n_chars <= md THEN 'l' ELSE 'h' END AS bucket, count(*) AS n
-        |FROM documents CROSS JOIN m GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM documents CROSS JOIN m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_asof_strict" ->
+      """SELECT p.event_id AS purchase_id,
+        | (SELECT c.value FROM events c
+        |   WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts < p.ts
+        |   ORDER BY c.ts DESC LIMIT 1) AS last_click_value
+        |FROM events p WHERE p.event_type = 'purchase' ORDER BY purchase_id""".stripMargin,
+    "q_salted_count" ->
+      "SELECT user_id, count(*) AS cnt FROM events GROUP BY 1 ORDER BY user_id",
+    "q_revisit_index" ->
+      """SELECT event_id,
+        | row_number() OVER w AS visit_no,
+        | CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+        |   - CAST(epoch(date_trunc('second', lag(ts) OVER w)) AS BIGINT) AS gap_sec
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+    "q_aov" ->
+      """WITH stats AS (SELECT l_returnflag AS g, count(*) AS n, avg(l_extendedprice) AS m
+        |               FROM lineitem GROUP BY 1),
+        |tot AS (SELECT count(*) AS n, avg(l_extendedprice) AS m FROM lineitem),
+        |ssb AS (SELECT sum(s.n * (s.m - t.m) * (s.m - t.m)) AS ss, count(*) - 1 AS df1
+        |        FROM stats s CROSS JOIN tot t),
+        |sse AS (SELECT sum((l.l_extendedprice - s.m) * (l.l_extendedprice - s.m)) AS ss,
+        |               (SELECT n FROM tot) - (SELECT count(*) FROM stats) AS df2
+        |        FROM lineitem l JOIN stats s ON l.l_returnflag = s.g)
+        |SELECT 'l_returnflag' AS feature, round((ssb.ss / ssb.df1) / (sse.ss / sse.df2), 4) AS f_stat
+        |FROM ssb CROSS JOIN sse""".stripMargin
   )
 }

@@ -10,8 +10,13 @@ import org.apache.spark.sql.SparkSession
   * splitting").
   */
 object GraftSession {
-  def builder(cores: Int = 32): SparkSession.Builder =
-    SparkSession
+  def builder(cores: Int = 32): SparkSession.Builder = {
+    // Local-mode shuffle files on tmpfs when available: a 32-thread local
+    // run otherwise serializes on one spinning /tmp volume, which a real
+    // cluster (one local SSD set per executor) does not do.
+    val localDir =
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/spark-local" else null
+    val b = SparkSession
       .builder()
       .master(s"local[$cores]")
       .appName("colinospark")
@@ -21,6 +26,8 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    if (localDir != null) b.config("spark.local.dir", localDir) else b
+  }
 
   def get(cores: Int = 32): SparkSession = {
     val s = builder(cores).getOrCreate()

@@ -1,0 +1,64 @@
+package graft.runtime
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-partition lineage and metrics written alongside outputs (north_rule:
+  * "per-partition lineage and row-count/score metrics are written alongside
+  * commit-level checkpoints").
+  *
+  * [[partitionMetrics]] computes, per Spark partition of the given frame:
+  * row count, min/max of the ordering key, and an ORDER-INSENSITIVE content
+  * digest (sum of per-row xxhash64 in a ring — associative, so identical
+  * data in any order produces the same digest). Comparing two runs' metric
+  * tables row-by-row proves resume-equivalence without moving data.
+  *
+  * [[inputFiles]] records the exact source files a frame read — the scan
+  * lineage needed to re-derive any output partition.
+  */
+object Lineage {
+
+  def inputFiles(df: DataFrame): Seq[String] = df.inputFiles.toSeq.sorted
+
+  /** Order-insensitive row-hash accumulator: decimal(38) sum never
+    * overflows (10^12 rows × 2^63 < 10^38), folded back to a long. */
+  private def digestExpr(df: DataFrame) =
+    pmod(
+      sum(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)).cast("decimal(38,0)")),
+      lit(Long.MaxValue).cast("decimal(38,0)")
+    ).cast("long")
+
+  /** DataFrame(partition_id, n_rows, min_key, max_key, digest). */
+  def partitionMetrics(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val digest = digestExpr(df).as("digest")
+    df.withColumn("__pid", spark_partition_id())
+      .groupBy(col("__pid").as("partition_id"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(struct(keyCols.map(col): _*)).as("min_key"),
+        max(struct(keyCols.map(col): _*)).as("max_key"),
+        digest)
+  }
+
+  /** Whole-frame content digest (order-insensitive): equal digests ⇒ equal
+    * multisets of rows with overwhelming probability. Used by the
+    * resume-equivalence and byte-identity tests. */
+  def contentDigest(df: DataFrame): Long = {
+    val r = df.agg(digestExpr(df)).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  /** Byte-identity guard for the text payload (input_hint: "per-row
+    * invariant vs the reference: byte-identical extracted text per url"):
+    * returns offending urls whose text bytes vary across rows — empty
+    * result ⇒ invariant holds. Never re-encodes the payload: compares
+    * sha2 over the raw bytes. */
+  def textIdentityViolations(df: DataFrame, key: String, text: String): DataFrame =
+    df.groupBy(col(key))
+      .agg(countDistinct(sha2(encode(col(text), "UTF-8"), 256)).as("variants"))
+      .where(col("variants") > 1)
+
+  /** Write a metrics table next to an output path (single small file). */
+  def writeMetrics(metrics: DataFrame, outPath: String): Unit =
+    metrics.coalesce(1).write.mode("overwrite").json(outPath)
+}

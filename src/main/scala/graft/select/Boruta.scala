@@ -1,0 +1,125 @@
+package graft.select
+
+import org.apache.commons.math3.distribution.BinomialDistribution
+import org.apache.spark.ml.classification.RandomForestClassifier
+import org.apache.spark.ml.regression.RandomForestRegressor
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** step_select_boruta — Boruta all-relevant selection
+  * (/root/reference/R/step_select_boruta.R:95–131): random-forest importance
+  * of each feature vs permuted "shadow" copies; a feature scores a hit in a
+  * round when its importance exceeds the best shadow importance; after
+  * `maxRuns` rounds a two-sided binomial test (p = 0.5) with optional
+  * Bonferroni correction (mcAdj) confirms/rejects; `exclude` = Rejected.
+  *
+  * RNG semantics: shadow permutations are derived from seeded hashes — a
+  * deterministic permutation per (feature, round), identical on rerun; the
+  * reference's set.seed parity is therefore seeded-determinism within this
+  * engine, not cross-library equality (SURVEY §7.4 risk 4).
+  *
+  * Scale shape: each round builds ALL shadow columns in one melt → per-
+  * feature hash-ordered window → pivot → join (2 shuffles), then one
+  * distributed RF fit. Boruta is a wrapper method — O(maxRuns) model fits
+  * by definition — so wall-clock is dominated by MLlib, as in the original.
+  */
+final case class BorutaStep(
+    pValue: Double = 0.01,
+    mcAdj: Boolean = true,
+    maxRuns: Int = 20,
+    trees: Int = 50,
+    maxDepth: Int = 5,
+    seed: Long = 42L
+) extends SelectorStep {
+  val name = "step_select_boruta"
+
+  private def shadowed(data: DataFrame, preds: Seq[String], round: Int): DataFrame = {
+    val long = data.select(
+      col("__id"),
+      explode(array(preds.map(p => struct(lit(p).as("f"), col(p).as("v"))): _*)).as("fv"))
+      .select(col("__id"), col("fv.f").as("f"), col("fv.v").as("v"))
+    val permuted = long.withColumn(
+      "__pos",
+      row_number().over(
+        Window.partitionBy("f").orderBy(xxhash64(col("__id"), col("f"), lit(round), lit(seed)))))
+    val shadow = permuted
+      .groupBy("__pos").pivot("f", preds).agg(first("v"))
+      .select(col("__pos").as("__id") +: preds.map(p => col(p).as(s"__sh_$p")): _*)
+    data.join(shadow, "__id")
+  }
+
+  def fit(df: DataFrame, outcome: String, predictors: Seq[String]): FittedSelector = {
+    val preds0 = StepCommon.resolvePredictors(df, outcome, predictors)
+    val preds = StepCommon.numericPredictors(df, preds0)
+    val classif = StepCommon.isClassification(df, outcome)
+    val base0 = df.na.drop(preds :+ outcome)
+    // deterministic dense row ids (1..n) via seeded hash ordering
+    val base = base0
+      .withColumn("__id",
+        row_number().over(Window.orderBy(xxhash64(struct(base0.columns.map(col): _*), lit(seed)))))
+      .cache()
+    try {
+      val allFeats = preds ++ preds.map(p => s"__sh_$p")
+      val hits = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+      for (round <- 1 to maxRuns) {
+        val data = shadowed(base, preds, round)
+        val imps: Map[String, Double] =
+          if (classif) {
+            val (indexed, _) = ModelBased.indexLabel(data, outcome)
+            val m = new RandomForestClassifier()
+              .setFeaturesCol("__features").setLabelCol("__label")
+              .setNumTrees(trees).setMaxDepth(maxDepth).setSeed(seed + round)
+              .fit(ModelBased.assemble(indexed, allFeats))
+            allFeats.zip(m.featureImportances.toArray).toMap
+          } else {
+            val m = new RandomForestRegressor()
+              .setFeaturesCol("__features").setLabelCol(outcome)
+              .setNumTrees(trees).setMaxDepth(maxDepth).setSeed(seed + round)
+              .fit(ModelBased.assemble(data, allFeats))
+            allFeats.zip(m.featureImportances.toArray).toMap
+          }
+        val shadowMax = preds.map(p => imps(s"__sh_$p")).max
+        preds.foreach(p => if (imps(p) > shadowMax) hits(p) += 1)
+      }
+      val alpha = if (mcAdj) pValue / (2.0 * preds.length) else pValue
+      val binom = new BinomialDistribution(maxRuns, 0.5)
+      val decisions = preds.map { p =>
+        val h = hits(p)
+        val pAccept = 1.0 - (if (h == 0) 0.0 else binom.cumulativeProbability(h - 1))
+        val pReject = binom.cumulativeProbability(h)
+        val d =
+          if (pAccept < alpha) "Confirmed"
+          else if (pReject < alpha) "Rejected"
+          else "Tentative"
+        p -> (h, d)
+      }
+      val excluded = decisions.collect { case (p, (_, "Rejected")) => p }
+      val scores = decisions.map { case (p, (h, _)) => p -> Some(h.toDouble) }
+      FittedSelector(name, outcome, scores, excluded,
+        decisions.collect { case (p, (_, "Tentative")) => s"$p left Tentative" })
+    } finally base.unpersist()
+  }
+}
+
+/** step_select_vip (step_select_vip.R:111–154): generic model-based scoring
+  * — fit ANY user-supplied model and extract importances, optionally
+  * min-max rescaled 0–100 like pull_importances does for tree engines. */
+final case class VipStep(
+    importanceFn: (DataFrame, String, Seq[String]) => Map[String, Double],
+    topP: Option[Double] = None,
+    threshold: Option[Double] = None,
+    cutoff: Option[Double] = None,
+    scale: Boolean = true
+) extends SelectorStep {
+  val name = "step_select_vip"
+  def fit(df: DataFrame, outcome: String, predictors: Seq[String]): FittedSelector = {
+    val preds = StepCommon.resolvePredictors(df, outcome, predictors)
+    val raw0 = importanceFn(df, outcome, preds)
+    val raw = if (scale) DualFilter.rescale(raw0) else raw0
+    val scores = preds.map(p => p -> raw.get(p).filterNot(_.isNaN))
+    val (excluded, warns) =
+      StepCommon.select(scores, topP, threshold, cutoff, maximize = true, name)
+    FittedSelector(name, outcome, scores, excluded, warns)
+  }
+}

@@ -1,0 +1,192 @@
+package graft.select
+
+import org.apache.spark.ml.classification.{DecisionTreeClassifier, LogisticRegression, RandomForestClassifier}
+import org.apache.spark.ml.feature.{StringIndexer, VectorAssembler}
+import org.apache.spark.ml.regression.{DecisionTreeRegressor, LinearRegression, RandomForestRegressor}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.stats.Anova
+
+/** Model-based selection steps backed by Spark MLlib estimators — the
+  * reference's parsnip-backed steps re-expressed on the cluster-native ML
+  * stack. The `pull_importances` S3 generic (pull_importances.R:52–54, 16
+  * engine methods) maps to the [[ImportanceExtractor]] typeclass.
+  */
+trait ImportanceExtractor[M] {
+  def importances(model: M, featureNames: Seq[String]): Map[String, Double]
+}
+
+object ImportanceExtractor {
+  implicit val linear: ImportanceExtractor[org.apache.spark.ml.regression.LinearRegressionModel] =
+    (m, names) => names.zip(m.coefficients.toArray).toMap
+  implicit val logistic: ImportanceExtractor[org.apache.spark.ml.classification.LogisticRegressionModel] =
+    (m, names) => names.zip(m.coefficients.toArray).toMap
+  implicit val dtC: ImportanceExtractor[org.apache.spark.ml.classification.DecisionTreeClassificationModel] =
+    (m, names) => names.zip(m.featureImportances.toArray).toMap
+  implicit val dtR: ImportanceExtractor[org.apache.spark.ml.regression.DecisionTreeRegressionModel] =
+    (m, names) => names.zip(m.featureImportances.toArray).toMap
+  implicit val rfC: ImportanceExtractor[org.apache.spark.ml.classification.RandomForestClassificationModel] =
+    (m, names) => names.zip(m.featureImportances.toArray).toMap
+  implicit val rfR: ImportanceExtractor[org.apache.spark.ml.regression.RandomForestRegressionModel] =
+    (m, names) => names.zip(m.featureImportances.toArray).toMap
+}
+
+object ModelBased {
+  private[select] def assemble(df: DataFrame, predictors: Seq[String]): DataFrame =
+    new VectorAssembler()
+      .setInputCols(predictors.toArray)
+      .setOutputCol("__features")
+      .setHandleInvalid("skip")
+      .transform(df)
+
+  private[select] def indexLabel(df: DataFrame, outcome: String): (DataFrame, Int) = {
+    val idx = new StringIndexer()
+      .setInputCol(outcome).setOutputCol("__label")
+      .setStringOrderType("alphabetAsc")
+      .fit(df)
+    (idx.transform(df), idx.labelsArray.head.length)
+  }
+}
+
+/** step_select_linear (step_select_linear.R:119–195): |coefficients| of one
+  * linear (numeric y) or binary-logistic (factor y; multiclass aborts) fit
+  * on all predictors; penalty/mixture map to regParam/elasticNetParam.
+  * Coefficients are scale-dependent — normalize upstream, as the reference
+  * tests do (test_step_select_linear.R:13). */
+final case class LinearStep(
+    topP: Option[Double] = None,
+    threshold: Option[Double] = None,
+    cutoff: Option[Double] = None,
+    penalty: Double = 0.0,
+    mixture: Double = 0.0
+) extends SelectorStep {
+  val name = "step_select_linear"
+  def fit(df: DataFrame, outcome: String, predictors: Seq[String]): FittedSelector = {
+    val preds0 = StepCommon.resolvePredictors(df, outcome, predictors)
+    val preds = StepCommon.numericPredictors(df, preds0)
+    val coefs: Map[String, Double] =
+      if (StepCommon.isClassification(df, outcome)) {
+        val (indexed, nClasses) = ModelBased.indexLabel(df, outcome)
+        require(nClasses == 2,
+          "step_select_linear can only be used for binary classification problems")
+        val data = ModelBased.assemble(indexed, preds)
+        val m = new LogisticRegression()
+          .setFeaturesCol("__features").setLabelCol("__label")
+          .setRegParam(penalty).setElasticNetParam(mixture)
+          .fit(data)
+        ImportanceExtractor.logistic.importances(m, preds)
+      } else {
+        val data = ModelBased.assemble(df, preds)
+        val m = new LinearRegression()
+          .setFeaturesCol("__features").setLabelCol(outcome)
+          .setRegParam(penalty).setElasticNetParam(mixture)
+          .fit(data)
+        ImportanceExtractor.linear.importances(m, preds)
+      }
+    // abs(coef); NA/NaN coefficients are force-excluded (:172–173)
+    val scores = preds.map { p =>
+      p -> coefs.get(p).filterNot(_.isNaN).map(math.abs)
+    }
+    val (excluded, warns) =
+      StepCommon.select(scores, topP, threshold, cutoff, maximize = true, name)
+    FittedSelector(name, outcome, scores, excluded, warns)
+  }
+}
+
+/** step_select_tree (step_select_tree.R:120–182): single decision-tree
+  * importances rescaled 0–100 (pull_importances.R:323–333). MLlib CART
+  * importances differ numerically from rpart's surrogate-split ones —
+  * ranking-level parity only (SURVEY §2.2). */
+final case class TreeStep(
+    topP: Option[Double] = None,
+    threshold: Option[Double] = None,
+    cutoff: Option[Double] = None,
+    maxDepth: Int = 5,
+    seed: Long = 42L
+) extends SelectorStep {
+  val name = "step_select_tree"
+  def fit(df: DataFrame, outcome: String, predictors: Seq[String]): FittedSelector = {
+    val preds0 = StepCommon.resolvePredictors(df, outcome, predictors)
+    val preds = StepCommon.numericPredictors(df, preds0)
+    val imps: Map[String, Double] =
+      if (StepCommon.isClassification(df, outcome)) {
+        val (indexed, _) = ModelBased.indexLabel(df, outcome)
+        val m = new DecisionTreeClassifier()
+          .setFeaturesCol("__features").setLabelCol("__label")
+          .setMaxDepth(maxDepth).setSeed(seed)
+          .fit(ModelBased.assemble(indexed, preds))
+        ImportanceExtractor.dtC.importances(m, preds)
+      } else {
+        val m = new DecisionTreeRegressor()
+          .setFeaturesCol("__features").setLabelCol(outcome)
+          .setMaxDepth(maxDepth).setSeed(seed)
+          .fit(ModelBased.assemble(df, preds))
+        ImportanceExtractor.dtR.importances(m, preds)
+      }
+    val rescaled = DualFilter.rescale(imps)
+    val scores = preds.map(p => p -> rescaled.get(p).filterNot(_.isNaN))
+    val (excluded, warns) =
+      StepCommon.select(scores, topP, threshold, cutoff, maximize = true, name)
+    FittedSelector(name, outcome, scores, excluded, warns)
+  }
+}
+
+/** step_select_forests (step_select_forests.R:130–197): random-forest
+  * importances rescaled 0–100. MLlib provides Gini/variance importances
+  * (not ranger's permutation importance) — ranking-level parity. */
+final case class ForestStep(
+    topP: Option[Double] = None,
+    threshold: Option[Double] = None,
+    cutoff: Option[Double] = None,
+    trees: Int = 100,
+    maxDepth: Int = 5,
+    seed: Long = 42L
+) extends SelectorStep {
+  val name = "step_select_forests"
+  def fit(df: DataFrame, outcome: String, predictors: Seq[String]): FittedSelector = {
+    val preds0 = StepCommon.resolvePredictors(df, outcome, predictors)
+    val preds = StepCommon.numericPredictors(df, preds0)
+    val imps: Map[String, Double] =
+      if (StepCommon.isClassification(df, outcome)) {
+        val (indexed, _) = ModelBased.indexLabel(df, outcome)
+        val m = new RandomForestClassifier()
+          .setFeaturesCol("__features").setLabelCol("__label")
+          .setNumTrees(trees).setMaxDepth(maxDepth).setSeed(seed)
+          .fit(ModelBased.assemble(indexed, preds))
+        ImportanceExtractor.rfC.importances(m, preds)
+      } else {
+        val m = new RandomForestRegressor()
+          .setFeaturesCol("__features").setLabelCol(outcome)
+          .setNumTrees(trees).setMaxDepth(maxDepth).setSeed(seed)
+          .fit(ModelBased.assemble(df, preds))
+        ImportanceExtractor.rfR.importances(m, preds)
+      }
+    val rescaled = DualFilter.rescale(imps)
+    val scores = preds.map(p => p -> rescaled.get(p).filterNot(_.isNaN))
+    val (excluded, warns) =
+      StepCommon.select(scores, topP, threshold, cutoff, maximize = true, name)
+    FittedSelector(name, outcome, scores, excluded, warns)
+  }
+}
+
+/** step_select_aov (step_select_aov.R:119–170): sequential Type-I F-test
+  * p-values over nominal predictors, score = −log10(p), cutoff in −log10
+  * units. Order of `predictors` matters — same as the R formula order. */
+final case class AovStep(
+    topP: Option[Double] = None,
+    threshold: Option[Double] = None,
+    cutoff: Option[Double] = None
+) extends SelectorStep {
+  val name = "step_select_aov"
+  def fit(df: DataFrame, outcome: String, predictors: Seq[String]): FittedSelector = {
+    val preds0 = StepCommon.resolvePredictors(df, outcome, predictors)
+    val preds = StepCommon.categoricalPredictors(df, preds0)
+    require(!StepCommon.isClassification(df, outcome), s"$name requires a numeric outcome")
+    val raw = Anova.scores(df, outcome, preds)
+    val scores = preds.map(p => p -> raw.get(p).filterNot(_.isNaN))
+    val (excluded, warns) =
+      StepCommon.select(scores, topP, threshold, cutoff, maximize = true, name)
+    FittedSelector(name, outcome, scores, excluded, warns)
+  }
+}

