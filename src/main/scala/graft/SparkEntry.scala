@@ -304,8 +304,8 @@ object SparkEntry {
       ReliefStep(topP = Some(2), sampleSize = 10)
         .fit(t(s, dir, "lineitem"), "l_linestatus", liFeatures).scoresDF(s)),
     "q_boruta" -> ((s, dir) => {
-      val sampled = t(s, dir, "lineitem").where(pmod(col("l_orderkey"), lit(10)) === 0)
-      BorutaStep(maxRuns = 8, trees = 20)
+      val sampled = t(s, dir, "lineitem").where(pmod(col("l_orderkey"), lit(20)) === 0)
+      BorutaStep(maxRuns = 6, trees = 10)
         .fit(sampled, "l_returnflag", liFeatures).scoresDF(s)
     }),
     "q_media_features" -> ((s, dir) => {

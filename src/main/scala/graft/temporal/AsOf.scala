@@ -72,8 +72,10 @@ object AsOf {
       .select(Seq(col(key), col(probeTs)) ++ probeCols.map(col) ++ eventCols.map(col): _*)
   }
 
-  /** Broadcast variant: probes must be small. Left join keeps probe rows with
-    * no qualifying event (null event cols), matching sortMerge semantics. */
+  /** Broadcast variant: probes must be small. Right join keeps probe rows
+    * with no qualifying event (null event cols), matching sortMerge
+    * semantics. Both sides are internally renamed so self-derived frames
+    * (probes carved out of the events table) join without ambiguity. */
   def broadcastProbe(
       events: DataFrame,
       probes: DataFrame,
@@ -84,15 +86,20 @@ object AsOf {
       strict: Boolean = false
   ): DataFrame = {
     val probeCols = probes.columns.filterNot(c => c == key || c == probeTs).toSeq
+    val e = events.select(
+      col(key).as("__e_key") +: col(eventTs).as("__e_ts") +:
+        eventCols.map(c => col(c).as(s"__e_$c")): _*)
+    val p = probes.select(
+      col(key).as("__p_key") +: col(probeTs).as("__p_ts") +:
+        probeCols.map(c => col(c).as(s"__p_$c")): _*)
     val cond: Column =
-      events(key) === probes(key) &&
-        (if (strict) events(eventTs) < probes(probeTs) else events(eventTs) <= probes(probeTs))
-    val joined = events.join(broadcast(probes), cond, "right")
+      col("__e_key") === col("__p_key") &&
+        (if (strict) col("__e_ts") < col("__p_ts") else col("__e_ts") <= col("__p_ts"))
     val aggs =
-      probeCols.map(c => first(probes(c)).as(c)) ++
-        eventCols.map(c => max_by(events(c), events(eventTs)).as(c))
-    joined
-      .groupBy(probes(key).as(key), probes(probeTs).as(probeTs))
+      probeCols.map(c => first(col(s"__p_$c")).as(c)) ++
+        eventCols.map(c => max_by(col(s"__e_$c"), col("__e_ts")).as(c))
+    e.join(broadcast(p), cond, "right")
+      .groupBy(col("__p_key").as(key), col("__p_ts").as(probeTs))
       .agg(aggs.head, aggs.tail: _*)
   }
 }

@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Physical-plan contracts (SURVEY §4): these assertions pin the
+  * scale-critical plan properties so a refactor that silently adds an
+  * exchange, loses pushdown, or un-prunes a column fails CI. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("feature pipeline: ONE exchange serves dedup + all per-url window features") {
+    val p = plan(graft.Bench.featurePipeline(spark, 10000, 1000))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected <=2 exchanges (url windows + as-of union), got $exchanges:\n$p")
+  }
+
+  test("filters are pushed down to the parquet scan") {
+    val p = plan(SparkEntry.queries("q_asof_join")(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]")
+      || p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)]"),
+      s"expected event_type pushdown in:\n$p")
+  }
+
+  test("column pruning reaches the scan (no html/full-width reads)") {
+    val p = plan(SparkEntry.queries("q_quality")(spark, sf))
+    val scanLine = p.split("\n").find(_.contains("FileScan")).get
+    assert(scanLine.contains("[doc_id") && scanLine.contains("text"),
+      s"quality scan should read only (doc_id, text): $scanLine")
+    assert(!scanLine.contains("lang") && !scanLine.contains("source"),
+      s"unused columns must be pruned: $scanLine")
+  }
+
+  test("broadcast as-of variant actually broadcasts the probe side") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val probes = ev.limit(10).select(col("user_id"), col("ts").as("pts"), col("event_id").as("pid"))
+    val p = plan(graft.temporal.AsOf.broadcastProbe(ev, probes, "user_id", "ts", "pts", Seq("value")))
+    assert(p.contains("Broadcast"), s"probe side should broadcast:\n$p")
+  }
+
+  test("melted entropy scoring partially aggregates map-side (no row explosion across the wire)") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val long = graft.core.Melt.numeric(li, Seq("l_quantity", "l_tax"), keep = Seq("l_returnflag"))
+      .select(col("feature"), col("value").cast("string").as("xb"), col("l_returnflag").as("yb"))
+    val p = plan(graft.stats.Entropy.scores(long, graft.stats.Entropy.InfoGain))
+    // partial_count before the exchange = map-side combine of the joint counts
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"expected partial aggregation in:\n$p")
+  }
+}
