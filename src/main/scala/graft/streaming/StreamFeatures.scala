@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface for the same feature semantics as
+  * [[graft.temporal.Windows]], for pipelines that ingest crawl events
+  * incrementally instead of from a static table. Batch remains the primary
+  * path (SURVEY §2.3: the north_rule is batch; late/duplicate revisits are
+  * handled relationally), but the operators below make the engine usable as
+  * `readStream → transform → writeStream`:
+  *
+  *  - [[windowedCounts]] — event-time tumbling-window counts/sums with a
+  *    watermark bounding state.
+  *  - [[sessionize]] — gap-based sessions via
+  *    `flatMapGroupsWithState` with event-time timeout: a session closes
+  *    when no event arrives within the gap; emits one row per closed
+  *    session. State is O(open sessions).
+  */
+object StreamFeatures {
+
+  final case class Event(url: String, ts: java.sql.Timestamp, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  final case class SessionOut(url: String, sessionStart: java.sql.Timestamp,
+      sessionEnd: java.sql.Timestamp, nEvents: Long, sumValue: Double)
+
+  def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
+      windowDur: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+
+  def sessionize(spark: SparkSession, events: Dataset[Event], gapSeconds: Long): Dataset[SessionOut] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", s"$gapSeconds seconds")
+      .groupByKey(_.url)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (url: String, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(url,
+              new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last), s.n, s.sum))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapSeconds * 1000 =>
+                  cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  closed ::= SessionOut(url,
+                    new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last), s.n, s.sum)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapSeconds * 1000)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

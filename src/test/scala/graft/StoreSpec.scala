@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.core.{PagesGen, Store}
+
+class StoreSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("day-partitioned store prunes partitions for time-bounded scans") {
+    val dir = java.nio.file.Files.createTempDirectory("pages-store").toString + "/pages"
+    val pages = PagesGen.pages(spark, 5000, 500, days = 30)
+    Store.writePages(pages, dir)
+
+    val all = Store.readPages(spark, dir)
+    val cut = new java.sql.Timestamp(
+      (PagesGen.baseEpoch + 10L * 86400) * 1000) // day 10 of 30
+    val bounded = Store.pagesUpTo(spark, dir, cut)
+
+    // correctness: bounded == full scan filtered
+    val want = pages.where(col("warc_ts") <= lit(cut)).count()
+    assert(bounded.count() == want)
+
+    // partition pruning: the executed scan reads strictly fewer files
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect() // executes THIS queryExecution (count() would plan its own)
+      val finalPlan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      finalPlan.collectLeaves()
+        .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numFiles").value }
+        .sum
+    }
+    val allFiles = filesRead(all)
+    val boundedFiles = filesRead(bounded)
+    assert(boundedFiles < allFiles, s"expected pruning: $boundedFiles < $allFiles")
+
+    // plan shows the dt partition filter
+    val plan = bounded.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("dt"), plan)
+  }
+
+  test("feature sink writes metrics alongside the data") {
+    val dir = java.nio.file.Files.createTempDirectory("feat-store").toString + "/features"
+    val labels = PagesGen.labels(spark, 1000, 100)
+    Store.writeFeatures(labels, dir)
+    val metrics = spark.read.json(dir + "_metrics")
+    assert(metrics.agg(sum("n_rows")).head().getLong(0) == 1000L)
+    assert(metrics.columns.contains("digest"))
+    val data = spark.read.parquet(dir)
+    assert(data.count() == 1000L)
+  }
+
+  test("round-trip through the bucketed layout preserves content") {
+    val dir = java.nio.file.Files.createTempDirectory("pages-bucketed").toString + "/pages"
+    val pages = PagesGen.pages(spark, 2000, 200)
+    Store.writePages(pages, dir, urlBuckets = 4)
+    val back = Store.readPages(spark, dir).drop("dt", "ub")
+    assert(graft.runtime.Lineage.contentDigest(back.select("url", "warc_ts", "text", "lang")) ==
+      graft.runtime.Lineage.contentDigest(pages.select("url", "warc_ts", "text", "lang")))
+  }
+}
