@@ -31,13 +31,40 @@ object Binning {
   /** Exact equal-frequency bin ids 1..nbins per feature over long form
     * (feature, value, ...). Null values get null bins. `tiebreak` must be a
     * unique-per-row column for deterministic tie assignment.
+    *
+    * Exactly SQL NTILE over (PARTITION BY feature ORDER BY value, tiebreak)
+    * but WITHOUT the single-partition-per-feature row sort: the global rank
+    * is decomposed into (rows before this value) — a window over the
+    * per-value COUNTS table, |distinct values| rows — plus a row_number
+    * within the (feature, value) tie group. NTILE's bucket arithmetic
+    * (first n mod k buckets get one extra row) is then closed-form.
     */
   def ntileBins(long: DataFrame, nbins: Int, tiebreak: Column, outCol: String = "bin"): DataFrame = {
-    val w = Window.partitionBy(col("feature")).orderBy(col("value"), tiebreak)
-    long.withColumn(
-      outCol,
-      when(col("value").isNull, lit(null)).otherwise(ntile(nbins).over(w))
-    )
+    val nn = long.where(col("value").isNotNull)
+    val counts = nn.groupBy("feature", "value").agg(count(lit(1)).as("__cnt"))
+    val wv = Window.partitionBy("feature").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cumTable = counts.select(
+      col("feature").as("__f"), col("value").as("__v"),
+      coalesce(sum("__cnt").over(wv), lit(0L)).as("__before"))
+    val nTable = nn.groupBy(col("feature").as("__f2")).agg(count(lit(1)).as("__n"))
+    val wt = Window.partitionBy(col("feature"), col("value")).orderBy(tiebreak)
+    val ranked = nn
+      .withColumn("__rnw", row_number().over(wt))
+      .join(cumTable, col("feature") === col("__f") && col("value") === col("__v"))
+      .join(nTable, col("feature") === col("__f2"))
+      .withColumn("__rank", col("__before") + col("__rnw"))
+    val size = floor(col("__n") / nbins)
+    val rem = col("__n") % nbins
+    val boundary = rem * (size + 1)
+    val bucket = when(col("__rank") <= boundary, floor((col("__rank") - 1) / (size + 1)) + 1)
+      .otherwise(rem + floor((col("__rank") - boundary - 1) / size) + 1)
+    val withBin = ranked
+      .withColumn(outCol, bucket.cast("int"))
+      .drop("__f", "__v", "__f2", "__before", "__n", "__rnw", "__rank")
+    val nulls = long.where(col("value").isNull)
+      .withColumn(outCol, lit(null).cast("int"))
+    withBin.unionByName(nulls)
   }
 
   /** Exact quantile cut points for each column: nbins-1 interior cuts at

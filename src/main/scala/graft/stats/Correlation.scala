@@ -36,6 +36,8 @@ object Correlation {
   /** Mid-ranks (average rank for ties) of each column, appended as
     * `<col>__rank`. NULLs keep NULL ranks. rank + (ties−1)/2 where ties is
     * the tie-group size = R's rank(ties.method = "average").
+    * NOTE: global single-partition window per column — parity/reference
+    * path; the scalable path is [[spearman]], which never globally sorts.
     */
   def midRanks(df: DataFrame, cols: Seq[String], suffix: String = "__rank"): DataFrame =
     cols.foldLeft(df) { (d, c) =>
@@ -48,13 +50,37 @@ object Correlation {
       )
     }
 
-  /** Spearman corr for all features vs outcome: Pearson over mid-ranks. */
+  /** Exact per-column mid-rank TABLE (value → midrank) built from
+    * per-value counts: the window runs over DISTINCT values only, so no
+    * single-partition row sort ever happens. midrank(v) =
+    * (#rows with value < v) + (ties(v) + 1) / 2. */
+  private def midRankTable(df: DataFrame, c: String): DataFrame = {
+    val counts = df.where(col(c).isNotNull).groupBy(col(c).as("value"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("value")).rowsBetween(Window.unboundedPreceding, -1)
+    counts.select(
+      col("value"),
+      (coalesce(sum("cnt").over(w), lit(0L)) + (col("cnt") + 1) / 2.0).as("midrank"))
+  }
+
+  /** Spearman corr for all features vs outcome: Pearson over EXACT
+    * mid-ranks, computed scalably — per-column rank tables (distinct-value
+    * sized) are joined back, then one corr pass. Identical results to the
+    * naive rank()-window formulation (see StatsSpec). */
   def spearman(df: DataFrame, features: Seq[String], outcome: String): Map[String, Option[Double]] = {
     if (features.isEmpty) return Map.empty
     val cols = (features :+ outcome).distinct
-    val ranked = midRanks(df.select(cols.map(col): _*), cols)
+    val withRanks = cols.foldLeft(df.select(cols.map(col): _*)) { (d, c) =>
+      val rt = midRankTable(df, c)
+        .select(col("value").as(c + "__v"), col("midrank").as(c + "__rank"))
+      // no broadcast hint: the rank table is |distinct values| rows —
+      // tiny for discrete columns (AQE broadcasts it), up to n for
+      // continuous ones (AQE picks a shuffle join; still no global
+      // single-partition row sort)
+      d.join(rt, d(c) === rt(c + "__v"), "left").drop(c + "__v")
+    }
     pearson(
-      ranked.select(cols.map(c => col(c + "__rank").as(c)): _*),
+      withRanks.select(cols.map(c => col(c + "__rank").as(c)): _*),
       features,
       outcome
     )
