@@ -17,6 +17,14 @@ import graft.stats.{Auc, Binning, ChiSq, Correlation, Entropy}
   * [[FittedSelector]]; `transform` is a pure projection (`df.drop`), which
   * Catalyst folds into downstream column pruning.
   */
+/** Column-role metadata — the recipes `info` analogue (SURVEY §1.4): an
+  * outcome may be named explicitly or resolved from roles. */
+final case class FeatureSpec(
+    outcome: Option[String] = None,
+    predictors: Seq[String] = Nil,
+    roles: Map[String, String] = Map.empty
+)
+
 object StepCommon {
   /** classification iff the outcome is string/boolean (factor analogue,
     * misc.R:136–138); numeric ⇒ regression. */
@@ -30,6 +38,27 @@ object StepCommon {
     require(df.columns.contains(outcome), s"Outcome variable '$outcome' not found")
     if (requested.nonEmpty) requested
     else df.columns.filterNot(_ == outcome).toSeq
+  }
+
+  /** get_outcome (misc.R:140–176): resolve the outcome by explicit name or
+    * by role, with the reference's error contracts — multiple outcome roles
+    * abort, zero abort, missing column aborts with the same messages. */
+  def resolveOutcome(df: DataFrame, spec: FeatureSpec): String = {
+    val outcomeCol = spec.outcome match {
+      case Some(name) => Seq(name)
+      case None       => spec.roles.collect { case (c, "outcome") => c }.toSeq
+    }
+    if (outcomeCol.length > 1)
+      throw new IllegalArgumentException(
+        "Multiple outcome variables are present in the recipe. " +
+          "Only a single outcome variable can be accepted by any `step_select` functions. " +
+          "Please supply the outcome variable using the `outcome` argument")
+    if (outcomeCol.isEmpty)
+      throw new IllegalArgumentException(
+        "An outcome variable was not found. Please ensure an outcome variable is specified.")
+    if (!df.columns.contains(outcomeCol.head))
+      throw new IllegalArgumentException(s"Outcome variable '${outcomeCol.head}' not found")
+    outcomeCol.head
   }
 
   def numericPredictors(df: DataFrame, preds: Seq[String]): Seq[String] =
@@ -105,6 +134,12 @@ final case class FittedSelector(
       .map { case (f, s) => (f, s.map(Double.box).orNull.asInstanceOf[java.lang.Double]) }
       .toDF("variable", "score")
       .orderBy(desc_nulls_last("score"))
+  }
+
+  /** tidy(type = "terms"): the excluded names (tidy_filter_step.R:4–6). */
+  def termsDF(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    excluded.toDF("terms")
   }
 }
 
@@ -223,17 +258,20 @@ final case class CorrStep(
     topP: Option[Double] = None,
     threshold: Option[Double] = None,
     cutoff: Option[Double] = None,
-    method: String = "pearson" // pearson | spearman | car
+    method: String = "pearson", // pearson | spearman | car
+    lambda: Double = 0.0 // shrinkage intensity for car/pearson: ρ' = (1−λ)ρ (care::carscore lambda, step_select_carscore.R:128–131)
 ) extends SelectorStep {
   val name = s"step_select_corr_$method"
   def fit(df: DataFrame, outcome: String, predictors: Seq[String]): FittedSelector = {
     val preds0 = StepCommon.resolvePredictors(df, outcome, predictors)
     val preds = StepCommon.numericPredictors(df, preds0)
     require(!StepCommon.isClassification(df, outcome), s"$name requires a numeric outcome")
+    require(lambda >= 0 && lambda <= 1, "`lambda` must be on [0, 1]")
+    val shrink: Option[Double] => Option[Double] = _.map(_ * (1 - lambda))
     val raw: Map[String, Option[Double]] = method match {
-      case "pearson"  => Correlation.pearson(df, preds, outcome)
+      case "pearson"  => Correlation.pearson(df, preds, outcome).map { case (k, v) => k -> shrink(v) }
       case "spearman" => Correlation.spearman(df, preds, outcome)
-      case "car"      => Correlation.carScores(df, preds, outcome).map { case (k, v) => k -> Some(v) }
+      case "car"      => Correlation.carScores(df, preds, outcome, lambda).map { case (k, v) => k -> Some(v) }
       case other      => throw new IllegalArgumentException(s"unknown method $other")
     }
     val scores = preds.map(p => p -> raw.getOrElse(p, None).map(math.abs).filterNot(_.isNaN))

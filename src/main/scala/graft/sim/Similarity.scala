@@ -22,8 +22,10 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Cosine similarity of `vec` (array<float/double>) against a constant
-    * query vector, computed in double precision. */
-  def cosine(vec: Column, query: Seq[Double]): Column = {
+    * query vector, computed in double precision. Built-in higher-order-
+    * function formulation — kept as the reference implementation that the
+    * fused native expression is asserted bit-for-bit against. */
+  def cosineBuiltin(vec: Column, query: Seq[Double]): Column = {
     val q = array(query.map(lit): _*)
     val v = transform(vec, _.cast("double"))
     val dot = aggregate(zip_with(v, q, (a, b) => a * b), lit(0.0), (acc, x) => acc + x)
@@ -31,6 +33,12 @@ object Similarity {
     val nq = math.sqrt(query.map(x => x * x).sum)
     when(nv === 0.0, lit(0.0)).otherwise(dot / (nv * nq))
   }
+
+  /** Hot-path cosine: the fused single-loop Catalyst expression
+    * ([[graft.functions.CosineSimilarity]]) — no intermediate arrays,
+    * whole-stage codegen; identical results to [[cosineBuiltin]]. */
+  def cosine(vec: Column, query: Seq[Double]): Column =
+    graft.functions.ArrayMath.cosineSimTo(vec, query)
 
   def cosineToQuery(df: DataFrame, vecCol: String, query: Seq[Double]): DataFrame =
     df.withColumn("cosine", cosine(col(vecCol), query))
@@ -113,14 +121,9 @@ object Similarity {
     val b = lshBuckets(df, vecCol, planes).select(col(idCol), col(vecCol), col("bucket"))
     val l = b.select(col("bucket"), col(idCol).as("a"), col(vecCol).as("va"))
     val r = b.select(col("bucket"), col(idCol).as("b"), col(vecCol).as("vb"))
-    val va = transform(col("va"), _.cast("double"))
-    val vb = transform(col("vb"), _.cast("double"))
-    val dot = aggregate(zip_with(va, vb, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(transform(va, x => x * x), lit(0.0), (acc, x) => acc + x))
-    val nb = sqrt(aggregate(transform(vb, x => x * x), lit(0.0), (acc, x) => acc + x))
     l.join(r, "bucket")
       .where(col("a") < col("b"))
-      .withColumn("cosine", dot / (na * nb))
+      .withColumn("cosine", graft.functions.ArrayMath.cosineSim(col("va"), col("vb")))
       .where(col("cosine") >= minCosine)
       .select("a", "b", "cosine")
       .distinct()

@@ -110,12 +110,17 @@ object Correlation {
 
   /** CAR scores ω = R_X^{−1/2} ρ_{Xy} via driver-side symmetric eigensolve
     * of the (tiny, p×p) correlation matrix (care::carscore semantics,
-    * step_select_carscore.R:133–140, shrinkage omitted ⇒ lambda = 0).
+    * step_select_carscore.R:133–140). `lambda` applies linear shrinkage
+    * toward identity / zero: R' = (1−λ)R + λI, ρ' = (1−λ)ρ — the form of
+    * care's James–Stein shrinkage with a caller-chosen intensity.
     */
-  def carScores(df: DataFrame, features: Seq[String], outcome: String): Map[String, Double] = {
+  def carScores(df: DataFrame, features: Seq[String], outcome: String, lambda: Double = 0.0): Map[String, Double] = {
     if (features.isEmpty) return Map.empty
-    val (m, y) = corrMatrix(df, features, outcome)
+    val (m0, y0) = corrMatrix(df, features, outcome)
     val p = features.length
+    val m = Array.tabulate(p, p)((i, j) =>
+      if (i == j) 1.0 else (1 - lambda) * m0(i)(j))
+    val y = y0.map(_ * (1 - lambda))
     val mat = new org.apache.commons.math3.linear.Array2DRowRealMatrix(m)
     val eig = new org.apache.commons.math3.linear.EigenDecomposition(mat)
     val v = eig.getV
