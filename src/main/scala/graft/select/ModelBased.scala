@@ -63,6 +63,7 @@ final case class LinearStep(
 ) extends SelectorStep {
   val name = "step_select_linear"
   def fit(df: DataFrame, outcome: String, predictors: Seq[String]): FittedSelector = {
+    StepCommon.preValidate(topP, threshold, name)
     val preds0 = StepCommon.resolvePredictors(df, outcome, predictors)
     val preds = StepCommon.numericPredictors(df, preds0)
     val coefs: Map[String, Double] =
@@ -107,6 +108,7 @@ final case class TreeStep(
 ) extends SelectorStep {
   val name = "step_select_tree"
   def fit(df: DataFrame, outcome: String, predictors: Seq[String]): FittedSelector = {
+    StepCommon.preValidate(topP, threshold, name)
     val preds0 = StepCommon.resolvePredictors(df, outcome, predictors)
     val preds = StepCommon.numericPredictors(df, preds0)
     val imps: Map[String, Double] =
@@ -145,6 +147,7 @@ final case class ForestStep(
 ) extends SelectorStep {
   val name = "step_select_forests"
   def fit(df: DataFrame, outcome: String, predictors: Seq[String]): FittedSelector = {
+    StepCommon.preValidate(topP, threshold, name)
     val preds0 = StepCommon.resolvePredictors(df, outcome, predictors)
     val preds = StepCommon.numericPredictors(df, preds0)
     val imps: Map[String, Double] =
@@ -180,6 +183,7 @@ final case class AovStep(
 ) extends SelectorStep {
   val name = "step_select_aov"
   def fit(df: DataFrame, outcome: String, predictors: Seq[String]): FittedSelector = {
+    StepCommon.preValidate(topP, threshold, name)
     val preds0 = StepCommon.resolvePredictors(df, outcome, predictors)
     val preds = StepCommon.categoricalPredictors(df, preds0)
     require(!StepCommon.isClassification(df, outcome), s"$name requires a numeric outcome")

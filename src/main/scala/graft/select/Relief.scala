@@ -34,6 +34,7 @@ final case class ReliefStep(
   val name = "step_select_relief"
 
   def fit(df: DataFrame, outcome: String, predictors: Seq[String]): FittedSelector = {
+    StepCommon.preValidate(topP, threshold, name)
     val preds0 = StepCommon.resolvePredictors(df, outcome, predictors)
     val preds = StepCommon.numericPredictors(df, preds0)
     require(StepCommon.isClassification(df, outcome), s"$name requires a categorical outcome")

@@ -95,6 +95,17 @@ object StepCommon {
       .select(col("feature"), col("value").as("xb"), col("__y").as("yb"))
   }
 
+  /** Pre-scoring validation, in the reference's order (prep validates
+    * BEFORE computing scores, step_select_infgain.R:129–131). Note the
+    * reference quirk: check_criteria runs unconditionally, so cutoff-only
+    * steps abort too — dual_filter itself supports cutoff-only but no step
+    * can reach it. */
+  def preValidate(topP: Option[Double], threshold: Option[Double], stepName: String): Unit = {
+    DualFilter.checkCriteria(topP, threshold, stepName)
+    DualFilter.checkZeroOne(threshold)
+    ()
+  }
+
   /** Shared criteria validation + dual_filter application. */
   def select(
       scores: Seq[(String, Option[Double])],
@@ -102,10 +113,9 @@ object StepCommon {
       threshold: Option[Double],
       cutoff: Option[Double],
       maximize: Boolean,
-      stepName: String,
-      requireCriteria: Boolean = true
+      stepName: String
   ): (Seq[String], Seq[String]) = {
-    if (requireCriteria && cutoff.isEmpty) DualFilter.checkCriteria(topP, threshold, stepName)
+    DualFilter.checkCriteria(topP, threshold, stepName)
     DualFilter.checkZeroOne(threshold)
     val (clamped, warn) = DualFilter.checkTopP(topP, scores.length)
     val excluded = DualFilter.dualFilter(scores, clamped, threshold, cutoff, maximize)
@@ -158,6 +168,7 @@ final case class InfoGainStep(
 ) extends SelectorStep {
   val name = "step_select_infgain"
   def fit(df: DataFrame, outcome: String, predictors: Seq[String]): FittedSelector = {
+    StepCommon.preValidate(topP, threshold, name)
     val preds = StepCommon.resolvePredictors(df, outcome, predictors)
     val long = StepCommon.binnedLong(df, outcome, preds, nbins)
     val got = Entropy.scores(long, kind).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
@@ -185,6 +196,7 @@ final case class MrmrStep(
 ) extends SelectorStep {
   val name = "step_select_mrmr"
   def fit(df: DataFrame, outcome: String, predictors: Seq[String]): FittedSelector = {
+    StepCommon.preValidate(topP, threshold, name)
     val preds = StepCommon.resolvePredictors(df, outcome, predictors)
     val numeric = StepCommon.numericPredictors(df, preds)
     val classif = StepCommon.isClassification(df, outcome)
@@ -238,6 +250,7 @@ final case class XtabStep(
 ) extends SelectorStep {
   val name = "step_select_xtab"
   def fit(df: DataFrame, outcome: String, predictors: Seq[String]): FittedSelector = {
+    StepCommon.preValidate(topP, threshold, name)
     val preds0 = StepCommon.resolvePredictors(df, outcome, predictors)
     val preds = StepCommon.categoricalPredictors(df, preds0)
     require(preds.nonEmpty, "step_select_xtab requires nominal predictors")
@@ -263,6 +276,7 @@ final case class CorrStep(
 ) extends SelectorStep {
   val name = s"step_select_corr_$method"
   def fit(df: DataFrame, outcome: String, predictors: Seq[String]): FittedSelector = {
+    StepCommon.preValidate(topP, threshold, name)
     val preds0 = StepCommon.resolvePredictors(df, outcome, predictors)
     val preds = StepCommon.numericPredictors(df, preds0)
     require(!StepCommon.isClassification(df, outcome), s"$name requires a numeric outcome")
@@ -290,6 +304,7 @@ final case class RocStep(
 ) extends SelectorStep {
   val name = "step_select_roc"
   def fit(df: DataFrame, outcome: String, predictors: Seq[String]): FittedSelector = {
+    StepCommon.preValidate(topP, threshold, name)
     val preds0 = StepCommon.resolvePredictors(df, outcome, predictors)
     val preds = StepCommon.numericPredictors(df, preds0)
     require(StepCommon.isClassification(df, outcome), s"$name requires a categorical outcome")

@@ -38,7 +38,8 @@ object AsOf {
       eventTs: String,
       probeTs: String,
       eventCols: Seq[String],
-      strict: Boolean = false
+      strict: Boolean = false,
+      toleranceSeconds: Option[Long] = None
   ): DataFrame = {
     val probeCols = probes.columns.filterNot(c => c == key || c == probeTs).toSeq
     // side ordering implements the tie rule: inclusive => event (0) before
@@ -46,13 +47,15 @@ object AsOf {
     val (eventSide, probeSide) = if (strict) (1, 0) else (0, 1)
 
     val e = events.select(
-      Seq(col(key), col(eventTs).as("__ts"), lit(eventSide).as("__side")) ++
+      Seq(col(key), col(eventTs).as("__ts"), lit(eventSide).as("__side"),
+        col(eventTs).as("__ets")) ++
         eventCols.map(c => col(c).as(s"__e_$c")) ++
         probeCols.map(c => lit(null).cast(probes.schema(c).dataType).as(c)) :+
         lit(null).cast(probes.schema(probeTs).dataType).as(probeTs): _*
     )
     val p = probes.select(
-      Seq(col(key), col(probeTs).as("__ts"), lit(probeSide).as("__side")) ++
+      Seq(col(key), col(probeTs).as("__ts"), lit(probeSide).as("__side"),
+        lit(null).cast(events.schema(eventTs).dataType).as("__ets")) ++
         eventCols.map(c => lit(null).cast(events.schema(c).dataType).as(s"__e_$c")) ++
         probeCols.map(col) :+
         col(probeTs): _*
@@ -63,13 +66,25 @@ object AsOf {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = e.unionByName(p)
       .select(
-        (Seq(col(key), col("__ts"), col("__side"), col(probeTs)) ++
+        (Seq(col(key), col("__ts"), col("__side"), col(probeTs),
+          last(col("__ets"), ignoreNulls = true).over(w).as("__last_ets")) ++
           probeCols.map(col) ++
           eventCols.map(c => last(col(s"__e_$c"), ignoreNulls = true).over(w).as(c))): _*
       )
-    carried
-      .where(col("__side") === probeSide)
-      .select(Seq(col(key), col(probeTs)) ++ probeCols.map(col) ++ eventCols.map(col): _*)
+    val probesOnly = carried.where(col("__side") === probeSide)
+    // tolerance: a carried event older than the window is as good as absent
+    val tooOld = toleranceSeconds.map { tol =>
+      col("__last_ets").isNull ||
+        unix_timestamp(col(probeTs)) - unix_timestamp(col("__last_ets")) > tol
+    }
+    val finalCols = Seq(col(key), col(probeTs)) ++ probeCols.map(col) ++
+      eventCols.map { c =>
+        tooOld match {
+          case Some(cond) => when(cond, lit(null)).otherwise(col(c)).as(c)
+          case None       => col(c)
+        }
+      }
+    probesOnly.select(finalCols: _*)
   }
 
   /** Broadcast variant: probes must be small. Right join keeps probe rows

@@ -102,6 +102,51 @@ class TemporalSpec extends AnyFunSuite {
     }
   }
 
+  test("as-of tolerance: events older than the window are as good as absent") {
+    val got = collectMap(AsOf.sortMerge(events, probes, "url", "warc_ts", "label_ts",
+      Seq("v"), toleranceSeconds = Some(86400)))
+    // probe 'a' at +12h of event 1.0 -> kept; probe 'd' at +1d of event 10.0 -> kept (== tol)
+    // probe 'b' ties event at 0s -> kept; 'c'/'e' no event -> null
+    assert(got == Map("a" -> Some(1.0), "b" -> Some(2.0), "c" -> None,
+      "d" -> Some(10.0), "e" -> None))
+    val tight = collectMap(AsOf.sortMerge(events, probes, "url", "warc_ts", "label_ts",
+      Seq("v"), toleranceSeconds = Some(3600)))
+    assert(tight == Map("a" -> None, "b" -> Some(2.0), "c" -> None,
+      "d" -> None, "e" -> None), s"got $tight")
+  }
+
+  test("full feature pipeline never leaks: truncate-and-recompute at sampled probes") {
+    // north_rule leakage gate over the COMPOSED pipeline (dedup + session +
+    // lag + rolling + as-of), not just the join: every feature at
+    // (url, label_ts) must be recomputable from rows with warc_ts <= label_ts.
+    val full = graft.Bench.featurePipeline(spark, 5000, 500)
+    val sample = full.orderBy(xxhash64(col("url"), col("label_ts"))).limit(10).collect()
+    val pages = graft.core.PagesGen.pages(spark, 5000, 500)
+    val featCols = Seq("text_len", "session_id", "prev_text_len", "revisits_7d", "visit_no")
+    sample.foreach { r =>
+      val url = r.getString(r.fieldIndex("url"))
+      val lts = r.getTimestamp(r.fieldIndex("label_ts"))
+      val truncated = pages.where(col("warc_ts") <= lit(lts))
+      val slim = truncated.where(col("url") === url).select(
+        col("url"), col("warc_ts"), length(col("text")).as("text_len0"), col("lang"))
+      val dd = Windows.dedupByLag(slim, "url", "warc_ts", Seq(col("lang")))
+      val feat = dd.select(
+        col("url"), col("warc_ts"),
+        col("text_len0").cast("double").as("text_len"),
+        Windows.sessionId("url", "warc_ts", 7 * 86400).as("session_id"),
+        lag(col("text_len0"), 1).over(Windows.byKey("url", "warc_ts")).cast("double").as("prev_text_len"),
+        Windows.rollingCount("url", "warc_ts", 7 * 86400).cast("double").as("revisits_7d"),
+        Windows.revisitIndex("url", "warc_ts").cast("double").as("visit_no"))
+        .orderBy(desc("warc_ts")).limit(1).collect()
+      assert(feat.length == 1, s"probe $url @$lts")
+      featCols.foreach { c =>
+        val got = r.get(r.fieldIndex(c))
+        val want = feat(0).get(feat(0).fieldIndex(c))
+        assert(got == want, s"$c at ($url, $lts): pipeline=$got truncated=$want")
+      }
+    }
+  }
+
   test("pages generator: text is byte-identical per url; zipf skew present") {
     val pages = graft.core.PagesGen.pages(spark, 2000, 500)
     val distinctTexts = pages.groupBy("url")
