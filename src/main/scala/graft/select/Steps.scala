@@ -153,9 +153,22 @@ final case class FittedSelector(
   }
 }
 
+/** Tuning-parameter metadata — the reference's `tunable()` surface
+  * (/root/reference/R/parameters.R:19–82): top_p is an integer param whose
+  * default range [1, 4] is finalized by the number of predictors; threshold
+  * on (0,1); cutoff has an unknown (data-dependent) range; infogain's
+  * entropy type ranges over the three variants. */
+final case class TunableParam(name: String, ptype: String, range: String)
+
 trait SelectorStep extends Serializable {
   def name: String
   def fit(df: DataFrame, outcome: String, predictors: Seq[String] = Nil): FittedSelector
+
+  /** tunable(): parameter metadata (parameters.R parity). */
+  def tunable: Seq[TunableParam] = Seq(
+    TunableParam("top_p", "integer", "[1, 4] (finalized by #predictors)"),
+    TunableParam("threshold", "double", "(0, 1)"),
+    TunableParam("cutoff", "double", "unknown (score-scale dependent)"))
 }
 
 /** step_select_infgain (type ∈ infogain|gainratio|symuncert, nbins). */
@@ -167,6 +180,8 @@ final case class InfoGainStep(
     nbins: Int = 5
 ) extends SelectorStep {
   val name = "step_select_infgain"
+  override def tunable: Seq[TunableParam] = super.tunable :+
+    TunableParam("type", "enum", "infogain | gainratio | symuncert") // parameters.R:75–82
   def fit(df: DataFrame, outcome: String, predictors: Seq[String]): FittedSelector = {
     StepCommon.preValidate(topP, threshold, name)
     val preds = StepCommon.resolvePredictors(df, outcome, predictors)
