@@ -3,9 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.{GraftSession, PagesGen}
-import graft.select.InfoGainStep
-import graft.temporal.{AsOf, Windows}
+import graft.core.GraftSession
 
 /** Benchmark main. Two parts:
   *
@@ -26,31 +24,16 @@ import graft.temporal.{AsOf, Windows}
 object Bench {
 
   /** The end-to-end feature pipeline used for the scaling probe. Output rows
-    * = entity×timestamp feature vectors (the metric unit in BASELINE.json). */
-  def featurePipeline(spark: SparkSession, nPages: Long, nLabels: Long): DataFrame = {
-    val pages = PagesGen.pages(spark, nPages, nUrls = nPages / 10)
-    val labels = PagesGen.labels(spark, nLabels, nUrls = nPages / 10)
-    // Project BEFORE the first shuffle: the window features only need
-    // length(text), so the exchange carries ~40 B/row instead of the full
-    // html+text payload — the difference between shuffling 100 TB and
-    // shuffling 2 TB at target scale. Dedup shares the same url
-    // partitioning as every window feature (one exchange total).
-    val slim = pages.select(
-      col("url"), col("warc_ts"), length(col("text")).as("text_len0"), col("lang"))
-    val deduped = Windows.dedupByLag(slim, "url", "warc_ts", Seq(col("lang")))
-    val featured = deduped.select(
-      col("url"), col("warc_ts"),
-      col("text_len0").cast("double").as("text_len"),
-      Windows.sessionId("url", "warc_ts", 7 * 86400).as("session_id"),
-      lag(col("text_len0"), 1).over(Windows.byKey("url", "warc_ts")).cast("double").as("prev_text_len"),
-      Windows.rollingCount("url", "warc_ts", 7 * 86400).cast("double").as("revisits_7d"),
-      Windows.revisitIndex("url", "warc_ts").cast("double").as("visit_no")
-    )
-    AsOf.sortMerge(
-      featured, labels, "url", "warc_ts", "label_ts",
-      Seq("text_len", "session_id", "prev_text_len", "revisits_7d", "visit_no"))
-      .where(col("text_len").isNotNull)
-  }
+    * = entity×timestamp feature vectors (the metric unit in BASELINE.json).
+    * Scale shape (see graft.core.Types.featureVectors): projection to
+    * ~40 B/row BEFORE the first shuffle; dedup + all window features share
+    * ONE url exchange; the as-of union adds the only other exchange. */
+  def featurePipeline(spark: SparkSession, nPages: Long, nLabels: Long): DataFrame =
+    graft.core.Types.featureVectors(
+      spark,
+      graft.core.Types.pages(spark, nPages, nUrls = nPages / 10),
+      graft.core.Types.labels(spark, nLabels, nUrls = nPages / 10)
+    ).toDF()
 
   private def timeScaling(cores: Int, nPages: Long, nLabels: Long): (Long, Double) = {
     val spark = GraftSession.get(cores)

@@ -27,21 +27,10 @@ object SparkEntry {
     * pages table — dedup → sessionize/lag/rolling features → as-of join to
     * labels → infogain scoring → dual_filter → baked feature vectors. */
   def entry(spark: SparkSession): DataFrame = {
-    val pages = PagesGen.pages(spark, nRows = 20000, nUrls = 2000)
-    val labels = PagesGen.labels(spark, nRows = 2000, nUrls = 2000)
-    val deduped = Windows.dedupLatest(pages, "url", "warc_ts", Seq(col("lang")))
-    val featured = deduped.select(
-      col("url"), col("warc_ts"),
-      length(col("text")).cast("double").as("text_len"),
-      Windows.sessionId("url", "warc_ts", 7 * 86400).as("session_id"),
-      lag(length(col("text")), 1).over(Windows.byKey("url", "warc_ts")).cast("double").as("prev_text_len"),
-      Windows.rollingCount("url", "warc_ts", 7 * 86400).cast("double").as("revisits_7d"),
-      Windows.revisitIndex("url", "warc_ts").cast("double").as("visit_no")
-    )
-    val joined = AsOf.sortMerge(
-      featured, labels, "url", "warc_ts", "label_ts",
-      Seq("text_len", "session_id", "prev_text_len", "revisits_7d", "visit_no"))
-      .where(col("text_len").isNotNull)
+    val joined = graft.core.Types.featureVectors(
+      spark,
+      graft.core.Types.pages(spark, nRows = 20000, nUrls = 2000),
+      graft.core.Types.labels(spark, nRows = 2000, nUrls = 2000)).toDF()
     val step = InfoGainStep(topP = Some(3), nbins = 5)
     val fitted = step.fit(
       joined.na.fill(0.0, Seq("prev_text_len")), "label",
