@@ -72,16 +72,35 @@ object StepCommon {
       }
     }
 
-  /** Discretize for the entropy-family steps: numeric predictors binned to
-    * string bins (equal-frequency cut points, nbins), categorical predictors
-    * cast to string; numeric outcome equal-frequency binned into nbins
-    * (README.md:27–35), categorical outcome passed through. Returns the long
-    * form (feature, xb, yb). */
-  def binnedLong(df: DataFrame, outcome: String, preds: Seq[String], nbins: Int): DataFrame = {
+  /** Discretize for the entropy-family steps, mirroring FSelectorRcpp's
+    * information_gain (step_select_infgain.R:138–149):
+    *  - CLASSIFICATION (`equal = FALSE`): numeric predictors discretized by
+    *    Fayyad–Irani MDL ([[graft.stats.MdlBinning]]) when
+    *    `mdlForClassif`, else equal-frequency; categorical outcome passed
+    *    through.
+    *  - REGRESSION (`equal = TRUE`): numeric outcome AND predictors
+    *    equal-frequency binned into nbins (README.md:27–35).
+    * Returns the long form (feature, xb, yb). */
+  def binnedLong(
+      df: DataFrame,
+      outcome: String,
+      preds: Seq[String],
+      nbins: Int,
+      mdlForClassif: Boolean = false
+  ): DataFrame = {
     val numeric = numericPredictors(df, preds)
     val classif = isClassification(df, outcome)
-    val toCut = if (classif) numeric else numeric :+ outcome
-    val cuts = if (toCut.nonEmpty) Binning.exactCuts(df, toCut.distinct, nbins) else Map.empty[String, Array[Double]]
+    val cuts: Map[String, Array[Double]] =
+      if (classif && mdlForClassif) {
+        graft.stats.MdlBinning
+          .mdlCuts(df, numeric, outcome)
+          .map { case (k, v) => k -> v.toArray }
+          .withDefaultValue(Array.empty[Double]) // all-null feature: single bin
+      } else {
+        val toCut = if (classif) numeric else numeric :+ outcome
+        if (toCut.nonEmpty) Binning.exactCuts(df, toCut.distinct, nbins)
+        else Map.empty[String, Array[Double]]
+      }
     val binnedCols = preds.map { p =>
       if (numeric.contains(p)) Binning.binByCuts(col(p), cuts(p)).cast("string").as(p)
       else col(p).cast("string").as(p)
@@ -171,13 +190,17 @@ trait SelectorStep extends Serializable {
     TunableParam("cutoff", "double", "unknown (score-scale dependent)"))
 }
 
-/** step_select_infgain (type ∈ infogain|gainratio|symuncert, nbins). */
+/** step_select_infgain (type ∈ infogain|gainratio|symuncert, nbins).
+  * `binning = "mdl"` (default) applies Fayyad–Irani MDL discretization to
+  * numeric predictors in classification mode — FSelectorRcpp's behavior
+  * when `equal = FALSE`; `"equalfreq"` forces equal-frequency everywhere. */
 final case class InfoGainStep(
     topP: Option[Double] = None,
     threshold: Option[Double] = None,
     cutoff: Option[Double] = None,
     kind: Entropy.Kind = Entropy.InfoGain,
-    nbins: Int = 5
+    nbins: Int = 5,
+    binning: String = "mdl"
 ) extends SelectorStep {
   val name = "step_select_infgain"
   override def tunable: Seq[TunableParam] = super.tunable :+
@@ -185,7 +208,7 @@ final case class InfoGainStep(
   def fit(df: DataFrame, outcome: String, predictors: Seq[String]): FittedSelector = {
     StepCommon.preValidate(topP, threshold, name)
     val preds = StepCommon.resolvePredictors(df, outcome, predictors)
-    val long = StepCommon.binnedLong(df, outcome, preds, nbins)
+    val long = StepCommon.binnedLong(df, outcome, preds, nbins, mdlForClassif = binning == "mdl")
     val got = Entropy.scores(long, kind).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     val scores = preds.map(p => p -> got.get(p).filterNot(_.isNaN))
     val (excluded, warns) =
