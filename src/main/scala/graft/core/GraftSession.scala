@@ -26,6 +26,8 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // graft's Catalyst extensions: cosine-chain fusion rule + cosine_sim SQL fn
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     if (localDir != null) b.config("spark.local.dir", localDir) else b
   }
 

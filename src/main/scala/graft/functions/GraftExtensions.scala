@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+
+/** Catalyst optimizer rule: recognize the higher-order-function cosine
+  * chain
+  *   CASE WHEN sqrt(Σ a²) = 0 THEN 0 ELSE (Σ a·b) / (sqrt(Σ a²) · ‖b‖) END
+  * (the shape produced by `aggregate(zip_with(a, b, *)) / (sqrt(...) ...)`,
+  * e.g. Similarity.cosineBuiltin or hand-written SQL) and fuse it into the
+  * single-loop native [[CosineSimilarity]] expression — 16× on the
+  * embedding hot path (BENCH.md) with bit-identical results (same
+  * ascending-index summation).
+  *
+  * Registered through [[GraftExtensions]]
+  * (`spark.sql.extensions=graft.functions.GraftExtensions`), which also
+  * injects the `cosine_sim` SQL function.
+  */
+object FuseCosineChain extends Rule[LogicalPlan] {
+
+  /** Σ x·y as ArrayAggregate(ZipWith(a, b, *), 0.0, +) → (a, b). */
+  private object DotAgg {
+    def unapply(e: Expression): Option[(Expression, Expression)] = e match {
+      case ArrayAggregate(
+            ZipWith(a, b, LambdaFunction(Multiply(_, _, _), _, _)),
+            Literal(zero, DoubleType),
+            LambdaFunction(Add(_, _, _), _, _),
+            _) if zero == 0.0 =>
+        Some((a, b))
+      case _ => None
+    }
+  }
+
+  /** sqrt(Σ x²) via transform+aggregate → the array expression. */
+  private object NormOf {
+    def unapply(e: Expression): Option[Expression] = e match {
+      case Sqrt(ArrayAggregate(
+            ArrayTransform(a, LambdaFunction(Multiply(x, y, _), _, _)),
+            Literal(zero, DoubleType),
+            LambdaFunction(Add(_, _, _), _, _),
+            _)) if zero == 0.0 && x.semanticEquals(y) =>
+        Some(a)
+      case _ => None
+    }
+  }
+
+  /** Strip the `transform(v, cast-to-double)` wrapper — CosineSimilarity
+    * reads float arrays natively, so the cast array need not materialize. */
+  private def stripCast(e: Expression): Expression = e match {
+    case ArrayTransform(base, LambdaFunction(c: Cast, _, _))
+        if c.dataType == DoubleType &&
+          base.dataType.isInstanceOf[ArrayType] &&
+          (base.dataType.asInstanceOf[ArrayType].elementType == FloatType ||
+            base.dataType.asInstanceOf[ArrayType].elementType == DoubleType) =>
+      base
+    case other => other
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    // guarded form: CASE WHEN ‖a‖ = 0 THEN 0 ELSE dot/(‖a‖·nq) END with a
+    // constant query norm (cosineBuiltin against a literal query vector)
+    case CaseWhen(
+          Seq((EqualTo(NormOf(a1), Literal(z1, DoubleType)), Literal(z2, DoubleType))),
+          Some(Divide(DotAgg(a2, b), Multiply(NormOf(a3), nq @ Literal(_, DoubleType), _), _)))
+        if z1 == 0.0 && z2 == 0.0 && a1.semanticEquals(a2) && a2.semanticEquals(a3) &&
+          normMatches(nq, b) =>
+      CosineSimilarity(stripCast(a2), stripCast(b))
+    // unguarded two-column form: dot/(‖a‖·‖b‖)
+    case Divide(DotAgg(a, b1), Multiply(NormOf(a2), NormOf(b2), _), _)
+        if a.semanticEquals(a2) && b1.semanticEquals(b2) =>
+      CosineSimilarity(stripCast(a), stripCast(b1))
+  }
+
+  /** The literal query norm must equal the norm CosineSimilarity recomputes
+    * from the literal array (bit-equal: same ascending summation). */
+  private def normMatches(nq: Literal, b: Expression): Boolean = b match {
+    case CreateArray(elems, _) =>
+      val vals = elems.collect { case Literal(d: Double, DoubleType) => d }
+      vals.length == elems.length && {
+        val n = math.sqrt(vals.map(x => x * x).sum)
+        nq.value == n
+      }
+    case lit: Literal if lit.dataType.isInstanceOf[ArrayType] =>
+      val arr = lit.value.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val n = math.sqrt(arr.toDoubleArray().map(x => x * x).sum)
+      nq.value == n
+    case _ => false
+  }
+}
+
+/** SparkSessionExtensions entry point:
+  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => FuseCosineChain)
+    e.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+  }
+}

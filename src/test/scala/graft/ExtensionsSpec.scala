@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.ArrayMath
+import graft.sim.Similarity
+
+/** GraftExtensions (SparkSessionExtensions): the TestSpark session is built
+  * with spark.sql.extensions=graft.functions.GraftExtensions, so the
+  * optimizer rule and injected SQL function are active session-wide. */
+class ExtensionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val rng = new scala.util.Random(6)
+  lazy val df = {
+    val d = (0 until 100).map(i => (i.toLong, Array.fill(32)(rng.nextFloat()))).toDF("id", "v")
+    d.cache(); d.count(); d
+  }
+  lazy val query: Seq[Double] = (0 until 32).map(i => (i % 5) / 5.0)
+
+  test("optimizer rule fuses the built-in cosine chain into CosineSimilarity") {
+    val chained = df.select(col("id"), Similarity.cosineBuiltin(col("v"), query).as("c"))
+    val optimized = chained.queryExecution.optimizedPlan.toString
+    assert(optimized.toLowerCase.contains("cosinesimilarity"),
+      s"rule did not fire:\n$optimized")
+    assert(!optimized.contains("aggregate(zipwith") && !optimized.contains("zip_with"),
+      s"chain should be gone:\n$optimized")
+  }
+
+  test("fused plan returns bit-identical results to the unfused expression") {
+    val viaRule = df.select(col("id"), Similarity.cosineBuiltin(col("v"), query).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val native = df.select(col("id"), ArrayMath.cosineSimTo(col("v"), query).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaRule == native)
+  }
+
+  test("injected SQL function cosine_sim is available without registration") {
+    df.createOrReplaceTempView("ext_vecs")
+    val got = spark.sql(
+      "SELECT a.id, cosine_sim(a.v, b.v) c FROM ext_vecs a JOIN ext_vecs b ON b.id = 1")
+      .where(col("id") === 1).head().getDouble(1)
+    assert(math.abs(got - 1.0) < 1e-12)
+  }
+
+  test("rule fuses the unguarded two-column SQL chain too") {
+    df.createOrReplaceTempView("ext_vecs2")
+    val sql =
+      """SELECT a.id,
+        |  aggregate(zip_with(CAST(a.v AS array<double>), CAST(b.v AS array<double>), (x, y) -> x * y), 0D, (acc, x) -> acc + x)
+        |  / (sqrt(aggregate(transform(CAST(a.v AS array<double>), x -> x * x), 0D, (acc, x) -> acc + x))
+        |     * sqrt(aggregate(transform(CAST(b.v AS array<double>), x -> x * x), 0D, (acc, x) -> acc + x))) AS c
+        |FROM ext_vecs2 a JOIN ext_vecs2 b ON b.id = 0""".stripMargin
+    val q = spark.sql(sql)
+    val optimized = q.queryExecution.optimizedPlan.toString
+    assert(optimized.toLowerCase.contains("cosinesimilarity"), s"two-col fusion missing:\n$optimized")
+    val viaChain = q.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val row0 = df.where(col("id") === 0).head()
+    val q0 = row0.getSeq[Float](row0.fieldIndex("v")).map(_.toDouble).toSeq
+    val native = df.select(col("id"), ArrayMath.cosineSimTo(col("v"), q0).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    viaChain.foreach { case (k, v) => assert(math.abs(v - native(k)) < 1e-12, s"id=$k") }
+  }
+}
