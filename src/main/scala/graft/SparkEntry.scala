@@ -306,6 +306,19 @@ object SparkEntry {
     }),
     "q_simhash_sigs" -> ((s, dir) =>
       Dedup.simHash(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")),
+    // MinHash with a PORTABLE hash (first 12 hex chars of md5 as an
+    // integer) so DuckDB can recompute the exact signatures — verifies the
+    // minhash mechanism itself cross-engine; the production path
+    // (q_minhash_pairs) uses xxhash64 for speed.
+    "q_minhash_md5" -> ((s, dir) => {
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+        .where(size(col("sh")) > 0)
+      def minhash(i: Int) = array_min(transform(col("sh"), sg =>
+        conv(substring(md5(concat(lit(s"$i:"), sg)), 1, 12), 16, 10).cast("long")))
+      sh.select(col("doc_id") +: (0 until 4).map(i => minhash(i).as(s"h$i")): _*)
+        .orderBy("doc_id")
+    }),
     "q_lsh_buckets" -> ((s, dir) => {
       val planes = Similarity.hyperplanes(6, 64)
       Similarity.lshBuckets(t(s, dir, "embeddings"), "embedding", planes)
@@ -546,6 +559,34 @@ object SparkEntry {
         |   - CAST(epoch(date_trunc('second', lag(ts) OVER w)) AS BIGINT) AS gap_sec
         |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY event_id""".stripMargin,
+    "q_minhash_md5" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok,
+        |         generate_subscripts(regexp_split_to_array(trim(lower(text)), '\s+'), 1) AS pos
+        |  FROM documents),
+        |tri AS (
+        |  SELECT doc_id,
+        |    concat(tok, ' ', lead(tok, 1) OVER d, ' ', lead(tok, 2) OVER d) AS s,
+        |    pos, count(*) OVER (PARTITION BY doc_id) AS n
+        |  FROM w WINDOW d AS (PARTITION BY doc_id ORDER BY pos)),
+        |sh AS (SELECT DISTINCT doc_id, s FROM tri WHERE pos <= n - 2),
+        |hashed AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(1, 13),
+        |      k -> (strpos('0123456789abcdef', substr(md5(concat('0:', s)), CAST(k AS INT), 1)) - 1)
+        |           * pow(16, 12 - k))) AS BIGINT) AS h0,
+        |    CAST(list_sum(list_transform(range(1, 13),
+        |      k -> (strpos('0123456789abcdef', substr(md5(concat('1:', s)), CAST(k AS INT), 1)) - 1)
+        |           * pow(16, 12 - k))) AS BIGINT) AS h1,
+        |    CAST(list_sum(list_transform(range(1, 13),
+        |      k -> (strpos('0123456789abcdef', substr(md5(concat('2:', s)), CAST(k AS INT), 1)) - 1)
+        |           * pow(16, 12 - k))) AS BIGINT) AS h2,
+        |    CAST(list_sum(list_transform(range(1, 13),
+        |      k -> (strpos('0123456789abcdef', substr(md5(concat('3:', s)), CAST(k AS INT), 1)) - 1)
+        |           * pow(16, 12 - k))) AS BIGINT) AS h3
+        |  FROM sh)
+        |SELECT doc_id, min(h0) AS h0, min(h1) AS h1, min(h2) AS h2, min(h3) AS h3
+        |FROM hashed GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_aov" ->
       """WITH stats AS (SELECT l_returnflag AS g, count(*) AS n, avg(l_extendedprice) AS m
         |               FROM lineitem GROUP BY 1),
