@@ -135,23 +135,81 @@ final case class TreeStep(
 }
 
 /** step_select_forests (step_select_forests.R:130–197): random-forest
-  * importances rescaled 0–100. MLlib provides Gini/variance importances
-  * (not ranger's permutation importance) — ranking-level parity. */
+  * importances rescaled 0–100. `importance = "permutation"` (the
+  * reference's ranger default, :52) measures each feature by the drop in
+  * holdout accuracy/R² when that column is permuted (deterministic seeded
+  * hash permutation); `"impurity"` uses MLlib's Gini/variance importances.
+  * RNG-bound either way ⇒ ranking-level cross-library parity (SURVEY §2.2).
+  */
 final case class ForestStep(
     topP: Option[Double] = None,
     threshold: Option[Double] = None,
     cutoff: Option[Double] = None,
     trees: Int = 100,
     maxDepth: Int = 5,
-    seed: Long = 42L
+    seed: Long = 42L,
+    importance: String = "permutation"
 ) extends SelectorStep {
   val name = "step_select_forests"
+
+  import org.apache.spark.sql.expressions.Window
+
+  /** Permute one column deterministically: values reassigned by seeded
+    * hash order (same mechanism as Boruta's shadow columns). */
+  private def permuteColumn(df: DataFrame, c: String, seed: Long): DataFrame = {
+    val others = df.columns.filterNot(_ == c)
+    val pos = df
+      .withColumn("__pos", row_number().over(
+        Window.orderBy(xxhash64(struct(df.columns.map(col): _*), lit(seed)))))
+    val shuffled = pos
+      .select(col(c).as("__pv"),
+        row_number().over(Window.orderBy(xxhash64(col("__pos"), lit(seed + 1)))).as("__pos"))
+    pos.select((others :+ "__pos").map(col): _*)
+      .join(shuffled, "__pos")
+      .select(others.map(col) :+ col("__pv").as(c): _*)
+  }
+
   def fit(df: DataFrame, outcome: String, predictors: Seq[String]): FittedSelector = {
     StepCommon.preValidate(topP, threshold, name)
     val preds0 = StepCommon.resolvePredictors(df, outcome, predictors)
     val preds = StepCommon.numericPredictors(df, preds0)
+    val classif = StepCommon.isClassification(df, outcome)
     val imps: Map[String, Double] =
-      if (StepCommon.isClassification(df, outcome)) {
+      if (importance == "permutation") {
+        // deterministic train/holdout split by row hash
+        val tagged = df.withColumn("__h",
+          pmod(xxhash64(struct(df.columns.map(col): _*), lit(seed)), lit(4L)))
+        val train = tagged.where(col("__h") =!= 0).drop("__h").cache()
+        val hold = tagged.where(col("__h") === 0).drop("__h").cache()
+        try {
+          if (classif) {
+            val (trainIdx, _) = ModelBased.indexLabel(train, outcome)
+            val m = new RandomForestClassifier()
+              .setFeaturesCol("__features").setLabelCol("__label")
+              .setNumTrees(trees).setMaxDepth(maxDepth).setSeed(seed)
+              .fit(ModelBased.assemble(trainIdx, preds))
+            def acc(d: DataFrame): Double = {
+              val (idx, _) = ModelBased.indexLabel(d, outcome)
+              val scored = m.transform(ModelBased.assemble(idx, preds))
+              scored.select(avg((col("prediction") === col("__label")).cast("double")))
+                .head().getDouble(0)
+            }
+            val base = acc(hold)
+            preds.map(p => p -> (base - acc(permuteColumn(hold, p, seed)))).toMap
+          } else {
+            val m = new RandomForestRegressor()
+              .setFeaturesCol("__features").setLabelCol(outcome)
+              .setNumTrees(trees).setMaxDepth(maxDepth).setSeed(seed)
+              .fit(ModelBased.assemble(train, preds))
+            def mse(d: DataFrame): Double = {
+              val scored = m.transform(ModelBased.assemble(d, preds))
+              scored.select(avg(pow(col("prediction") - col(outcome), 2))).head().getDouble(0)
+            }
+            val base = mse(hold)
+            preds.map(p => p -> (mse(permuteColumn(hold, p, seed)) - base)).toMap
+          }
+        } finally { train.unpersist(); hold.unpersist() }
+      } else if (classif) {
         val (indexed, _) = ModelBased.indexLabel(df, outcome)
         val m = new RandomForestClassifier()
           .setFeaturesCol("__features").setLabelCol("__label")

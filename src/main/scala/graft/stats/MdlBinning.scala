@@ -88,11 +88,43 @@ object MdlBinning {
   /** Distributed MDL cuts for every feature in `features` vs the (string)
     * class column, in ONE aggregation pass. Returns feature → cut values.
     * Features where MDL accepts no split get an empty cut list (single bin
-    * — FSelectorRcpp then scores them 0). */
-  def mdlCuts(df: DataFrame, features: Seq[String], classCol: String): Map[String, Seq[Double]] = {
+    * — FSelectorRcpp then scores them 0).
+    *
+    * Driver safety at scale: the collected table is |distinct values| ×
+    * |classes| per feature. Continuous columns are first quantized to at
+    * most `maxCandidates` exact-quantile candidate cut positions (one extra
+    * distributed stats pass) so a 10^12-row continuous column collects
+    * ~maxCandidates rows, not 10^12 — the standard large-scale MDL
+    * treatment; candidate quantization only coarsens WHERE a cut can fall,
+    * not the MDL decision rule. */
+  def mdlCuts(
+      df: DataFrame,
+      features: Seq[String],
+      classCol: String,
+      maxCandidates: Int = 65536
+  ): Map[String, Seq[Double]] = {
     if (features.isEmpty) return Map.empty
+    val distincts = df.select(
+      features.map(f => approx_count_distinct(col(f)).as(f)): _*).head()
+    val wide = features.zipWithIndex.filter { case (_, i) =>
+      distincts.getLong(i) > maxCandidates
+    }.map(_._1)
+    val quantized =
+      if (wide.isEmpty) df
+      else {
+        val cuts = Binning.exactCuts(df, wide, maxCandidates)
+        wide.foldLeft(df) { (d, f) =>
+          // snap each value to its candidate bin's upper cut (cut VALUES
+          // stay on the data scale)
+          d.withColumn(f, {
+            val b = Binning.binByCuts(col(f), cuts(f))
+            val arr = array((cuts(f) :+ Double.MaxValue).map(lit): _*)
+            element_at(arr, b.cast("int"))
+          })
+        }
+      }
     val long = graft.core.Melt
-      .numeric(df, features, keep = Seq(classCol))
+      .numeric(quantized, features, keep = Seq(classCol))
       .where(col("value").isNotNull && col(classCol).isNotNull)
     val counts = long
       .groupBy(col("feature"), col("value"), col(classCol).as("cls"))
