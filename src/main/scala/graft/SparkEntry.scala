@@ -287,7 +287,9 @@ object SparkEntry {
       TreeStep(topP = Some(2))
         .fit(t(s, dir, "lineitem"), "l_returnflag", liFeatures).scoresDF(s)),
     "q_forest" -> ((s, dir) =>
-      ForestStep(topP = Some(2), trees = 20)
+      // impurity mode for the per-round bench budget; permutation mode
+      // (the default) is exercised by StepsSpec
+      ForestStep(topP = Some(2), trees = 20, importance = "impurity")
         .fit(t(s, dir, "lineitem"), "l_returnflag", liFeatures).scoresDF(s)),
     "q_relief" -> ((s, dir) =>
       ReliefStep(topP = Some(2), sampleSize = 10)
