@@ -56,6 +56,12 @@ object SparkEntry {
     m.toDF("feature", "score").select(col("feature"), round(col("score"), 6).as("score"))
   }
 
+  /** tidy scores rounded to 6 dp: raw doubles carry last-bit FP differences
+    * across parallelism levels (summation order), which would make the
+    * dumped parquet non-deterministic between verify runs. */
+  private def tidy6(f: graft.select.FittedSelector, s: SparkSession): DataFrame =
+    f.scoresDF(s).select(col("variable"), round(col("score"), 6).as("score"))
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- temporal: as-of join + windowed features (north_rule core) ----
@@ -238,17 +244,13 @@ object SparkEntry {
         .orderBy("bucket")
     }),
     // ---- steps without SQL-expressible oracles (rows-only checks) ----
-    "q_mrmr" -> ((s, dir) => {
-      val fitted = MrmrStep(topP = Some(2), nbins = 5)
-        .fit(t(s, dir, "lineitem"), "l_returnflag", liFeatures)
-      fitted.scoresDF(s)
-    }),
-    "q_fcbf" -> ((s, dir) => {
-      val fitted = FcbfStep(minimumSu = 0.0001)
+    "q_mrmr" -> ((s, dir) => tidy6(
+      MrmrStep(topP = Some(2), nbins = 5)
+        .fit(t(s, dir, "lineitem"), "l_returnflag", liFeatures), s)),
+    "q_fcbf" -> ((s, dir) => tidy6(
+      FcbfStep(minimumSu = 0.0001)
         .fit(t(s, dir, "lineitem"), "l_linestatus",
-          Seq("l_quantity", "l_discount", "l_tax", "l_extendedprice"))
-      fitted.scoresDF(s)
-    }),
+          Seq("l_quantity", "l_discount", "l_tax", "l_extendedprice")), s)),
     "q_asof_strict" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val clicks = ev.where(col("event_type") === "click").select("user_id", "ts", "value")
@@ -280,24 +282,24 @@ object SparkEntry {
       Anova.typeISS(t(s, dir, "lineitem"), "l_extendedprice", Seq("l_returnflag", "l_linestatus"))
         .map(r => (r.feature, r.df, r.f)).toDF("feature", "df", "f_stat")
     }),
-    "q_linear" -> ((s, dir) =>
+    "q_linear" -> ((s, dir) => tidy6(
       LinearStep(topP = Some(2))
-        .fit(t(s, dir, "lineitem"), "l_extendedprice", liFeatures).scoresDF(s)),
-    "q_tree" -> ((s, dir) =>
+        .fit(t(s, dir, "lineitem"), "l_extendedprice", liFeatures), s)),
+    "q_tree" -> ((s, dir) => tidy6(
       TreeStep(topP = Some(2))
-        .fit(t(s, dir, "lineitem"), "l_returnflag", liFeatures).scoresDF(s)),
+        .fit(t(s, dir, "lineitem"), "l_returnflag", liFeatures), s)),
     "q_forest" -> ((s, dir) =>
       // impurity mode for the per-round bench budget; permutation mode
       // (the default) is exercised by StepsSpec
-      ForestStep(topP = Some(2), trees = 20, importance = "impurity")
-        .fit(t(s, dir, "lineitem"), "l_returnflag", liFeatures).scoresDF(s)),
-    "q_relief" -> ((s, dir) =>
+      tidy6(ForestStep(topP = Some(2), trees = 20, importance = "impurity")
+        .fit(t(s, dir, "lineitem"), "l_returnflag", liFeatures), s)),
+    "q_relief" -> ((s, dir) => tidy6(
       ReliefStep(topP = Some(2), sampleSize = 10)
-        .fit(t(s, dir, "lineitem"), "l_linestatus", liFeatures).scoresDF(s)),
+        .fit(t(s, dir, "lineitem"), "l_linestatus", liFeatures), s)),
     "q_boruta" -> ((s, dir) => {
       val sampled = t(s, dir, "lineitem").where(pmod(col("l_orderkey"), lit(20)) === 0)
-      BorutaStep(maxRuns = 6, trees = 10)
-        .fit(sampled, "l_returnflag", liFeatures).scoresDF(s)
+      tidy6(BorutaStep(maxRuns = 6, trees = 10)
+        .fit(sampled, "l_returnflag", liFeatures), s)
     }),
     "q_media_features" -> ((s, dir) => {
       import s.implicits._
