@@ -47,4 +47,54 @@ object Store {
     graft.runtime.Lineage.writeMetrics(
       graft.runtime.Lineage.partitionMetrics(withDt, Seq(labelTs)), path + "_metrics")
   }
+
+  /** The pages schema for schema-on-read sources. */
+  val pagesSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("url", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("warc_ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("html", org.apache.spark.sql.types.BinaryType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType)))
+
+  /** Additional source formats: the same pages shape from JSON-lines or CSV
+    * exports (html carried base64 in text formats — decoded on read). All
+    * readers converge on the canonical schema, so every downstream operator
+    * is source-agnostic. */
+  def readPagesJson(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(pagesSchema.copy(fields = pagesSchema.fields.map(f =>
+        if (f.name == "html") f.copy(dataType = org.apache.spark.sql.types.StringType) else f)))
+      .json(path)
+      .withColumn("html", unbase64(col("html")))
+      .select("url", "warc_ts", "html", "text", "lang")
+
+  def readPagesCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("multiLine", "true")
+      .option("escape", "\"")
+      // Spark CSV trims whitespace by default — that silently breaks the
+      // byte-identity-per-url invariant (caught by the digest round-trip test)
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .schema(pagesSchema.copy(fields = pagesSchema.fields.map(f =>
+        if (f.name == "html") f.copy(dataType = org.apache.spark.sql.types.StringType) else f)))
+      .csv(path)
+      .withColumn("html", unbase64(col("html")))
+      .select("url", "warc_ts", "html", "text", "lang")
+
+  /** Export helpers for the text formats (html base64-encoded). */
+  def writePagesJson(df: DataFrame, path: String): Unit =
+    df.withColumn("html", base64(col("html")))
+      .write.mode(SaveMode.Overwrite).json(path)
+
+  def writePagesCsv(df: DataFrame, path: String): Unit =
+    df.withColumn("html", base64(col("html")))
+      .write.mode(SaveMode.Overwrite)
+      .option("header", "true").option("escape", "\"")
+      // the CSV WRITER also trims by default — same byte-identity hazard
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(path)
 }

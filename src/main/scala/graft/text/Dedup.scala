@@ -146,6 +146,42 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** One-call near-duplicate detection, the production composition:
+    * MinHash+LSH banding generates candidate pairs (no cross join), then
+    * EXACT n-gram Jaccard verifies each candidate — the standard
+    * candidate-then-verify shape (false positives filtered, false-negative
+    * rate set by the banding parameters). Returns (a, b, jaccard) with
+    * jaccard >= minJaccard. */
+  def nearDuplicates(
+      df: DataFrame,
+      id: String,
+      text: String,
+      n: Int = 3,
+      minJaccard: Double = 0.8,
+      signatures: Int = 16,
+      bands: Int = 8
+  ): DataFrame = {
+    require(signatures % bands == 0, "bands must divide the signature length")
+    val sigs = minHashSignatures(df, id, text, n, signatures)
+    val candidates = minHashCandidates(sigs, id, bands, signatures / bands)
+    val sh = shingleTable(df, id, text, n)
+    val sizes = sh.groupBy(id).agg(count(lit(1)).as("sz"))
+    val a = sh.select(col("shingle"), col(id).as("a"))
+    val b = sh.select(col("shingle"), col(id).as("b"))
+    // intersection counts only for candidate pairs: semi-restrict both sides
+    val inter = a.join(candidates.select("a").distinct(), "a")
+      .join(b.join(candidates.select("b").distinct(), "b"), "shingle")
+      .join(candidates, Seq("a", "b")) // keep only actual candidate pairs
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(id).as("a"), col("sz").as("sza")), "a")
+      .join(sizes.select(col(id).as("b"), col("sz").as("szb")), "b")
+      .select(col("a"), col("b"),
+        (col("inter").cast("double") / (col("sza") + col("szb") - col("inter"))).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+
   /** SimHash near-dup candidates within `maxHamming` via 4-segment pigeonhole
     * (any pair within Hamming distance 3 shares at least one exact 16-bit
     * segment): segment-bucket join then exact Hamming filter. */

@@ -53,6 +53,32 @@ class StoreSpec extends AnyFunSuite {
     assert(data.count() == 1000L)
   }
 
+  test("json and csv sources round-trip the pages shape byte-identically") {
+    val base = java.nio.file.Files.createTempDirectory("pages-fmt").toString
+    val pages = PagesGen.pages(spark, 500, 50)
+    val want = graft.runtime.Lineage.contentDigest(pages)
+    Store.writePagesJson(pages, s"$base/json")
+    Store.writePagesCsv(pages, s"$base/csv")
+    val viaJson = Store.readPagesJson(spark, s"$base/json")
+    val viaCsv = Store.readPagesCsv(spark, s"$base/csv")
+    assert(graft.runtime.Lineage.contentDigest(viaJson) == want, "json round-trip")
+    assert(graft.runtime.Lineage.contentDigest(viaCsv) == want, "csv round-trip")
+  }
+
+  test("nearDuplicates: candidate-then-verify finds planted near-dups only") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again tonight"), // near-dup of 1
+      (3L, "completely different content about spark window functions and joins"),
+      (4L, "another unrelated document mentioning parquet column pruning rules")
+    ).toDF("doc_id", "text")
+    val got = graft.text.Dedup.nearDuplicates(docs, "doc_id", "text",
+      n = 3, minJaccard = 0.5, signatures = 16, bands = 8)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)), s"got $got")
+  }
+
   test("round-trip through the bucketed layout preserves content") {
     val dir = java.nio.file.Files.createTempDirectory("pages-bucketed").toString + "/pages"
     val pages = PagesGen.pages(spark, 2000, 200)
