@@ -328,6 +328,17 @@ object SparkEntry {
       Similarity.lshBuckets(t(s, dir, "embeddings"), "embedding", planes)
         .groupBy("bucket").agg(count(lit(1)).as("n")).orderBy("bucket")
     }),
+    "q_cosine_neardup" -> ((s, dir) => {
+      val planes = Similarity.hyperplanes(8, 64)
+      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", planes, 0.95)
+        .select(col("a"), col("b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("a", "b")
+    }),
+    "q_near_duplicates" -> ((s, dir) =>
+      Dedup.nearDuplicates(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, minJaccard = 0.8, signatures = 16, bands = 8)
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("a", "b")),
     "q_select_pipeline" -> ((s, dir) => {
       import s.implicits._
       val li = t(s, dir, "lineitem")
