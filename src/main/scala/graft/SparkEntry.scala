@@ -394,8 +394,8 @@ object SparkEntry {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (
         |  SELECT user_id, ts, value,
-        |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts
-        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM g)
         |SELECT user_id, session_id, count(*) AS n_events,
         |  min(ts) AS session_start, max(ts) AS session_end, round(sum(value), 2) AS session_value

@@ -34,15 +34,25 @@ final case class BorutaStep(
 ) extends SelectorStep {
   val name = "step_select_boruta"
 
+  /** Composite row id: (hash bucket << idShift) + dense index within bucket.
+    * Every id-assignment and permutation window partitions by the bucket, so
+    * nothing ever sorts the whole dataset (or a whole feature column) in one
+    * task; buckets are seeded-hash-random, so within-bucket permutation is
+    * statistically a uniform permutation for shadow purposes. */
+  private val idShift = 40
+
   private def shadowed(data: DataFrame, preds: Seq[String], round: Int): DataFrame = {
     val long = data.select(
-      col("__id"),
+      col("__bkt"), col("__id"),
       explode(array(preds.map(p => struct(lit(p).as("f"), col(p).as("v"))): _*)).as("fv"))
-      .select(col("__id"), col("fv.f").as("f"), col("fv.v").as("v"))
+      .select(col("__bkt"), col("__id"), col("fv.f").as("f"), col("fv.v").as("v"))
+    // permute WITHIN (feature, bucket): __pos lands in the same composite id
+    // space as __id, so the pivot joins back on ids of the same bucket
     val permuted = long.withColumn(
       "__pos",
-      row_number().over(
-        Window.partitionBy("f").orderBy(xxhash64(col("__id"), col("f"), lit(round), lit(seed)))))
+      shiftleft(col("__bkt"), idShift) + row_number().over(
+        Window.partitionBy("f", "__bkt")
+          .orderBy(xxhash64(col("__id"), col("f"), lit(round), lit(seed)))))
     val shadow = permuted
       .groupBy("__pos").pivot("f", preds).agg(first("v"))
       .select(col("__pos").as("__id") +: preds.map(p => col(p).as(s"__sh_$p")): _*)
@@ -54,10 +64,14 @@ final case class BorutaStep(
     val preds = StepCommon.numericPredictors(df, preds0)
     val classif = StepCommon.isClassification(df, outcome)
     val base0 = df.na.drop(preds :+ outcome)
-    // deterministic dense row ids (1..n) via seeded hash ordering
+    // deterministic composite row ids, assigned within ~4k-row hash buckets
+    val buckets = math.max(1L, base0.count() / 4096L)
+    val allCols = struct(base0.columns.map(col): _*)
     val base = base0
+      .withColumn("__bkt", pmod(xxhash64(allCols, lit(seed)), lit(buckets)))
       .withColumn("__id",
-        row_number().over(Window.orderBy(xxhash64(struct(base0.columns.map(col): _*), lit(seed)))))
+        shiftleft(col("__bkt"), idShift) + row_number().over(
+          Window.partitionBy("__bkt").orderBy(xxhash64(allCols, lit(seed + 1)))))
       .cache()
     try {
       val allFeats = preds ++ preds.map(p => s"__sh_$p")

@@ -41,12 +41,18 @@ object ModelBased {
       .transform(df)
 
   private[select] def indexLabel(df: DataFrame, outcome: String): (DataFrame, Int) = {
-    val idx = new StringIndexer()
+    val idx = labelIndexer(df, outcome)
+    (idx.transform(df), idx.labelsArray.head.length)
+  }
+
+  /** Fit the label indexer ONCE (on the full data) so train/holdout splits
+    * share a single label→index mapping — refitting on a subset whose class
+    * set differs would silently shift indices. */
+  private[select] def labelIndexer(df: DataFrame, outcome: String): org.apache.spark.ml.feature.StringIndexerModel =
+    new StringIndexer()
       .setInputCol(outcome).setOutputCol("__label")
       .setStringOrderType("alphabetAsc")
       .fit(df)
-    (idx.transform(df), idx.labelsArray.head.length)
-  }
 }
 
 /** step_select_linear (step_select_linear.R:119–195): |coefficients| of one
@@ -154,18 +160,26 @@ final case class ForestStep(
 
   import org.apache.spark.sql.expressions.Window
 
-  /** Permute one column deterministically: values reassigned by seeded
-    * hash order (same mechanism as Boruta's shadow columns). */
-  private def permuteColumn(df: DataFrame, c: String, seed: Long): DataFrame = {
+  /** Permute one column deterministically AND scalably: rows are split into
+    * seeded hash buckets (assignment independent of the label), and values
+    * are reassigned WITHIN each bucket by two different seeded hash orders.
+    * Statistically equivalent to a full permutation for importance purposes
+    * (the x–y pairing is broken uniformly at random within buckets that are
+    * themselves random), but embarrassingly parallel: every window carries a
+    * partitionBy, no global single-partition sort, bucket count grows with n
+    * (~4k rows per bucket). */
+  private def permuteColumn(df: DataFrame, c: String, seed: Long, buckets: Long): DataFrame = {
     val others = df.columns.filterNot(_ == c)
-    val pos = df
-      .withColumn("__pos", row_number().over(
-        Window.orderBy(xxhash64(struct(df.columns.map(col): _*), lit(seed)))))
-    val shuffled = pos
-      .select(col(c).as("__pv"),
-        row_number().over(Window.orderBy(xxhash64(col("__pos"), lit(seed + 1)))).as("__pos"))
-    pos.select((others :+ "__pos").map(col): _*)
-      .join(shuffled, "__pos")
+    val allCols = struct(df.columns.map(col): _*)
+    val base = df.withColumn("__bkt", pmod(xxhash64(allCols, lit(seed)), lit(buckets)))
+    val wA = Window.partitionBy("__bkt").orderBy(xxhash64(allCols, lit(seed + 1)))
+    val wB = Window.partitionBy("__bkt").orderBy(xxhash64(allCols, lit(seed + 2)))
+    val pos = base.withColumn("__pos", row_number().over(wA))
+    val shuffled = base
+      .withColumn("__pos", row_number().over(wB))
+      .select(col("__bkt"), col("__pos"), col(c).as("__pv"))
+    pos.select((others :+ "__bkt" :+ "__pos").map(col): _*)
+      .join(shuffled, Seq("__bkt", "__pos"))
       .select(others.map(col) :+ col("__pv").as(c): _*)
   }
 
@@ -182,20 +196,23 @@ final case class ForestStep(
         val train = tagged.where(col("__h") =!= 0).drop("__h").cache()
         val hold = tagged.where(col("__h") === 0).drop("__h").cache()
         try {
+          // ~4k rows per permutation bucket; grows with |holdout|
+          val permBuckets = math.max(1L, hold.count() / 4096L)
           if (classif) {
-            val (trainIdx, _) = ModelBased.indexLabel(train, outcome)
+            // label mapping fit ONCE on the full data: a holdout missing an
+            // alphabetically-early class must not shift indices
+            val indexer = ModelBased.labelIndexer(df, outcome)
             val m = new RandomForestClassifier()
               .setFeaturesCol("__features").setLabelCol("__label")
               .setNumTrees(trees).setMaxDepth(maxDepth).setSeed(seed)
-              .fit(ModelBased.assemble(trainIdx, preds))
+              .fit(ModelBased.assemble(indexer.transform(train), preds))
             def acc(d: DataFrame): Double = {
-              val (idx, _) = ModelBased.indexLabel(d, outcome)
-              val scored = m.transform(ModelBased.assemble(idx, preds))
+              val scored = m.transform(ModelBased.assemble(indexer.transform(d), preds))
               scored.select(avg((col("prediction") === col("__label")).cast("double")))
                 .head().getDouble(0)
             }
             val base = acc(hold)
-            preds.map(p => p -> (base - acc(permuteColumn(hold, p, seed)))).toMap
+            preds.map(p => p -> (base - acc(permuteColumn(hold, p, seed, permBuckets)))).toMap
           } else {
             val m = new RandomForestRegressor()
               .setFeaturesCol("__features").setLabelCol(outcome)
@@ -206,7 +223,7 @@ final case class ForestStep(
               scored.select(avg(pow(col("prediction") - col(outcome), 2))).head().getDouble(0)
             }
             val base = mse(hold)
-            preds.map(p => p -> (mse(permuteColumn(hold, p, seed)) - base)).toMap
+            preds.map(p => p -> (mse(permuteColumn(hold, p, seed, permBuckets)) - base)).toMap
           }
         } finally { train.unpersist(); hold.unpersist() }
       } else if (classif) {

@@ -69,11 +69,14 @@ object Binning {
 
   /** Exact quantile cut points for each column: nbins-1 interior cuts at
     * probabilities i/nbins. Uses approxQuantile with relativeError 0 (exact,
-    * single distributed pass per call).
+    * single distributed pass per call). NA handling is PER COLUMN — a null in
+    * one column must not remove the row from another column's quantile
+    * (R quantile(na.rm=TRUE) / FSelectorRcpp semantics); approxQuantile
+    * already ignores nulls per column, so no row-level dropping happens.
     */
   def exactCuts(df: DataFrame, cols: Seq[String], nbins: Int): Map[String, Array[Double]] = {
     val probs = (1 until nbins).map(_.toDouble / nbins).toArray
-    val res = df.na.drop(cols).stat.approxQuantile(cols.toArray, probs, 0.0)
+    val res = df.stat.approxQuantile(cols.toArray, probs, 0.0)
     cols.zip(res).toMap
   }
 

@@ -33,23 +33,6 @@ object Correlation {
     }.toMap
   }
 
-  /** Mid-ranks (average rank for ties) of each column, appended as
-    * `<col>__rank`. NULLs keep NULL ranks. rank + (ties−1)/2 where ties is
-    * the tie-group size = R's rank(ties.method = "average").
-    * NOTE: global single-partition window per column — parity/reference
-    * path; the scalable path is [[spearman]], which never globally sorts.
-    */
-  def midRanks(df: DataFrame, cols: Seq[String], suffix: String = "__rank"): DataFrame =
-    cols.foldLeft(df) { (d, c) =>
-      val w = Window.orderBy(col(c))
-      val tie = Window.partitionBy(col(c))
-      d.withColumn(
-        c + suffix,
-        when(col(c).isNull, lit(null))
-          .otherwise(rank().over(w) + (count(lit(1)).over(tie) - 1) / 2.0)
-      )
-    }
-
   /** Exact per-column mid-rank TABLE (value → midrank) built from
     * per-value counts: the window runs over DISTINCT values only, so no
     * single-partition row sort ever happens. midrank(v) =
@@ -57,6 +40,8 @@ object Correlation {
   private def midRankTable(df: DataFrame, c: String): DataFrame = {
     val counts = df.where(col(c).isNotNull).groupBy(col(c).as("value"))
       .agg(count(lit(1)).as("cnt"))
+    // GLOBAL-WINDOW-OK: runs over the per-VALUE counts table (|distinct|
+    // rows after a map-side-combined groupBy), never over raw rows
     val w = Window.orderBy(col("value")).rowsBetween(Window.unboundedPreceding, -1)
     counts.select(
       col("value"),

@@ -51,4 +51,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count") || p.contains("partial count"),
       s"expected partial aggregation in:\n$p")
   }
+
+  test("src/main has no unmarked global (no-partitionBy) window — single-partition sorts are banned") {
+    // Window.orderBy(...) without a partitionBy collapses the dataset into
+    // ONE task — the canonical 100-TB scale-killer. The only sanctioned use
+    // is over a provably tiny derived table, marked GLOBAL-WINDOW-OK with a
+    // justification on the preceding line.
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/main/scala")
+    val offenders = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .flatMap { f =>
+        val lines = java.nio.file.Files.readAllLines(f).asScala
+        lines.zipWithIndex.collect {
+          case (l, i) if l.contains("Window.orderBy") &&
+            !lines.slice(math.max(0, i - 2), i + 1).exists(_.contains("GLOBAL-WINDOW-OK")) =>
+            s"$f:${i + 1}: $l"
+        }
+      }.toList
+    assert(offenders.isEmpty, "unmarked global windows:\n" + offenders.mkString("\n"))
+  }
 }

@@ -45,7 +45,7 @@ class ScalableRankSpec extends AnyFunSuite {
     }.toDF("a", "b", "y")
     val fast = Correlation.spearman(df, Seq("a", "b"), "y")
     val cols = Seq("a", "b", "y")
-    val ranked = Correlation.midRanks(df, cols)
+    val ranked = TestRankRef.midRanks(df, cols)
     val ref = Correlation.pearson(
       ranked.select(cols.map(c => col(c + "__rank").as(c)): _*), Seq("a", "b"), "y")
     Seq("a", "b").foreach { f =>

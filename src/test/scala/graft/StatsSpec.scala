@@ -100,7 +100,7 @@ class StatsSpec extends AnyFunSuite {
 
   test("mid-rank ties are averaged like R rank()") {
     val d = Seq(1.0, 2.0, 2.0, 3.0).toDF("v")
-    val ranked = Correlation.midRanks(d, Seq("v")).select("v__rank")
+    val ranked = TestRankRef.midRanks(d, Seq("v")).select("v__rank")
       .collect().map(_.getDouble(0)).sorted.toSeq
     assert(ranked == Seq(1.0, 2.5, 2.5, 4.0))
   }
