@@ -128,6 +128,7 @@ object SparkEntry {
     // thousands of docs — exactly the skew the guard exists for)
     "q_jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3, 0.5, maxDocFreq = 100)
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("a", "b")),
     // ---- text analysis ----
     "q_tokens" -> ((s, dir) => {
@@ -156,9 +157,11 @@ object SparkEntry {
         .select(col("doc_id"), TextFeatures.fingerprintMd5(col("text")).as("md5"))
         .orderBy("doc_id")
     }),
+    // portable md5-hash variant so DuckDB can recompute the fold exactly;
+    // the xxhash64 production variant is pinned by ScalaTest
     "q_fingerprint_rolling" -> ((s, dir) => {
       t(s, dir, "documents")
-        .select(col("doc_id"), TextFeatures.rollingFingerprint(col("text")).as("fp"))
+        .select(col("doc_id"), TextFeatures.rollingFingerprintMd5(col("text")).as("fp"))
         .orderBy("doc_id")
     }),
     // ---- similarity search ----
@@ -177,12 +180,26 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
         .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
     }),
+    // multi-probe (Hamming <= 2 of the query bucket, ~22/64 buckets scanned)
+    // restores recall lost to single-probe while keeping the scan pruned
     "q_knn_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.where(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toSeq
       val planes = Similarity.hyperplanes(6, q.length)
-      Similarity.lshTopK(emb, "vec_id", "embedding", q, 10, planes)
+      Similarity.lshTopK(emb, "vec_id", "embedding", q, 10, planes, probeHamming = 2)
+        .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+    }),
+    // IVF: the first 8 corpus vectors act as deterministic coarse centroids;
+    // search probes the 3 nearest cells and exact-reranks only those
+    "q_knn_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toSeq
+      val centroids = emb.where(col("vec_id") < 8).orderBy("vec_id")
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+      Similarity.ivfTopK(emb, "vec_id", "embedding", q, 10, centroids, nprobe = 3)
         .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
     }),
     // ---- filter scores ----
@@ -280,7 +297,8 @@ object SparkEntry {
     "q_aov_seq" -> ((s, dir) => {
       import s.implicits._
       Anova.typeISS(t(s, dir, "lineitem"), "l_extendedprice", Seq("l_returnflag", "l_linestatus"))
-        .map(r => (r.feature, r.df, r.f)).toDF("feature", "df", "f_stat")
+        .map(r => (r.feature, r.df, BigDecimal(r.f).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .toDF("feature", "df", "f_stat")
     }),
     "q_linear" -> ((s, dir) => tidy6(
       LinearStep(topP = Some(2))
@@ -310,6 +328,36 @@ object SparkEntry {
     }),
     "q_simhash_sigs" -> ((s, dir) =>
       Dedup.simHash(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")),
+    // portable 48-bit SimHash (md5 token hash) — DuckDB recomputes the
+    // sign-of-bit-sums construction bit-for-bit; the xxhash64 64-bit
+    // production variant above stays rows-only
+    "q_simhash_md5" -> ((s, dir) =>
+      Dedup.simHash48Md5(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")),
+    // LSH banding over the PORTABLE md5 minhash signatures (2 bands × 2
+    // rows): DuckDB recomputes the signatures and the band-equality pairs,
+    // verifying the banding mechanism cross-engine
+    "q_minhash_md5_pairs" -> ((s, dir) => {
+      val sigs = Dedup.minHashSignaturesMd5(t(s, dir, "documents"), "doc_id", "text", 3, 4)
+      Dedup.minHashCandidates(sigs, "doc_id", bands = 2, rowsPerBand = 2).orderBy("a", "b")
+    }),
+    // GBT importances through the generic VipStep surface (the
+    // pull_importances xgboost-analogue path); model-based ⇒ rows-only
+    "q_vip_gbt" -> ((s, dir) => {
+      val imp = (d: DataFrame, y: String, ps: Seq[String]) => {
+        val assembled = new org.apache.spark.ml.feature.VectorAssembler()
+          .setInputCols(ps.toArray).setOutputCol("__features")
+          .setHandleInvalid("skip").transform(d)
+        val m = new org.apache.spark.ml.regression.GBTRegressor()
+          .setFeaturesCol("__features").setLabelCol(y)
+          .setMaxIter(5).setMaxDepth(3).setSeed(42L)
+          .fit(assembled)
+        implicitly[ImportanceExtractor[org.apache.spark.ml.regression.GBTRegressionModel]]
+          .importances(m, ps)
+      }
+      tidy6(VipStep(imp, topP = Some(2))
+        .fit(t(s, dir, "lineitem").where(pmod(col("l_orderkey"), lit(20)) === 0),
+          "l_extendedprice", liFeatures), s)
+    }),
     // MinHash with a PORTABLE hash (first 12 hex chars of md5 as an
     // integer) so DuckDB can recompute the exact signatures — verifies the
     // minhash mechanism itself cross-engine; the production path
@@ -328,27 +376,48 @@ object SparkEntry {
       Similarity.lshBuckets(t(s, dir, "embeddings"), "embedding", planes)
         .groupBy("bucket").agg(count(lit(1)).as("n")).orderBy("bucket")
     }),
+    // The raw corpus has max pairwise cosine ~0.51, so a 0.95 threshold
+    // would verify nothing. Plant exact-direction duplicates (×2 scaling is
+    // bit-exact in float, cosine = 1.0) of the first 20 vectors: the query
+    // must recover EXACTLY those 20 pairs, LSH recall is guaranteed
+    // (identical vectors ⇒ identical hyperplane signs), and DuckDB can
+    // derive the same fixture and brute-force the truth.
     "q_cosine_neardup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val planted = emb.where(col("vec_id") < 20)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
       val planes = Similarity.hyperplanes(8, 64)
-      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", planes, 0.95)
+      Similarity.cosineNearDupPairs(
+        emb.select("vec_id", "embedding").unionByName(planted),
+        "vec_id", "embedding", planes, 0.95)
         .select(col("a"), col("b"), round(col("cosine"), 6).as("cosine"))
         .orderBy("a", "b")
     }),
+    // 32 signatures / 16 bands of 2 rows: P(miss a pair at jaccard 0.8) =
+    // (1−0.8²)^16 ≈ 8e-8, so the banding candidates recover every true pair
+    // on this corpus and the output equals the brute-force oracle
     "q_near_duplicates" -> ((s, dir) =>
       Dedup.nearDuplicates(t(s, dir, "documents"), "doc_id", "text",
-        n = 3, minJaccard = 0.8, signatures = 16, bands = 8)
+        n = 3, minJaccard = 0.8, signatures = 32, bands = 16)
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("a", "b")),
+    // fit through the checkpointed runtime path (fitOrResume) so the driver
+    // bench also exercises per-step checkpoint writes + lineage capture;
+    // fresh temp dir per call keeps the query a pure function of the input
     "q_select_pipeline" -> ((s, dir) => {
       import s.implicits._
       val li = t(s, dir, "lineitem")
-      val pipe = SelectorPipeline(Seq(
+        .select("l_quantity", "l_discount", "l_tax", "l_partkey", "l_extendedprice")
+      val steps: Seq[(SelectorStep, Seq[String])] = Seq(
         (CorrStep(topP = Some(3), method = "pearson"): SelectorStep) ->
           Seq("l_quantity", "l_discount", "l_tax", "l_partkey"),
-        (CorrStep(threshold = Some(0.5), method = "spearman"): SelectorStep) -> Nil
-      ).map { case (a, b) => (a, b) })
-      val fitted = pipe.fit(li.select("l_quantity", "l_discount", "l_tax", "l_partkey", "l_extendedprice"), "l_extendedprice")
-      fitted.steps.flatMap(st => st.excluded.map(st.step -> _)).toDF("step", "excluded")
+        (CorrStep(threshold = Some(0.5), method = "spearman"): SelectorStep) -> Nil)
+      val ckDir = java.nio.file.Files.createTempDirectory("graft-ck-").toString
+      val fitted = graft.runtime.Checkpoints.fitOrResume(
+        s, ckDir, steps, li, "l_extendedprice",
+        lineage = graft.runtime.Lineage.inputFiles(li).take(3).mkString(","))
+      fitted.flatMap(st => st.excluded.map(st.step -> _)).toDF("step", "excluded")
     })
   )
 
@@ -612,6 +681,203 @@ object SparkEntry {
         |               (SELECT n FROM tot) - (SELECT count(*) FROM stats) AS df2
         |        FROM lineitem l JOIN stats s ON l.l_returnflag = s.g)
         |SELECT 'l_returnflag' AS feature, round((ssb.ss / ssb.df1) / (sse.ss / sse.df2), 4) AS f_stat
-        |FROM ssb CROSS JOIN sse""".stripMargin
+        |FROM ssb CROSS JOIN sse""".stripMargin,
+    // Sequential Type-I ANOVA, 2 factors: RSS(1) and RSS(1+g1) are group-mean
+    // residual sums; adding the single l_linestatus dummy has the closed form
+    // RSS2 = RSS1 − ⟨e_x,e_y⟩²/⟨e_x,e_x⟩ where e_* are residuals after
+    // subtracting per-g1-group means (projecting out intercept+g1).
+    "q_aov_seq" ->
+      """WITH d AS (SELECT l_returnflag AS g1, l_linestatus AS g2, l_extendedprice AS y FROM lineitem),
+        |l2 AS (SELECT g2 AS v FROM d GROUP BY g2 ORDER BY g2 LIMIT 1 OFFSET 1),
+        |nn AS (SELECT count(*) AS n FROM d),
+        |m0 AS (SELECT avg(y) AS m FROM d),
+        |gm AS (SELECT g1, avg(y) AS m1 FROM d GROUP BY 1),
+        |r0 AS (SELECT sum(pow(y - m, 2)) AS rss0 FROM d CROSS JOIN m0),
+        |r1 AS (SELECT sum(pow(y - m1, 2)) AS rss1 FROM d JOIN gm USING (g1)),
+        |e AS (SELECT y - avg(y) OVER (PARTITION BY g1) AS ey,
+        |        (CASE WHEN g2 = (SELECT v FROM l2) THEN 1.0 ELSE 0.0 END)
+        |          - avg(CASE WHEN g2 = (SELECT v FROM l2) THEN 1.0 ELSE 0.0 END)
+        |              OVER (PARTITION BY g1) AS ex
+        |      FROM d),
+        |r2 AS (SELECT (SELECT rss1 FROM r1) - pow(sum(ex * ey), 2) / sum(ex * ex) AS rss2 FROM e),
+        |f AS (SELECT rss0, rss1, rss2, n FROM r0, r1, r2, nn)
+        |SELECT feature, df, f_stat FROM (
+        |  SELECT 'l_returnflag' AS feature, 2 AS df,
+        |         round(((rss0 - rss1) / 2) / (rss2 / (n - 4)), 4) AS f_stat FROM f
+        |  UNION ALL
+        |  SELECT 'l_linestatus', 1, round((rss1 - rss2) / (rss2 / (n - 4)), 4) FROM f)
+        |ORDER BY feature""".stripMargin,
+    // FCBF round-1 scores: symmetrical uncertainty of each median-split
+    // feature vs the outcome (the redundancy elimination changes only
+    // `excluded`, not the scores the query emits)
+    "q_fcbf" ->
+      """WITH med AS (SELECT median(l_quantity) AS mq, median(l_discount) AS md,
+        |                    median(l_tax) AS mt, median(l_extendedprice) AS me FROM lineitem),
+        |b AS (
+        |  SELECT f.feature AS variable,
+        |    CASE f.feature
+        |      WHEN 'l_quantity' THEN CASE WHEN l_quantity <= mq THEN 'l' ELSE 'h' END
+        |      WHEN 'l_discount' THEN CASE WHEN l_discount <= md THEN 'l' ELSE 'h' END
+        |      WHEN 'l_tax' THEN CASE WHEN l_tax <= mt THEN 'l' ELSE 'h' END
+        |      ELSE CASE WHEN l_extendedprice <= me THEN 'l' ELSE 'h' END END AS xb,
+        |    l_linestatus AS yb
+        |  FROM lineitem CROSS JOIN med
+        |  CROSS JOIN (VALUES ('l_quantity'), ('l_discount'), ('l_tax'), ('l_extendedprice')) f(feature)),
+        |j AS (SELECT variable, xb, yb, CAST(count(*) AS DOUBLE) AS c FROM b GROUP BY 1, 2, 3),
+        |tot AS (SELECT variable, sum(c) AS n FROM j GROUP BY 1),
+        |hx AS (SELECT jx.variable, -sum(cx / n * ln(cx / n)) AS hx
+        |       FROM (SELECT variable, xb, sum(c) AS cx FROM j GROUP BY 1, 2) jx
+        |       JOIN tot USING (variable) GROUP BY 1),
+        |hy AS (SELECT jy.variable, -sum(cy / n * ln(cy / n)) AS hy
+        |       FROM (SELECT variable, yb, sum(c) AS cy FROM j GROUP BY 1, 2) jy
+        |       JOIN tot USING (variable) GROUP BY 1),
+        |hxy AS (SELECT j.variable, -sum(c / n * ln(c / n)) AS hxy
+        |        FROM j JOIN tot USING (variable) GROUP BY 1)
+        |SELECT variable, round(2 * (hx + hy - hxy) / (hx + hy), 6) AS score
+        |FROM hx JOIN hy USING (variable) JOIN hxy USING (variable) ORDER BY variable""".stripMargin,
+    "q_jaccard_pairs" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok,
+        |         generate_subscripts(regexp_split_to_array(trim(lower(text)), '\s+'), 1) AS pos
+        |  FROM documents),
+        |tri AS (
+        |  SELECT doc_id,
+        |    concat(tok, ' ', lead(tok, 1) OVER d, ' ', lead(tok, 2) OVER d) AS s,
+        |    pos, count(*) OVER (PARTITION BY doc_id) AS n
+        |  FROM w WINDOW d AS (PARTITION BY doc_id ORDER BY pos)),
+        |sh AS (SELECT DISTINCT doc_id, s FROM tri WHERE pos <= n - 2),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
+        |f AS (SELECT doc_id, s FROM sh JOIN rare USING (s)),
+        |inter AS (SELECT fa.doc_id AS ia, fb.doc_id AS ib, count(*) AS i
+        |          FROM f fa JOIN f fb ON fa.s = fb.s AND fa.doc_id < fb.doc_id
+        |          GROUP BY 1, 2),
+        |jac AS (SELECT ia, ib, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS j
+        |        FROM inter JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib)
+        |SELECT ia AS a, ib AS b, round(j, 6) AS jaccard FROM jac WHERE j >= 0.5 ORDER BY a, b""".stripMargin,
+    // brute-force ground truth: ALL pairs with exact shingle-jaccard >= 0.8
+    // (the engine's banding parameters guarantee full recall at this
+    // threshold — see the query registration comment)
+    "q_near_duplicates" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok,
+        |         generate_subscripts(regexp_split_to_array(trim(lower(text)), '\s+'), 1) AS pos
+        |  FROM documents),
+        |tri AS (
+        |  SELECT doc_id,
+        |    concat(tok, ' ', lead(tok, 1) OVER d, ' ', lead(tok, 2) OVER d) AS s,
+        |    pos, count(*) OVER (PARTITION BY doc_id) AS n
+        |  FROM w WINDOW d AS (PARTITION BY doc_id ORDER BY pos)),
+        |sh AS (SELECT DISTINCT doc_id, s FROM tri WHERE pos <= n - 2),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (SELECT sa.doc_id AS ia, sb.doc_id AS ib, count(*) AS i
+        |          FROM sh sa JOIN sh sb ON sa.s = sb.s AND sa.doc_id < sb.doc_id
+        |          GROUP BY 1, 2),
+        |jac AS (SELECT ia, ib, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS j
+        |        FROM inter JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib)
+        |SELECT ia AS a, ib AS b, round(j, 6) AS jaccard FROM jac WHERE j >= 0.8 ORDER BY a, b""".stripMargin,
+    "q_fingerprint_rolling" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
+        |         generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
+        |  FROM documents),
+        |h AS (SELECT doc_id, pos,
+        |        CAST(list_sum(list_transform(range(1, 13),
+        |          k -> (strpos('0123456789abcdef', substr(md5(tok), CAST(k AS INT), 1)) - 1)
+        |               * pow(16, 12 - k))) AS BIGINT) % 1000000007 AS hv
+        |      FROM w)
+        |SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), list(hv ORDER BY pos)),
+        |    (acc, x) -> CAST((CAST(acc AS HUGEINT) * 1000003 + x) % 1000000007 AS BIGINT)) AS fp
+        |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_simhash_md5" ->
+      """WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |           FROM documents),
+        |h AS (SELECT doc_id,
+        |        CAST(list_sum(list_transform(range(1, 13),
+        |          k -> (strpos('0123456789abcdef', substr(md5(tok), CAST(k AS INT), 1)) - 1)
+        |               * pow(16, 12 - k))) AS BIGINT) AS hv
+        |      FROM w),
+        |bits AS (SELECT doc_id, j, sum(CASE WHEN (hv >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |         FROM h CROSS JOIN (SELECT unnest(range(0, 48)) AS j) jj GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash48
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_minhash_md5_pairs" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok,
+        |         generate_subscripts(regexp_split_to_array(trim(lower(text)), '\s+'), 1) AS pos
+        |  FROM documents),
+        |tri AS (
+        |  SELECT doc_id,
+        |    concat(tok, ' ', lead(tok, 1) OVER d, ' ', lead(tok, 2) OVER d) AS s,
+        |    pos, count(*) OVER (PARTITION BY doc_id) AS n
+        |  FROM w WINDOW d AS (PARTITION BY doc_id ORDER BY pos)),
+        |sh AS (SELECT DISTINCT doc_id, s FROM tri WHERE pos <= n - 2),
+        |hashed AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(1, 13),
+        |      k -> (strpos('0123456789abcdef', substr(md5(concat('0:', s)), CAST(k AS INT), 1)) - 1)
+        |           * pow(16, 12 - k))) AS BIGINT) AS h0,
+        |    CAST(list_sum(list_transform(range(1, 13),
+        |      k -> (strpos('0123456789abcdef', substr(md5(concat('1:', s)), CAST(k AS INT), 1)) - 1)
+        |           * pow(16, 12 - k))) AS BIGINT) AS h1,
+        |    CAST(list_sum(list_transform(range(1, 13),
+        |      k -> (strpos('0123456789abcdef', substr(md5(concat('2:', s)), CAST(k AS INT), 1)) - 1)
+        |           * pow(16, 12 - k))) AS BIGINT) AS h2,
+        |    CAST(list_sum(list_transform(range(1, 13),
+        |      k -> (strpos('0123456789abcdef', substr(md5(concat('3:', s)), CAST(k AS INT), 1)) - 1)
+        |           * pow(16, 12 - k))) AS BIGINT) AS h3
+        |  FROM sh),
+        |sig AS (SELECT doc_id, min(h0) AS h0, min(h1) AS h1, min(h2) AS h2, min(h3) AS h3
+        |        FROM hashed GROUP BY doc_id)
+        |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        |FROM sig l JOIN sig r ON l.doc_id < r.doc_id
+        | AND ((l.h0 = r.h0 AND l.h1 = r.h1) OR (l.h2 = r.h2 AND l.h3 = r.h3))
+        |ORDER BY a, b""".stripMargin,
+    "q_cosine_neardup" ->
+      """WITH derived AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS vec_id,
+        |         list_transform(embedding, x -> x * CAST(2.0 AS FLOAT)) AS embedding
+        |  FROM embeddings WHERE vec_id < 20),
+        |p AS (
+        |  SELECT l.vec_id AS a, r.vec_id AS b,
+        |    list_sum(list_transform(range(1, len(l.embedding) + 1),
+        |      i -> CAST(l.embedding[i] AS DOUBLE) * CAST(r.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(l.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(r.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS c
+        |  FROM derived l JOIN derived r ON l.vec_id < r.vec_id)
+        |SELECT a, b, round(c, 6) AS cosine FROM p WHERE c >= 0.95 ORDER BY a, b""".stripMargin,
+    "q_knn_ivf" ->
+      """WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+        |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+        |vc AS (
+        |  SELECT v.vec_id, c.cid,
+        |    list_sum(list_transform(range(1, len(v.embedding) + 1),
+        |      i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(v.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(c.ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS s
+        |  FROM embeddings v CROSS JOIN c),
+        |assign AS (SELECT vec_id, cid FROM (
+        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
+        |  FROM vc) t WHERE rn = 1),
+        |probe AS (SELECT cid FROM (
+        |  SELECT c.cid,
+        |    list_sum(list_transform(range(1, len(c.ce) + 1),
+        |      i -> CAST(c.ce[i] AS DOUBLE) * CAST(q.e[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(c.ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(q.e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS s
+        |  FROM c CROSS JOIN q) t ORDER BY s DESC, cid DESC LIMIT 3),
+        |scored AS (
+        |  SELECT v.vec_id,
+        |    list_sum(list_transform(range(1, len(v.embedding) + 1),
+        |      i -> CAST(v.embedding[i] AS DOUBLE) * CAST(q.e[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(v.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(q.e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS s
+        |  FROM embeddings v
+        |  JOIN assign USING (vec_id) JOIN probe USING (cid) CROSS JOIN q)
+        |SELECT vec_id, round(s, 6) AS cosine FROM scored ORDER BY s DESC, vec_id LIMIT 10""".stripMargin
   )
 }

@@ -30,6 +30,22 @@ object ImportanceExtractor {
     (m, names) => names.zip(m.featureImportances.toArray).toMap
   implicit val rfR: ImportanceExtractor[org.apache.spark.ml.regression.RandomForestRegressionModel] =
     (m, names) => names.zip(m.featureImportances.toArray).toMap
+  // gradient-boosted trees — the xgboost analogue of pull_importances'
+  // xgb.Booster method (pull_importances.R:71–333)
+  implicit val gbtC: ImportanceExtractor[org.apache.spark.ml.classification.GBTClassificationModel] =
+    (m, names) => names.zip(m.featureImportances.toArray).toMap
+  implicit val gbtR: ImportanceExtractor[org.apache.spark.ml.regression.GBTRegressionModel] =
+    (m, names) => names.zip(m.featureImportances.toArray).toMap
+  // multilayer perceptron has no native importances; naive-bayes exposes
+  // per-class log-likelihood ratios — summed absolute theta contrast
+  implicit val nb: ImportanceExtractor[org.apache.spark.ml.classification.NaiveBayesModel] =
+    (m, names) => {
+      val theta = m.theta // numClasses x numFeatures, log p(f|c)
+      names.zipWithIndex.map { case (f, j) =>
+        val col = (0 until theta.numRows).map(i => theta(i, j))
+        f -> (col.max - col.min) // spread of log-likelihood across classes
+      }.toMap
+    }
 }
 
 object ModelBased {

@@ -77,36 +77,85 @@ object Similarity {
   def lshBuckets(df: DataFrame, vecCol: String, planes: Array[Array[Double]]): DataFrame =
     df.withColumn("bucket", lshBucket(col(vecCol), planes))
 
-  /** ANN top-k: score only the query's LSH bucket. Recall grows with fewer
-    * planes / multi-probe; exactness is traded for pruning the scan. */
+  /** The query vector's LSH bucket, computed driver-side. */
+  def queryBucket(query: Seq[Double], planes: Array[Array[Double]]): Long = {
+    var acc = 0L
+    planes.zipWithIndex.foreach { case (plane, p) =>
+      val dot = plane.zip(query).map { case (a, b) => a * b }.sum
+      if (dot >= 0) acc |= (1L << p)
+    }
+    acc
+  }
+
+  /** Multi-probe bucket set: every bucket within Hamming distance
+    * <= maxHamming of `bucket` (flip every subset of <= maxHamming plane
+    * bits). Size = Σ_{h<=maxHamming} C(nPlanes, h) — a driver-side literal
+    * list, so the scan stays a pruned IN-filter. */
+  def probeBuckets(bucket: Long, nPlanes: Int, maxHamming: Int): Seq[Long] = {
+    def rec(start: Int, left: Int, cur: Long): Seq[Long] =
+      cur +: (if (left == 0) Seq.empty
+              else (start until nPlanes).flatMap(i => rec(i + 1, left - 1, cur ^ (1L << i))))
+    rec(0, maxHamming, bucket)
+  }
+
+  /** ANN top-k with multi-probe LSH: score the query's bucket plus all
+    * buckets within `probeHamming` flipped planes (near-miss vectors usually
+    * differ in the planes whose dot product is closest to 0 — probing
+    * Hamming-adjacent buckets recovers them). probeHamming = 2 on 6 planes
+    * scans ~22/64 of the space; 0 = single-probe. */
   def lshTopK(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       query: Seq[Double],
       k: Int,
-      planes: Array[Array[Double]]
+      planes: Array[Array[Double]],
+      probeHamming: Int = 2
   ): DataFrame = {
-    val qBucket = {
-      var acc = 0L
-      planes.zipWithIndex.foreach { case (plane, p) =>
-        val dot = plane.zip(query).map { case (a, b) => a * b }.sum
-        if (dot >= 0) acc |= (1L << p)
-      }
-      acc
-    }
+    val probes = probeBuckets(queryBucket(query, planes), planes.length, probeHamming)
     lshBuckets(df, vecCol, planes)
-      .where(col("bucket") === qBucket)
+      .where(col("bucket").isin(probes: _*))
       .transform(d => bruteForceTopK(d, idCol, vecCol, query, k))
   }
 
   /** IVF coarse assignment: nearest centroid by cosine. `centroids` is small
-    * (broadcast as literals). Adds `cell`. */
+    * (broadcast as literals). Adds `cell`. Ties on similarity break toward
+    * the LARGER cell index (greatest() over (sim, cell) structs). */
   def ivfAssign(df: DataFrame, vecCol: String, centroids: Seq[Seq[Double]]): DataFrame = {
     val sims = centroids.zipWithIndex.map { case (c, i) =>
       struct(cosine(col(vecCol), c).as("sim"), lit(i).as("cell"))
     }
     df.withColumn("cell", greatest(sims: _*).getField("cell"))
+  }
+
+  private def cosLocal(a: Seq[Double], b: Seq[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** IVF search: assign every vector to its nearest centroid, pick the
+    * `nprobe` cells whose centroids are most cosine-similar to the query
+    * (driver-side over the tiny centroid list, ties toward larger index —
+    * mirroring [[ivfAssign]]), and exact-rerank ONLY those cells. The scan
+    * reads |probed cells| / |cells| of the data — the IVF recall/cost knob. */
+  def ivfTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Double],
+      k: Int,
+      centroids: Seq[Seq[Double]],
+      nprobe: Int
+  ): DataFrame = {
+    require(nprobe >= 1 && nprobe <= centroids.length, "nprobe must be in [1, #centroids]")
+    val probeCells = centroids.zipWithIndex
+      .map { case (c, i) => (cosLocal(query, c), i) }
+      .sortBy { case (s, i) => (-s, -i) }
+      .take(nprobe).map(_._2)
+    ivfAssign(df, vecCol, centroids)
+      .where(col("cell").isin(probeCells: _*))
+      .transform(d => bruteForceTopK(d, idCol, vecCol, query, k))
   }
 
   /** Embedding-cosine near-duplicate pairs: LSH-bucket join then exact

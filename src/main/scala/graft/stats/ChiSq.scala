@@ -82,6 +82,64 @@ object ChiSq {
     math.min(1.0, p)
   }
 
+  /** Two-sided Fisher exact for an r×c table by full enumeration of every
+    * table with the observed margins — R stats::fisher.test semantics for
+    * tables larger than 2×2 (the reference calls fisher.test on ANY table,
+    * step_select_xtab.R:96): p = Σ P(T) over tables whose multivariate
+    * hypergeometric mass P(T) <= P(obs)·(1 + 1e-7). Enumeration is bounded
+    * by `budget` visited states; beyond it (the regime where R's FEXACT
+    * needs workspace tuning and typically errors) returns None. */
+  def fisherExactRxC(obs: Array[Array[Long]], budget: Long = 20000000L): Option[Double] = {
+    val r = obs.length
+    val c = obs(0).length
+    if (r == 2 && c == 2)
+      return Some(fisherExact2x2(obs(0)(0), obs(0)(1), obs(1)(0), obs(1)(1)))
+    val rowSum = obs.map(_.sum)
+    val colSum = (0 until c).map(j => obs.map(_(j)).sum).toArray
+    val n = rowSum.sum
+    def lg(x: Long) = org.apache.commons.math3.special.Gamma.logGamma(x + 1.0)
+    // log P(T) = Σ lg(rowSums) + Σ lg(colSums) − lg(n) − Σ_ij lg(t_ij)
+    val logConst = rowSum.map(lg).sum + colSum.map(lg).sum - lg(n)
+    val obsLogP = logConst - obs.flatten.map(lg).sum
+    val cutoff = obsLogP + math.log1p(1e-7)
+    var states = 0L
+    var p = 0.0
+    var exceeded = false
+    // DFS over free cells (rows 0..r-2, cols 0..c-2); last column/row forced.
+    // acc = −Σ lg(filled cells). remCols mutated in place, restored on unwind.
+    val remCols = colSum.clone()
+    def go(i: Int, j: Int, remRow: Long, acc: Double): Unit = {
+      if (exceeded) return
+      states += 1
+      if (states > budget) { exceeded = true; return }
+      if (i == r - 1) {
+        // last row forced to the remaining column sums
+        val lp = logConst + acc - (0 until c).map(j2 => lg(remCols(j2))).sum
+        if (lp <= cutoff) p += math.exp(lp)
+      } else if (j == c - 1) {
+        // last cell of a free row forced to the row remainder
+        if (remRow <= remCols(j)) {
+          remCols(j) -= remRow
+          go(i + 1, 0, rowSum(i + 1), acc - lg(remRow))
+          remCols(j) += remRow
+        }
+      } else {
+        val tailCap = (j + 1 until c).map(remCols(_)).sum
+        val lo = math.max(0L, remRow - tailCap)
+        val hi = math.min(remRow, remCols(j))
+        var v = lo
+        while (v <= hi && !exceeded) {
+          remCols(j) -= v
+          go(i, j + 1, remRow - v, acc - lg(v))
+          remCols(j) += v
+          v += 1
+        }
+      }
+    }
+    go(0, 0, rowSum(0), 0.0)
+    if (exceeded) None else Some(math.min(1.0, p))
+  }
+
   /** Per-feature p-values from long form. Features whose table degenerates
     * (single row/col) get None (R chisq.test errors → NA,
     * step_select_xtab.R:99–104). */
@@ -95,11 +153,9 @@ object ChiSq {
         val p: Option[Double] =
           if (xs.length < 2 || ys.length < 2) None
           else if (fisher) {
-            if (xs.length == 2 && ys.length == 2) {
-              val m = rows.map(r => (r.get(1).toString, r.get(2).toString) -> r.getLong(3)).toMap
-              def g(i: Int, j: Int) = m.getOrElse((xs(i), ys(j)), 0L)
-              Some(fisherExact2x2(g(0, 0), g(0, 1), g(1, 0), g(1, 1)))
-            } else None // larger-than-2x2 exact test unsupported (R feasibility limit)
+            val m = rows.map(r => (r.get(1).toString, r.get(2).toString) -> r.getLong(3)).toMap
+            val tab = Array.tabulate(xs.length, ys.length)((i, j) => m.getOrElse((xs(i), ys(j)), 0L))
+            fisherExactRxC(tab) // None iff enumeration exceeds budget (R FEXACT limit)
           } else {
             val obs = Array.ofDim[Double](xs.length, ys.length)
             rows.foreach { r =>

@@ -93,6 +93,45 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
+  /** Portable 48-bit string hash: integer value of the first 12 hex chars of
+    * md5(prefix ++ s). 48 bits keep the value exactly representable in a
+    * double, so external engines (the DuckDB oracle) can recompute it
+    * digit-by-digit without 64-bit overflow. The production paths use
+    * xxhash64 (faster); the *Md5 variants exist to make the MECHANISMS
+    * (minhash, simhash, rolling fingerprint) cross-engine verifiable. */
+  def md5Hash48(prefix: String, s: Column): Column =
+    conv(substring(md5(concat(lit(prefix), s)), 1, 12), 16, 10).cast("long")
+
+  /** MinHash signatures over the portable md5-derived hash — bit-identical
+    * recomputable in any engine with md5. Same shape as
+    * [[minHashSignatures]]: (id, sig: array<long>). */
+  def minHashSignaturesMd5(df: DataFrame, id: String, text: String, n: Int, k: Int): DataFrame = {
+    val sh = df.select(col(id), shingles(col(text), n).as("sh"))
+      .where(size(col("sh")) > 0)
+    sh.select(
+      col(id),
+      array((0 until k).map(i =>
+        array_min(transform(col("sh"), sg => md5Hash48(s"$i:", sg)))): _*).as("sig"))
+  }
+
+  /** 48-bit SimHash over tokens using the portable md5 token hash — the
+    * cross-engine-verifiable variant of [[simHash]] (same sign-of-bit-sums
+    * construction, 48 bits instead of 64). */
+  def simHash48Md5(df: DataFrame, id: String, text: String): DataFrame = {
+    val toks = df.select(col(id), explode(TextFeatures.tokens(lower(col(text)))).as("tok"))
+      .withColumn("h", md5Hash48("", col("tok")))
+    val bitSums = (0 until 48).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
+    }
+    toks.groupBy(col(id))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(
+        col(id),
+        (0 until 48).map(j => when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash48")
+      )
+  }
+
   /** MinHash signature: k independent permutations approximated by seeded
     * xxhash64; signature element i = min over shingles of hash(i, shingle).
     * Returns (id, sig: array<long>). One narrow map + per-doc aggregate. */

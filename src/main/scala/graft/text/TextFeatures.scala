@@ -91,4 +91,18 @@ object TextFeatures {
       (acc, t) => pmod(acc * 1000003L + pmod(xxhash64(t), p), p)
     )
   }
+
+  /** Portable rolling fingerprint: the same polynomial fold but over the
+    * 48-bit md5-derived token hash ([[graft.text.Dedup.md5Hash48]]) so an
+    * external engine can recompute it token-by-token (the DuckDB oracle
+    * does). acc stays < 1e9, so acc·1000003 + h never overflows a long. */
+  def rollingFingerprintMd5(text: Column): Column = {
+    val p = lit(1000000007L)
+    aggregate(
+      tokens(text),
+      lit(0L),
+      (acc, t) =>
+        pmod(acc * 1000003L + pmod(conv(substring(md5(t), 1, 12), 16, 10).cast("long"), p), p)
+    )
+  }
 }
