@@ -67,10 +67,11 @@ object SparkEntry {
     // ---- temporal: as-of join + windowed features (north_rule core) ----
     "q_asof_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
-      val clicks = ev.where(col("event_type") === "click").select("user_id", "ts", "value")
+      val clicks = ev.where(col("event_type") === "click").select("user_id", "ts", "value", "event_id")
       val purchases = ev.where(col("event_type") === "purchase")
         .select(col("user_id"), col("ts").as("probe_ts"), col("event_id").as("purchase_id"))
-      AsOf.sortMerge(clicks, purchases, "user_id", "ts", "probe_ts", Seq("value"))
+      AsOf.sortMerge(clicks, purchases, "user_id", "ts", "probe_ts", Seq("value"),
+        tiebreak = Some("event_id"))
         .select(col("purchase_id"), col("user_id"), col("probe_ts"), col("value").as("last_click_value"))
         .orderBy("purchase_id")
     }),
@@ -270,10 +271,11 @@ object SparkEntry {
           Seq("l_quantity", "l_discount", "l_tax", "l_extendedprice")), s)),
     "q_asof_strict" -> ((s, dir) => {
       val ev = t(s, dir, "events")
-      val clicks = ev.where(col("event_type") === "click").select("user_id", "ts", "value")
+      val clicks = ev.where(col("event_type") === "click").select("user_id", "ts", "value", "event_id")
       val purchases = ev.where(col("event_type") === "purchase")
         .select(col("user_id"), col("ts").as("probe_ts"), col("event_id").as("purchase_id"))
-      AsOf.sortMerge(clicks, purchases, "user_id", "ts", "probe_ts", Seq("value"), strict = true)
+      AsOf.sortMerge(clicks, purchases, "user_id", "ts", "probe_ts", Seq("value"),
+        strict = true, tiebreak = Some("event_id"))
         .select(col("purchase_id"), col("value").as("last_click_value"))
         .orderBy("purchase_id")
     }),
@@ -433,7 +435,7 @@ object SparkEntry {
       """SELECT p.event_id AS purchase_id, p.user_id AS user_id, p.ts AS probe_ts,
         | (SELECT c.value FROM events c
         |   WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
-        |   ORDER BY c.ts DESC LIMIT 1) AS last_click_value
+        |   ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS last_click_value
         |FROM events p WHERE p.event_type = 'purchase' ORDER BY purchase_id""".stripMargin,
     "q_lag_lead" ->
       """SELECT event_id,
@@ -632,7 +634,7 @@ object SparkEntry {
       """SELECT p.event_id AS purchase_id,
         | (SELECT c.value FROM events c
         |   WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts < p.ts
-        |   ORDER BY c.ts DESC LIMIT 1) AS last_click_value
+        |   ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS last_click_value
         |FROM events p WHERE p.event_type = 'purchase' ORDER BY purchase_id""".stripMargin,
     "q_salted_count" ->
       "SELECT user_id, count(*) AS cnt FROM events GROUP BY 1 ORDER BY user_id",

@@ -75,9 +75,19 @@ final case class ReliefStep(
         struct(preds.map(p => ((col(p) - col("__a.av." + p)) / ranges(p)).as(p)): _*).as("diffs"),
         col("__h"))
 
-    val w = Window.partitionBy("aid", "isHit").orderBy(col("dist"), col("__h"))
+    // two-phase exact top-k: per-(anchor, side) partitions hold O(n) rows, so
+    // a direct row_number window would sort n rows in ONE task per group.
+    // Stage 1 takes the top-k within 64 hash sub-buckets (small parallel
+    // sorts); stage 2 merges the <= 64·k survivors per group — global top-k
+    // is exactly the top-k of the per-bucket top-ks.
+    val w1 = Window.partitionBy("aid", "isHit", "__bkt")
+      .orderBy(col("dist"), col("__h"))
+    val w2 = Window.partitionBy("aid", "isHit").orderBy(col("dist"), col("__h"))
     val nearest = exploded
-      .withColumn("__rn", row_number().over(w))
+      .withColumn("__bkt", pmod(xxhash64(col("__h"), lit(seed)), lit(64L)))
+      .withColumn("__rn1", row_number().over(w1))
+      .where(col("__rn1") <= neighbours)
+      .withColumn("__rn", row_number().over(w2))
       .where(col("__rn") <= neighbours)
       .select(col("aid"), col("isHit"), col("diffs"))
       .collect()

@@ -31,6 +31,10 @@ import org.apache.spark.sql.functions._
   */
 object AsOf {
 
+  /** `tiebreak`: optional event-side column appended to the merge ordering —
+    * among events sharing (key, ts), the one with the GREATEST tiebreak
+    * value is carried (deterministic). Without it, ties are resolved by
+    * upstream [[Windows.dedupLatest]] or are order-dependent. */
   def sortMerge(
       events: DataFrame,
       probes: DataFrame,
@@ -39,7 +43,8 @@ object AsOf {
       probeTs: String,
       eventCols: Seq[String],
       strict: Boolean = false,
-      toleranceSeconds: Option[Long] = None
+      toleranceSeconds: Option[Long] = None,
+      tiebreak: Option[String] = None
   ): DataFrame = {
     val probeCols = probes.columns.filterNot(c => c == key || c == probeTs).toSeq
     // side ordering implements the tie rule: inclusive => event (0) before
@@ -48,21 +53,28 @@ object AsOf {
 
     val e = events.select(
       Seq(col(key), col(eventTs).as("__ts"), lit(eventSide).as("__side"),
-        col(eventTs).as("__ets")) ++
+        col(eventTs).as("__ets"),
+        tiebreak.map(col).getOrElse(lit(0L)).as("__tb")) ++
         eventCols.map(c => col(c).as(s"__e_$c")) ++
         probeCols.map(c => lit(null).cast(probes.schema(c).dataType).as(c)) :+
         lit(null).cast(probes.schema(probeTs).dataType).as(probeTs): _*
     )
     val p = probes.select(
       Seq(col(key), col(probeTs).as("__ts"), lit(probeSide).as("__side"),
-        lit(null).cast(events.schema(eventTs).dataType).as("__ets")) ++
+        lit(null).cast(events.schema(eventTs).dataType).as("__ets"),
+        tiebreak.map(c => lit(null).cast(events.schema(c).dataType))
+          .getOrElse(lit(0L)).as("__tb")) ++
         eventCols.map(c => lit(null).cast(events.schema(c).dataType).as(s"__e_$c")) ++
         probeCols.map(col) :+
         col(probeTs): _*
     )
+    // __tb sorts nulls (probe rows) FIRST within a tie group, so at equal
+    // (ts, side=event) the greatest-tiebreak event is the last row the
+    // carry-forward window sees; probe rows keep their side-relative order
+    // because __side still precedes __tb.
     val w = Window
       .partitionBy(col(key))
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(col("__ts"), col("__side"), col("__tb").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = e.unionByName(p)
       .select(
@@ -98,11 +110,13 @@ object AsOf {
       eventTs: String,
       probeTs: String,
       eventCols: Seq[String],
-      strict: Boolean = false
+      strict: Boolean = false,
+      tiebreak: Option[String] = None
   ): DataFrame = {
     val probeCols = probes.columns.filterNot(c => c == key || c == probeTs).toSeq
     val e = events.select(
       col(key).as("__e_key") +: col(eventTs).as("__e_ts") +:
+        tiebreak.map(col).getOrElse(lit(0L)).as("__e_tb") +:
         eventCols.map(c => col(c).as(s"__e_$c")): _*)
     val p = probes.select(
       col(key).as("__p_key") +: col(probeTs).as("__p_ts") +:
@@ -110,9 +124,10 @@ object AsOf {
     val cond: Column =
       col("__e_key") === col("__p_key") &&
         (if (strict) col("__e_ts") < col("__p_ts") else col("__e_ts") <= col("__p_ts"))
+    // max_by over (ts, tiebreak) mirrors sortMerge's greatest-tiebreak rule
     val aggs =
       probeCols.map(c => first(col(s"__p_$c")).as(c)) ++
-        eventCols.map(c => max_by(col(s"__e_$c"), col("__e_ts")).as(c))
+        eventCols.map(c => max_by(col(s"__e_$c"), struct(col("__e_ts"), col("__e_tb"))).as(c))
     e.join(broadcast(p), cond, "right")
       .groupBy(col("__p_key").as(key), col("__p_ts").as(probeTs))
       .agg(aggs.head, aggs.tail: _*)

@@ -52,6 +52,22 @@ class TemporalSpec extends AnyFunSuite {
     assert(sm == bc)
   }
 
+  test("tiebreak column makes equal-(key, ts) events deterministic in both variants") {
+    // two events at the SAME (key, ts) — without a tiebreak the carried
+    // value is order-dependent; with one, the greatest tiebreak wins
+    val tied = Seq(
+      ("u1", ts("2024-01-01 00:00:00"), 1.0, 7L),
+      ("u1", ts("2024-01-01 00:00:00"), 2.0, 3L)
+    ).toDF("url", "warc_ts", "v", "eid")
+    val probe = Seq(("u1", ts("2024-01-02 00:00:00"), "x")).toDF("url", "label_ts", "label")
+    val sm = collectMap(AsOf.sortMerge(tied, probe, "url", "warc_ts", "label_ts", Seq("v"),
+      tiebreak = Some("eid")))
+    val bc = collectMap(AsOf.broadcastProbe(tied, probe, "url", "warc_ts", "label_ts", Seq("v"),
+      tiebreak = Some("eid")))
+    assert(sm("x").contains(1.0), "eid 7 > 3, so v=1.0 carries")
+    assert(bc == sm)
+  }
+
   test("sessionize: gap > threshold starts a new session") {
     val got = events.withColumn("sess", Windows.sessionId("url", "warc_ts", 2 * 86400))
       .orderBy("url", "warc_ts")
