@@ -46,6 +46,18 @@ object ImportanceExtractor {
         f -> (col.max - col.min) // spread of log-likelihood across classes
       }.toMap
     }
+  // coefficient-bearing models: |coef| convention as pull_importances does
+  // for glm/lm engines
+  implicit val svc: ImportanceExtractor[org.apache.spark.ml.classification.LinearSVCModel] =
+    (m, names) => names.zip(m.coefficients.toArray).toMap
+  implicit val glr: ImportanceExtractor[org.apache.spark.ml.regression.GeneralizedLinearRegressionModel] =
+    (m, names) => names.zip(m.coefficients.toArray).toMap
+  implicit val aft: ImportanceExtractor[org.apache.spark.ml.regression.AFTSurvivalRegressionModel] =
+    (m, names) => names.zip(m.coefficients.toArray).toMap
+  implicit val fmC: ImportanceExtractor[org.apache.spark.ml.classification.FMClassificationModel] =
+    (m, names) => names.zip(m.linear.toArray).toMap
+  implicit val fmR: ImportanceExtractor[org.apache.spark.ml.regression.FMRegressionModel] =
+    (m, names) => names.zip(m.linear.toArray).toMap
 }
 
 object ModelBased {

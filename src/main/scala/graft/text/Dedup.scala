@@ -203,21 +203,17 @@ object Dedup {
     require(signatures % bands == 0, "bands must divide the signature length")
     val sigs = minHashSignatures(df, id, text, n, signatures)
     val candidates = minHashCandidates(sigs, id, bands, signatures / bands)
-    val sh = shingleTable(df, id, text, n)
-    val sizes = sh.groupBy(id).agg(count(lit(1)).as("sz"))
-    val a = sh.select(col("shingle"), col(id).as("a"))
-    val b = sh.select(col("shingle"), col(id).as("b"))
-    // intersection counts only for candidate pairs: semi-restrict both sides
-    val inter = a.join(candidates.select("a").distinct(), "a")
-      .join(b.join(candidates.select("b").distinct(), "b"), "shingle")
-      .join(candidates, Seq("a", "b")) // keep only actual candidate pairs
-      .groupBy("a", "b")
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col(id).as("a"), col("sz").as("sza")), "a")
-      .join(sizes.select(col(id).as("b"), col("sz").as("szb")), "b")
+    // exact verify per CANDIDATE PAIR via array_intersect on the shingle
+    // sets — cost is O(|candidates| · avg shingle count), independent of
+    // shingle document frequency. (A relational shingle join here costs
+    // Σ_s df_a(s)·df_b(s), which explodes on ubiquitous shingles.)
+    val sh = df.select(col(id), shingles(col(text), n).as("__sh"))
+    candidates
+      .join(sh.select(col(id).as("a"), col("__sh").as("__sha")), "a")
+      .join(sh.select(col(id).as("b"), col("__sh").as("__shb")), "b")
+      .withColumn("__i", size(array_intersect(col("__sha"), col("__shb"))).cast("double"))
       .select(col("a"), col("b"),
-        (col("inter").cast("double") / (col("sza") + col("szb") - col("inter"))).as("jaccard"))
+        (col("__i") / (size(col("__sha")) + size(col("__shb")) - col("__i"))).as("jaccard"))
       .where(col("jaccard") >= minJaccard)
   }
 
