@@ -5,10 +5,13 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal columns: image/audio/video treated as opaque `binary` columns
   * with typed metadata. The Spark-side plumbing — schema, partitioning,
-  * batch iteration shape, container-format sniffing — is real; the actual
-  * media DECODE is STUBBED with a deterministic fake (the image/audio codec
-  * libraries are not in this container). Swap [[StubCodec.decodeImage]] for
-  * a real codec (e.g. TwelveMonkeys/JavaCV) without touching the plumbing.
+  * batch iteration shape, container-format sniffing — is real everywhere.
+  * The DECODE is real (pure-JVM parsers, no external codecs) for the
+  * uncompressed formats: 24-bit BMP images and 16-bit PCM WAV audio.
+  * Compressed codecs (jpeg/png/mp3/mp4) are STUBBED with a deterministic
+  * fake — those libraries are not in this container; swap
+  * [[StubCodec.decodeImage]] for a real codec (e.g. TwelveMonkeys/JavaCV)
+  * without touching the plumbing.
   */
 object BinaryFeatures {
 
@@ -19,6 +22,7 @@ object BinaryFeatures {
     when(h.startsWith("FFD8FF"), "jpeg")
       .when(h.startsWith("89504E47"), "png")
       .when(h.startsWith("47494638"), "gif")
+      .when(h.startsWith("424D"), "bmp")
       .when(h.startsWith("52494646") && substring(h, 17, 8) === "57415645", "wav")
       .when(substring(h, 9, 8) === "66747970", "mp4")
       .when(h.startsWith("3C68746D6C") || h.startsWith("3C21444F43") || h.startsWith("3C485454"), "html")
@@ -31,14 +35,80 @@ object BinaryFeatures {
       n_bytes: Long,
       format: String,
       content_hash: Long,
-      width: Int,     // stubbed decode output
-      height: Int,    // stubbed decode output
-      mean_luma: Double // stubbed decode output
+      width: Int,            // image decode (REAL for bmp; stub otherwise)
+      height: Int,
+      mean_luma: Double,     // BT.601 luma in [0,1]
+      sample_rate: Int,      // audio decode (REAL for wav/pcm16; 0 otherwise)
+      n_samples: Long,
+      mean_amplitude: Double, // mean |sample| / 32768 in [0,1]
+      decoded: String        // "real" | "stub"
   )
 
-  /** ====== STUB ====== deterministic fake decoder: derives pseudo
-    * dimensions/luma from a content hash. Replace with a real image codec;
-    * the signature (bytes in, small typed struct out) is the contract. */
+  /** REAL decoder: uncompressed 24-bit BMP (BITMAPINFOHEADER, no
+    * compression). Returns (width, height, mean BT.601 luma in [0,1]). */
+  def decodeBmp(b: Array[Byte]): Option[(Int, Int, Double)] = {
+    def le32(i: Int): Int =
+      (b(i) & 0xff) | (b(i + 1) & 0xff) << 8 | (b(i + 2) & 0xff) << 16 | (b(i + 3) & 0xff) << 24
+    def le16(i: Int): Int = (b(i) & 0xff) | (b(i + 1) & 0xff) << 8
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    val off = le32(10); val w = le32(18); val hRaw = le32(22)
+    val bpp = le16(28); val comp = le32(30)
+    if (w <= 0 || hRaw == 0 || bpp != 24 || comp != 0) return None
+    val h = math.abs(hRaw)
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    if (off < 0 || off.toLong + rowBytes.toLong * h > b.length) return None
+    var sum = 0.0
+    var r = 0
+    while (r < h) {
+      var c = 0
+      while (c < w) {
+        val p = off + r * rowBytes + c * 3
+        val bl = b(p) & 0xff; val g = b(p + 1) & 0xff; val rd = b(p + 2) & 0xff
+        sum += 0.299 * rd + 0.587 * g + 0.114 * bl
+        c += 1
+      }
+      r += 1
+    }
+    Some((w, h, sum / (w.toLong * h) / 255.0))
+  }
+
+  /** REAL decoder: RIFF/WAVE with 16-bit PCM. Walks the chunk list for
+    * "fmt " and "data". Returns (sampleRate, nSamples, mean |amplitude| in
+    * [0,1]). */
+  def decodeWav(b: Array[Byte]): Option[(Int, Long, Double)] = {
+    def le32(i: Int): Int =
+      (b(i) & 0xff) | (b(i + 1) & 0xff) << 8 | (b(i + 2) & 0xff) << 16 | (b(i + 3) & 0xff) << 24
+    def le16(i: Int): Int = (b(i) & 0xff) | (b(i + 1) & 0xff) << 8
+    def tag(i: Int): String = new String(b.slice(i, i + 4), "US-ASCII")
+    if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var i = 12
+    var sampleRate = -1; var bits = -1; var fmtCode = -1
+    var dataOff = -1; var dataLen = -1
+    while (i + 8 <= b.length && (sampleRate < 0 || dataOff < 0)) {
+      val id = tag(i); val sz = le32(i + 4)
+      if (id == "fmt " && i + 24 <= b.length) {
+        fmtCode = le16(i + 8); sampleRate = le32(i + 12); bits = le16(i + 22)
+      } else if (id == "data") {
+        dataOff = i + 8; dataLen = math.min(sz, b.length - dataOff)
+      }
+      i += 8 + sz + (sz & 1) // chunks are word-aligned
+    }
+    if (fmtCode != 1 || bits != 16 || sampleRate <= 0 || dataOff < 0 || dataLen < 2) return None
+    val n = dataLen / 2
+    var sum = 0.0
+    var s = 0
+    while (s < n) {
+      val v = (le16(dataOff + 2 * s) << 16) >> 16 // sign-extend int16
+      sum += math.abs(v.toDouble)
+      s += 1
+    }
+    Some((sampleRate, n.toLong, sum / n / 32768.0))
+  }
+
+  /** ====== STUB ====== deterministic fake decoder for COMPRESSED formats:
+    * derives pseudo dimensions/luma from a content hash. Replace with a real
+    * image codec; the signature (bytes in, small typed struct out) is the
+    * contract. */
   object StubCodec {
     def decodeImage(bytes: Array[Byte]): (Int, Int, Double) = {
       var h = 1125899906842597L
@@ -54,8 +124,9 @@ object BinaryFeatures {
   /** Per-partition batch decode — the mapInPandas analogue on the typed
     * Dataset API: one iterator pass per partition, no per-row task setup,
     * decode parallelism = partition parallelism. Metadata features
-    * (n_bytes, format via magic bytes, content hash) are REAL; width/
-    * height/mean_luma come from the stub codec. */
+    * (n_bytes, format via magic bytes, content hash) are REAL for every
+    * format; bmp/wav rows get REAL pixel/sample statistics, compressed
+    * formats fall back to the stub codec (marked `decoded = "stub"`). */
   def decodeFeatures(spark: SparkSession, media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.mapPartitions { it =>
@@ -64,8 +135,17 @@ object BinaryFeatures {
         var h = 1125899906842597L
         var i = 0
         while (i < row.bytes.length) { h = 31 * h + row.bytes(i); i += 1 }
-        val (w, ht, luma) = StubCodec.decodeImage(row.bytes)
-        MediaFeatures(row.id, row.bytes.length.toLong, fmt, h, w, ht, luma)
+        val bmp = if (fmt == "bmp") decodeBmp(row.bytes) else None
+        val wav = if (fmt == "wav") decodeWav(row.bytes) else None
+        (bmp, wav) match {
+          case (Some((w, ht, luma)), _) =>
+            MediaFeatures(row.id, row.bytes.length.toLong, fmt, h, w, ht, luma, 0, 0L, 0.0, "real")
+          case (_, Some((sr, n, amp))) =>
+            MediaFeatures(row.id, row.bytes.length.toLong, fmt, h, 0, 0, 0.0, sr, n, amp, "real")
+          case _ =>
+            val (w, ht, luma) = StubCodec.decodeImage(row.bytes)
+            MediaFeatures(row.id, row.bytes.length.toLong, fmt, h, w, ht, luma, 0, 0L, 0.0, "stub")
+        }
       }
     }
   }
@@ -75,6 +155,7 @@ object BinaryFeatures {
     if (at(0) == 0xff && at(1) == 0xd8 && at(2) == 0xff) "jpeg"
     else if (at(0) == 0x89 && at(1) == 0x50 && at(2) == 0x4e && at(3) == 0x47) "png"
     else if (at(0) == 0x47 && at(1) == 0x49 && at(2) == 0x46 && at(3) == 0x38) "gif"
+    else if (at(0) == 0x42 && at(1) == 0x4d) "bmp"
     else if (at(0) == 0x52 && at(1) == 0x49 && at(2) == 0x46 && at(3) == 0x46 &&
       at(8) == 0x57 && at(9) == 0x41 && at(10) == 0x56 && at(11) == 0x45) "wav"
     else if (at(4) == 0x66 && at(5) == 0x74 && at(6) == 0x79 && at(7) == 0x70) "mp4"

@@ -32,6 +32,20 @@ object StreamFeatures {
       .groupBy(window(col(tsCol), windowDur), col(keyCol))
       .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
 
+  /** Streaming exact dedup on a content fingerprint: keeps the FIRST row per
+    * md5(text) seen within the watermark horizon — the incremental analogue
+    * of [[graft.text.Dedup.exact]]. State is bounded by the watermark
+    * (duplicates arriving later than `watermark` after the original are not
+    * suppressed — the relational batch dedup is the backstop, as with any
+    * watermark-bounded streaming dedup). */
+  def dedupExactStream(events: DataFrame, tsCol: String, textCol: String,
+      watermark: String): DataFrame =
+    events
+      .withColumn("__fp", md5(encode(col(textCol), "UTF-8")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   def sessionize(spark: SparkSession, events: Dataset[Event], gapSeconds: Long): Dataset[SessionOut] = {
     import spark.implicits._
     events

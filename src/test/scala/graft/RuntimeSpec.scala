@@ -82,4 +82,49 @@ class RuntimeSpec extends AnyFunSuite {
       .map(_.getString(0)).sorted
     assert(viaCol.toSeq == got.map(_.format).sorted.toSeq)
   }
+
+  private def le16(v: Int): Seq[Byte] = Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def le32(v: Int): Seq[Byte] =
+    Seq(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff, (v >> 24) & 0xff).map(_.toByte)
+
+  test("REAL bmp decode: exact dimensions and BT.601 mean luma from raw pixels") {
+    import graft.multimodal.BinaryFeatures
+    // 2x2 24-bit BMP: bottom row white+black, top row red+blue; rows pad to 4
+    val pixels = Seq[Byte](
+      -1, -1, -1, 0, 0, 0, 0, 0, // white, black, pad
+      0, 0, -1, -1, 0, 0, 0, 0   // red (BGR), blue (BGR), pad
+    )
+    val bmp = ("BM".getBytes("US-ASCII").toSeq ++ le32(70) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(2) ++ le32(2) ++ le16(1) ++ le16(24) ++ le32(0) ++ le32(16) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++ pixels).toArray
+    val got = BinaryFeatures.decodeBmp(bmp).get
+    assert(got._1 == 2 && got._2 == 2)
+    val wantLuma = (255.0 + 0.0 + 0.299 * 255 + 0.114 * 255) / 4 / 255
+    assert(math.abs(got._3 - wantLuma) < 1e-9)
+    // end-to-end through the batch decoder: decoded = "real"
+    val ds = spark.createDataset(Seq(BinaryFeatures.MediaRow(1, bmp)))
+    val f = BinaryFeatures.decodeFeatures(spark, ds).collect().head
+    assert(f.format == "bmp" && f.decoded == "real" && f.width == 2 && f.height == 2)
+    assert(math.abs(f.mean_luma - wantLuma) < 1e-9)
+  }
+
+  test("REAL wav decode: PCM16 sample stats from the data chunk") {
+    import graft.multimodal.BinaryFeatures
+    val samples = Seq(16384, -16384, 32767, 0)
+    val data = samples.flatMap(le16)
+    val wav = ("RIFF".getBytes("US-ASCII").toSeq ++ le32(36 + data.length) ++
+      "WAVE".getBytes("US-ASCII").toSeq ++
+      "fmt ".getBytes("US-ASCII").toSeq ++ le32(16) ++ le16(1) ++ le16(1) ++
+      le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16) ++
+      "data".getBytes("US-ASCII").toSeq ++ le32(data.length) ++ data).toArray
+    val got = BinaryFeatures.decodeWav(wav).get
+    assert(got._1 == 8000 && got._2 == 4L)
+    val wantAmp = (16384.0 + 16384 + 32767 + 0) / 4 / 32768
+    assert(math.abs(got._3 - wantAmp) < 1e-12)
+    val ds = spark.createDataset(Seq(BinaryFeatures.MediaRow(2, wav)))
+    val f = BinaryFeatures.decodeFeatures(spark, ds).collect().head
+    assert(f.format == "wav" && f.decoded == "real")
+    assert(f.sample_rate == 8000 && f.n_samples == 4L)
+    assert(math.abs(f.mean_amplitude - wantAmp) < 1e-12)
+  }
 }

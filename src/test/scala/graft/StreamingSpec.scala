@@ -52,4 +52,25 @@ class StreamingSpec extends AnyFunSuite {
       assert(got(0).sessionEnd == ts("2024-01-01 00:05:00"))
     } finally q.stop()
   }
+
+  test("streaming exact dedup suppresses same-fingerprint rows within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // url doubles as the "text" whose md5 is the content fingerprint
+    val dd = StreamFeatures.dedupExactStream(input.toDF(), "ts", "url", "10 minutes")
+    val q = dd.writeStream.outputMode("append").format("memory").queryName("dd").start()
+    try {
+      input.addData(
+        Event("same-text", ts("2024-01-01 00:00:00"), 1.0),
+        Event("same-text", ts("2024-01-01 00:01:00"), 2.0), // dup within watermark
+        Event("other-text", ts("2024-01-01 00:02:00"), 3.0))
+      q.processAllAvailable()
+      input.addData(Event("same-text", ts("2024-01-01 00:03:00"), 4.0)) // still a dup
+      q.processAllAvailable()
+      val got = spark.sql("select url, value from dd order by value")
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      assert(got == Seq(("same-text", 1.0), ("other-text", 3.0)))
+    } finally q.stop()
+  }
 }
