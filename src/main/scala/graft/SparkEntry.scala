@@ -302,9 +302,13 @@ object SparkEntry {
         .map(r => (r.feature, r.df, BigDecimal(r.f).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
         .toDF("feature", "df", "f_stat")
     }),
-    "q_linear" -> ((s, dir) => tidy6(
+    // 4-dp rounding (not 6): MLlib's standardized normal-equation solve and
+    // the oracle's Cramer closed form agree to ~1e-7 relative on O(1e3)
+    // coefficients — within 4-dp granularity, marginal at 6
+    "q_linear" -> ((s, dir) =>
       LinearStep(topP = Some(2))
-        .fit(t(s, dir, "lineitem"), "l_extendedprice", liFeatures), s)),
+        .fit(t(s, dir, "lineitem"), "l_extendedprice", liFeatures)
+        .scoresDF(s).select(col("variable"), round(col("score"), 4).as("score"))),
     "q_tree" -> ((s, dir) => tidy6(
       TreeStep(topP = Some(2))
         .fit(t(s, dir, "lineitem"), "l_returnflag", liFeatures), s)),
@@ -427,6 +431,23 @@ object SparkEntry {
 
   private val liCase =
     "CASE f.feature WHEN 'l_quantity' THEN l_quantity WHEN 'l_discount' THEN l_discount ELSE l_tax END"
+
+  /** The LSH hyperplanes are deterministic (seeded splitmix), so the ORACLE
+    * can embed them as SQL literals generated here — Double.toString
+    * round-trips through DuckDB's parser to the identical double, and both
+    * engines sum the dot product in ascending index order, so the sign (and
+    * hence the bucket) is bit-identical. */
+  private def planeLit(p: Array[Double]): String =
+    p.map(java.lang.Double.toString).mkString("[", ", ", "]")
+
+  private def bucketSqlExpr(vec: String, planes: Array[Array[Double]]): String =
+    planes.zipWithIndex.map { case (pl, p) =>
+      s"""(CASE WHEN list_sum(list_transform(range(1, ${pl.length + 1}),
+         |   i -> CAST($vec[i] AS DOUBLE) * (${planeLit(pl)}::DOUBLE[])[i])) >= 0
+         | THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin
+    }.mkString("\n + ")
+
+  private lazy val lshPlanes6x64 = Similarity.hyperplanes(6, 64)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -852,6 +873,53 @@ object SparkEntry {
         |       * sqrt(list_sum(list_transform(r.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS c
         |  FROM derived l JOIN derived r ON l.vec_id < r.vec_id)
         |SELECT a, b, round(c, 6) AS cosine FROM p WHERE c >= 0.95 ORDER BY a, b""".stripMargin,
+    "q_lsh_buckets" ->
+      s"""SELECT bucket, count(*) AS n FROM (
+         |  SELECT ${bucketSqlExpr("embedding", lshPlanes6x64)} AS bucket FROM embeddings) t
+         |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_knn_lsh" ->
+      s"""WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+         |qb AS (SELECT ${bucketSqlExpr("e", lshPlanes6x64)} AS qbucket FROM q),
+         |b AS (SELECT vec_id, embedding,
+         |        ${bucketSqlExpr("embedding", lshPlanes6x64)} AS bucket
+         |      FROM embeddings),
+         |cand AS (SELECT vec_id, embedding FROM b CROSS JOIN qb
+         |         WHERE bit_count(xor(bucket, qbucket)) <= 2),
+         |s AS (
+         |  SELECT c.vec_id,
+         |    list_sum(list_transform(range(1, len(c.embedding) + 1),
+         |      i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.e[i] AS DOUBLE)))
+         |    / (sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |       * sqrt(list_sum(list_transform(q.e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cs
+         |  FROM cand c CROSS JOIN q)
+         |SELECT vec_id, round(cs, 6) AS cosine FROM s ORDER BY cs DESC, vec_id LIMIT 10""".stripMargin,
+    // OLS with intercept over centered covariances, solved by Cramer's rule
+    // — the closed form of MLlib LinearRegression with regParam 0
+    "q_linear" ->
+      """WITH m AS (SELECT avg(l_quantity) AS m1, avg(l_discount) AS m2, avg(l_tax) AS m3,
+        |                  avg(l_extendedprice) AS my FROM lineitem),
+        |s AS (SELECT
+        |  sum((l_quantity - m1) * (l_quantity - m1)) AS a,
+        |  sum((l_quantity - m1) * (l_discount - m2)) AS b,
+        |  sum((l_quantity - m1) * (l_tax - m3)) AS c,
+        |  sum((l_discount - m2) * (l_discount - m2)) AS d,
+        |  sum((l_discount - m2) * (l_tax - m3)) AS e,
+        |  sum((l_tax - m3) * (l_tax - m3)) AS f,
+        |  sum((l_quantity - m1) * (l_extendedprice - my)) AS p,
+        |  sum((l_discount - m2) * (l_extendedprice - my)) AS q,
+        |  sum((l_tax - m3) * (l_extendedprice - my)) AS r
+        | FROM lineitem CROSS JOIN m),
+        |d AS (SELECT
+        |  a*(d*f - e*e) - b*(b*f - e*c) + c*(b*e - d*c) AS det,
+        |  p*(d*f - e*e) - b*(q*f - e*r) + c*(q*e - d*r) AS det1,
+        |  a*(q*f - e*r) - p*(b*f - e*c) + c*(b*r - q*c) AS det2,
+        |  a*(d*r - q*e) - b*(b*r - q*c) + p*(b*e - d*c) AS det3
+        | FROM s)
+        |SELECT variable, round(abs(coef), 4) AS score FROM (
+        |  SELECT 'l_quantity' AS variable, det1/det AS coef FROM d
+        |  UNION ALL SELECT 'l_discount', det2/det FROM d
+        |  UNION ALL SELECT 'l_tax', det3/det FROM d)
+        |ORDER BY variable""".stripMargin,
     "q_knn_ivf" ->
       """WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
         |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
