@@ -920,6 +920,43 @@ object SparkEntry {
         |  UNION ALL SELECT 'l_discount', det2/det FROM d
         |  UNION ALL SELECT 'l_tax', det3/det FROM d)
         |ORDER BY variable""".stripMargin,
+    // replays BOTH pipeline steps: step 1 = |pearson| top_p=3 of 4 (exclude
+    // the lowest); step 2 = |spearman| over the survivors with threshold
+    // 0.5 — dual_filter keeps score >= type-7 quantile(0.5), and DuckDB's
+    // quantile_cont IS the type-7 interpolation, so the kernel's threshold
+    // branch is verified cross-engine
+    // NOTE: c2 MUST be materialized — inlined CTEs are re-evaluated per
+    // reference with run-varying parallel-aggregation summation order, and
+    // comparing a score against a quantile of a last-ulp-different copy of
+    // itself flips the boundary row nondeterministically
+    "q_select_pipeline" ->
+      """WITH c1 AS MATERIALIZED (
+        |  SELECT 'l_quantity' AS variable, abs(corr(l_quantity, l_extendedprice)) AS ac FROM lineitem
+        |  UNION ALL SELECT 'l_discount', abs(corr(l_discount, l_extendedprice)) FROM lineitem
+        |  UNION ALL SELECT 'l_tax', abs(corr(l_tax, l_extendedprice)) FROM lineitem
+        |  UNION ALL SELECT 'l_partkey', abs(corr(l_partkey, l_extendedprice)) FROM lineitem),
+        |ex1 AS (SELECT variable FROM (
+        |  SELECT variable, row_number() OVER (ORDER BY ac DESC) AS rn FROM c1) t WHERE rn > 3),
+        |r AS (
+        |  SELECT
+        |    rank() OVER (ORDER BY l_quantity) + (count(*) OVER (PARTITION BY l_quantity) - 1) / 2.0 AS rq,
+        |    rank() OVER (ORDER BY l_discount) + (count(*) OVER (PARTITION BY l_discount) - 1) / 2.0 AS rd,
+        |    rank() OVER (ORDER BY l_tax) + (count(*) OVER (PARTITION BY l_tax) - 1) / 2.0 AS rt,
+        |    rank() OVER (ORDER BY l_partkey) + (count(*) OVER (PARTITION BY l_partkey) - 1) / 2.0 AS rp,
+        |    rank() OVER (ORDER BY l_extendedprice) + (count(*) OVER (PARTITION BY l_extendedprice) - 1) / 2.0 AS ry
+        |  FROM lineitem),
+        |c2 AS MATERIALIZED (
+        |  SELECT 'l_quantity' AS variable, abs(corr(rq, ry)) AS ac FROM r
+        |  UNION ALL SELECT 'l_discount', abs(corr(rd, ry)) FROM r
+        |  UNION ALL SELECT 'l_tax', abs(corr(rt, ry)) FROM r
+        |  UNION ALL SELECT 'l_partkey', abs(corr(rp, ry)) FROM r),
+        |rem AS MATERIALIZED (SELECT * FROM c2 WHERE variable NOT IN (SELECT variable FROM ex1)),
+        |qv AS (SELECT quantile_cont(ac, 0.5) AS q FROM rem),
+        |ex2 AS (SELECT variable FROM rem CROSS JOIN qv WHERE ac < q)
+        |SELECT step, excluded FROM (
+        |  SELECT 'step_select_corr_pearson' AS step, variable AS excluded FROM ex1
+        |  UNION ALL SELECT 'step_select_corr_spearman', variable FROM ex2)
+        |ORDER BY step, excluded""".stripMargin,
     "q_knn_ivf" ->
       """WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
         |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
