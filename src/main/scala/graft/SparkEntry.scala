@@ -920,6 +920,68 @@ object SparkEntry {
         |  UNION ALL SELECT 'l_discount', det2/det FROM d
         |  UNION ALL SELECT 'l_tax', det3/det FROM d)
         |ORDER BY variable""".stripMargin,
+    // Full greedy mRMR replay: DuckDB's quantile_disc returns the same data
+    // values as Spark's exact approxQuantile (verified bit-for-bit on these
+    // columns), so the equal-frequency bins match; the pairwise-MI table
+    // then drives the same argmax-by-(criterion, input-order) selection.
+    // MATERIALIZED mi for the self-consistency reason documented on
+    // q_select_pipeline.
+    "q_mrmr" ->
+      """WITH cuts AS MATERIALIZED (SELECT
+        |  quantile_disc(l_quantity, [0.2, 0.4, 0.6, 0.8]) AS cq,
+        |  quantile_disc(l_discount, [0.2, 0.4, 0.6, 0.8]) AS cd,
+        |  quantile_disc(l_tax, [0.2, 0.4, 0.6, 0.8]) AS ct FROM lineitem),
+        |b AS (SELECT
+        |  CASE WHEN l_quantity <= cq[1] THEN 1 WHEN l_quantity <= cq[2] THEN 2
+        |       WHEN l_quantity <= cq[3] THEN 3 WHEN l_quantity <= cq[4] THEN 4 ELSE 5 END AS f1,
+        |  CASE WHEN l_discount <= cd[1] THEN 1 WHEN l_discount <= cd[2] THEN 2
+        |       WHEN l_discount <= cd[3] THEN 3 WHEN l_discount <= cd[4] THEN 4 ELSE 5 END AS f2,
+        |  CASE WHEN l_tax <= ct[1] THEN 1 WHEN l_tax <= ct[2] THEN 2
+        |       WHEN l_tax <= ct[3] THEN 3 WHEN l_tax <= ct[4] THEN 4 ELSE 5 END AS f3,
+        |  l_returnflag AS y
+        | FROM lineitem CROSS JOIN cuts),
+        |pairs AS (
+        |  SELECT 'l_quantity|__y' AS pr, CAST(f1 AS VARCHAR) AS xa, y AS xb FROM b
+        |  UNION ALL SELECT 'l_discount|__y', CAST(f2 AS VARCHAR), y FROM b
+        |  UNION ALL SELECT 'l_tax|__y', CAST(f3 AS VARCHAR), y FROM b
+        |  UNION ALL SELECT 'l_quantity|l_discount', CAST(f1 AS VARCHAR), CAST(f2 AS VARCHAR) FROM b
+        |  UNION ALL SELECT 'l_quantity|l_tax', CAST(f1 AS VARCHAR), CAST(f3 AS VARCHAR) FROM b
+        |  UNION ALL SELECT 'l_discount|l_tax', CAST(f2 AS VARCHAR), CAST(f3 AS VARCHAR) FROM b),
+        |j AS (SELECT pr, xa, xb, CAST(count(*) AS DOUBLE) AS c FROM pairs GROUP BY 1, 2, 3),
+        |tot AS (SELECT pr, sum(c) AS n FROM j GROUP BY 1),
+        |hx AS (SELECT jx.pr, -sum(cx / n * ln(cx / n)) AS hx
+        |       FROM (SELECT pr, xa, sum(c) AS cx FROM j GROUP BY 1, 2) jx
+        |       JOIN tot USING (pr) GROUP BY 1),
+        |hy AS (SELECT jy.pr, -sum(cy / n * ln(cy / n)) AS hy
+        |       FROM (SELECT pr, xb, sum(c) AS cy FROM j GROUP BY 1, 2) jy
+        |       JOIN tot USING (pr) GROUP BY 1),
+        |hxy AS (SELECT j.pr, -sum(c / n * ln(c / n)) AS hxy
+        |        FROM j JOIN tot USING (pr) GROUP BY 1),
+        |miu AS (SELECT pr, hx + hy - hxy AS v
+        |        FROM hx JOIN hy USING (pr) JOIN hxy USING (pr)),
+        |mi AS MATERIALIZED (
+        |  SELECT split_part(pr, '|', 1) AS a, split_part(pr, '|', 2) AS b2, v FROM miu
+        |  UNION ALL
+        |  SELECT split_part(pr, '|', 2), split_part(pr, '|', 1), v FROM miu
+        |  WHERE split_part(pr, '|', 2) != '__y'),
+        |ord AS (SELECT * FROM (VALUES ('l_quantity', 1), ('l_discount', 2), ('l_tax', 3)) o(f, idx)),
+        |rel AS MATERIALIZED (SELECT a AS f, v AS rel FROM mi WHERE b2 = '__y'),
+        |s1 AS MATERIALIZED (SELECT f, rel AS score FROM rel JOIN ord USING (f)
+        |                    ORDER BY rel DESC, idx LIMIT 1),
+        |s2 AS MATERIALIZED (
+        |  SELECT rel.f, rel.rel - mi.v AS score FROM rel
+        |  JOIN mi ON mi.a = rel.f AND mi.b2 = (SELECT f FROM s1)
+        |  JOIN ord ON ord.f = rel.f
+        |  WHERE rel.f != (SELECT f FROM s1)
+        |  ORDER BY score DESC, idx LIMIT 1),
+        |s3 AS (
+        |  SELECT rel.f, rel.rel - (m1.v + m2.v) / 2 AS score FROM rel
+        |  JOIN mi m1 ON m1.a = rel.f AND m1.b2 = (SELECT f FROM s1)
+        |  JOIN mi m2 ON m2.a = rel.f AND m2.b2 = (SELECT f FROM s2)
+        |  WHERE rel.f NOT IN (SELECT f FROM s1 UNION ALL SELECT f FROM s2))
+        |SELECT f AS variable, round(score, 6) AS score FROM (
+        |  SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3) t
+        |ORDER BY variable""".stripMargin,
     // replays BOTH pipeline steps: step 1 = |pearson| top_p=3 of 4 (exclude
     // the lowest); step 2 = |spearman| over the survivors with threshold
     // 0.5 — dual_filter keeps score >= type-7 quantile(0.5), and DuckDB's
