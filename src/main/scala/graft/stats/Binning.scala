@@ -44,15 +44,18 @@ object Binning {
     val counts = nn.groupBy("feature", "value").agg(count(lit(1)).as("__cnt"))
     val wv = Window.partitionBy("feature").orderBy("value")
       .rowsBetween(Window.unboundedPreceding, -1)
+    val wf = Window.partitionBy("feature")
+    // __before and __n in ONE window pass over the counts table — a second
+    // aggregation would re-execute the whole upstream scan (Catalyst does
+    // not share re-referenced subtrees)
     val cumTable = counts.select(
       col("feature").as("__f"), col("value").as("__v"),
-      coalesce(sum("__cnt").over(wv), lit(0L)).as("__before"))
-    val nTable = nn.groupBy(col("feature").as("__f2")).agg(count(lit(1)).as("__n"))
+      coalesce(sum("__cnt").over(wv), lit(0L)).as("__before"),
+      sum("__cnt").over(wf).as("__n"))
     val wt = Window.partitionBy(col("feature"), col("value")).orderBy(tiebreak)
     val ranked = nn
       .withColumn("__rnw", row_number().over(wt))
       .join(cumTable, col("feature") === col("__f") && col("value") === col("__v"))
-      .join(nTable, col("feature") === col("__f2"))
       .withColumn("__rank", col("__before") + col("__rnw"))
     val size = floor(col("__n") / nbins)
     val rem = col("__n") % nbins
@@ -61,7 +64,7 @@ object Binning {
       .otherwise(rem + floor((col("__rank") - boundary - 1) / size) + 1)
     val withBin = ranked
       .withColumn(outCol, bucket.cast("int"))
-      .drop("__f", "__v", "__f2", "__before", "__n", "__rnw", "__rank")
+      .drop("__f", "__v", "__before", "__n", "__rnw", "__rank")
     val nulls = long.where(col("value").isNull)
       .withColumn(outCol, lit(null).cast("int"))
     withBin.unionByName(nulls)

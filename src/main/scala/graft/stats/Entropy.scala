@@ -31,25 +31,39 @@ object Entropy {
   case object GainRatio extends Kind { val name = "gainratio" }
   case object SymUncert extends Kind { val name = "symuncert" }
 
-  /** Per-feature joint-entropy terms → DataFrame(feature, hx, hy, hxy). */
+  /** Per-feature joint-entropy terms → DataFrame(feature, hx, hy, hxy).
+    *
+    * ONE pass over the input: the joint counts table (p·|X|·|Y| rows after
+    * the map-side-combined groupBy) is referenced exactly once; marginals
+    * come from window sums over it. The previous formulation derived hx/hy/
+    * hxy/n as four separate aggregations JOINED back — Catalyst re-executes
+    * each re-referenced subtree, so the BASE TABLE was scanned four times
+    * per entropy call (observed: 21 scans in q_entropy_scores' full plan).
+    */
   def entropyTerms(long: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val joint = long
       .where(col("xb").isNotNull && col("yb").isNotNull)
       .groupBy("feature", "xb", "yb")
       .agg(count(lit(1)).as("c"))
-
-    val n = joint.groupBy("feature").agg(sum("c").as("n"))
-
-    def h(grouped: DataFrame): DataFrame =
-      grouped
-        .join(n, "feature")
-        .groupBy("feature")
-        .agg((-sum(col("c") / col("n") * log(col("c") / col("n")))).as("h"))
-
-    val hx = h(joint.groupBy("feature", "xb").agg(sum("c").as("c"))).withColumnRenamed("h", "hx")
-    val hy = h(joint.groupBy("feature", "yb").agg(sum("c").as("c"))).withColumnRenamed("h", "hy")
-    val hxy = h(joint).withColumnRenamed("h", "hxy")
-    hx.join(hy, "feature").join(hxy, "feature")
+    val wf = Window.partitionBy("feature")
+    val wx = Window.partitionBy("feature", "xb")
+    val wy = Window.partitionBy("feature", "yb")
+    // rx/ry pick ONE row per marginal group so each marginal term is
+    // summed exactly once in the final per-feature aggregation
+    joint
+      .withColumn("n", sum("c").over(wf))
+      .withColumn("cx", sum("c").over(wx))
+      .withColumn("cy", sum("c").over(wy))
+      .withColumn("rx", row_number().over(wx.orderBy("yb")))
+      .withColumn("ry", row_number().over(wy.orderBy("xb")))
+      .groupBy("feature")
+      .agg(
+        (-sum(when(col("rx") === 1, col("cx") / col("n") * log(col("cx") / col("n")))
+          .otherwise(0.0))).as("hx"),
+        (-sum(when(col("ry") === 1, col("cy") / col("n") * log(col("cy") / col("n")))
+          .otherwise(0.0))).as("hy"),
+        (-sum(col("c") / col("n") * log(col("c") / col("n")))).as("hxy"))
   }
 
   /** DataFrame(feature, score) for the requested variant. */

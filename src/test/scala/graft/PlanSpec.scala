@@ -52,6 +52,24 @@ class PlanSpec extends AnyFunSuite {
       s"expected partial aggregation in:\n$p")
   }
 
+  test("entropy scoring scans the base table O(1) times — no subtree re-execution blowup") {
+    // Catalyst re-executes every re-referenced subtree: the join-of-four-
+    // aggregations formulation scanned lineitem 21 TIMES here. The window
+    // formulation is pinned to stay scan-frugal.
+    val df = SparkEntry.queries("q_entropy_scores")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans <= 5, s"expected <=5 parquet scans, got $scans")
+  }
+
+  test("no registered query plans a CartesianProduct") {
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val p = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product:\n$p")
+    }
+  }
+
   test("src/main has no unmarked global (no-partitionBy) window — single-partition sorts are banned") {
     // Window.orderBy(...) without a partitionBy collapses the dataset into
     // ONE task — the canonical 100-TB scale-killer. The only sanctioned use
