@@ -155,7 +155,10 @@ object Dedup {
           xxhash64(lit(b), concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
         ): _*)
       ).as(Seq("band", "bucket"))
-    )
+    ).cache() // both self-join sides re-execute the signature computation
+              // otherwise (Catalyst shares no re-referenced subtree); the
+              // banded table is docs×bands rows of (band, bucket, id) —
+              // a sliver of the corpus
     val l = banded.select(col("band"), col("bucket"), col(id).as("a"))
     val r = banded.select(col("band"), col("bucket"), col(id).as("b"))
     l.join(r, Seq("band", "bucket"))
@@ -225,7 +228,7 @@ object Dedup {
       col(id), col("simhash"),
       posexplode(array((0 until 4).map(s =>
         shiftright(col("simhash"), s * 16).bitwiseAND(0xffffL)): _*)).as(Seq("seg", "segval"))
-    )
+    ).cache() // same self-join subtree-sharing rationale as minHashCandidates
     val l = seg.select(col("seg"), col("segval"), col(id).as("a"), col("simhash").as("ha"))
     val r = seg.select(col("seg"), col("segval"), col(id).as("b"), col("simhash").as("hb"))
     l.join(r, Seq("seg", "segval"))

@@ -66,6 +66,24 @@ class Round2Spec extends AnyFunSuite {
     assert(math.abs(ChiSq.fisherExactRxC(t23).get - ChiSq.fisherExactRxC(tT).get) < 1e-12)
   }
 
+  test("XtabStep fisher mode scores r×c (3-level × 3-class) factors end-to-end") {
+    // the reference calls stats::fisher.test on ANY table
+    // (step_select_xtab.R:96) — pre-round-2 the engine returned None for
+    // tables beyond 2×2; now both features get exact p-scores
+    val iris = GoldenFixtures.irisLike(spark)
+    val cat = iris
+      .withColumn("x3lvl", when(col("f1") > 1.5, "hi").when(col("f1") > 0, "mid").otherwise("lo"))
+      .withColumn("x2lvl", when(col("f3") > 0, "a").otherwise("b"))
+    val fitted = graft.select.XtabStep(topP = Some(1), fisher = true, fdr = false)
+      .fit(cat, "species", Seq("x3lvl", "x2lvl"))
+    val scores = fitted.scores.toMap
+    assert(scores("x3lvl").isDefined, "3x3 Fisher must produce a p, not None")
+    assert(scores("x2lvl").isDefined)
+    assert(scores.values.flatten.forall(p => p >= 0 && p <= 1))
+    // x3lvl is derived from the informative f1 -> far smaller p than the 2-level split of noisy f3
+    assert(scores("x3lvl").get < scores("x2lvl").get)
+  }
+
   test("fisher r×c enumeration budget exceeded returns None, not a wrong p") {
     val big = Array(Array(500L, 600L, 700L), Array(800L, 900L, 1000L), Array(400L, 300L, 200L))
     assert(ChiSq.fisherExactRxC(big, budget = 1000L).isEmpty)
