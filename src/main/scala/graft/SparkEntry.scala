@@ -325,11 +325,16 @@ object SparkEntry {
       tidy6(BorutaStep(maxRuns = 6, trees = 10)
         .fit(sampled, "l_returnflag", liFeatures), s)
     }),
+    // one third WAVs, one third BMPs (REAL pure-JVM decodes: sample stats /
+    // pixel luma), one third raw text (sniff + stub path) — all payloads
+    // deterministically derived from (doc_id, text)
     "q_media_features" -> ((s, dir) => {
       import s.implicits._
       val media = t(s, dir, "documents")
-        .select(col("doc_id").as("id"), encode(col("text"), "UTF-8").as("bytes"))
-        .as[BinaryFeatures.MediaRow]
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          BinaryFeatures.MediaRow(id, BinaryFeatures.syntheticMedia(id, text))
+        }
       BinaryFeatures.decodeFeatures(s, media).toDF().orderBy("id")
     }),
     "q_simhash_sigs" -> ((s, dir) =>

@@ -163,6 +163,34 @@ object BinaryFeatures {
     else "unknown"
   }
 
+  private def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def le32(v: Int): Array[Byte] =
+    Array(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff, (v >> 24) & 0xff).map(_.toByte)
+
+  /** Deterministic synthetic media payload so the decode pipeline can be
+    * exercised end-to-end without external codec fixtures: id mod 3 selects
+    * a PCM16 WAV (8 samples derived from the id), a 2×2 24-bit BMP (pixels
+    * derived from the id), or the raw text bytes (stub/sniff path). */
+  def syntheticMedia(id: Long, text: String): Array[Byte] = (id % 3) match {
+    case 0 =>
+      val samples = (0 until 8).map(i => (((id * 131 + i * 2654435761L) % 65536) - 32768).toInt)
+      val data = samples.flatMap(le16).toArray
+      "RIFF".getBytes("US-ASCII") ++ le32(36 + data.length) ++ "WAVE".getBytes("US-ASCII") ++
+        "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(1) ++
+        le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16) ++
+        "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
+    case 1 =>
+      val px = (0 until 4).map(i => ((id * 2654435761L + i * 40503) % 256).toInt)
+      val pixels = Array(
+        px(0), px(1), px(2), px(3), px(0), px(1), 0, 0, // row 0 (BGR,BGR,pad)
+        px(2), px(3), px(0), px(1), px(2), px(3), 0, 0 // row 1
+      ).map(_.toByte)
+      "BM".getBytes("US-ASCII") ++ le32(70) ++ le32(0) ++ le32(54) ++
+        le32(40) ++ le32(2) ++ le32(2) ++ le16(1) ++ le16(24) ++ le32(0) ++ le32(16) ++
+        le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++ pixels
+    case _ => text.getBytes("UTF-8")
+  }
+
   /** Frame sampling stub for video-like payloads: REAL byte-range slicing
     * (every k-th chunk of `chunk` bytes — the seek pattern a real demuxer
     * would use), fake frame decode. */
