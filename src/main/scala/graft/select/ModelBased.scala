@@ -58,6 +58,23 @@ object ImportanceExtractor {
     (m, names) => names.zip(m.linear.toArray).toMap
   implicit val fmR: ImportanceExtractor[org.apache.spark.ml.regression.FMRegressionModel] =
     (m, names) => names.zip(m.linear.toArray).toMap
+
+  /** pull_importances.default analogue (pull_importances.R:62–68): probe the
+    * common importance slots reflectively — `featureImportances` (tree
+    * ensembles) first, then `coefficients` (linear family) — so ANY fitted
+    * MLlib model works without a dedicated instance; unknown shapes abort
+    * with the reference's message. */
+  def generic(model: Any, names: Seq[String]): Map[String, Double] = {
+    def slot(m: String): Option[Array[Double]] =
+      scala.util.Try(model.getClass.getMethod(m).invoke(model)).toOption.collect {
+        case v: org.apache.spark.ml.linalg.Vector => v.toArray
+      }
+    slot("featureImportances").orElse(slot("coefficients"))
+      .map(arr => names.zip(arr).toMap)
+      .getOrElse(throw new IllegalArgumentException(
+        "No method for pulling feature importances is defined for " +
+          model.getClass.getSimpleName))
+  }
 }
 
 object ModelBased {

@@ -174,6 +174,27 @@ class Round2Spec extends AnyFunSuite {
     assert(scores("inf").get == 100.0, "rescaled 0-100")
   }
 
+  test("generic importance extractor probes featureImportances then coefficients, aborts otherwise") {
+    val r4 = new scala.util.Random(17)
+    val df = (0 until 200).map { _ =>
+      val a = r4.nextGaussian(); val b = r4.nextGaussian()
+      (a, b, 2 * a + r4.nextGaussian() * 0.1)
+    }.toDF("a", "b", "y")
+    val assembled = new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(Array("a", "b")).setOutputCol("__features").transform(df)
+    val rf = new org.apache.spark.ml.regression.RandomForestRegressor()
+      .setFeaturesCol("__features").setLabelCol("y").setNumTrees(5).setSeed(1L).fit(assembled)
+    val viaGeneric = ImportanceExtractor.generic(rf, Seq("a", "b"))
+    val viaInstance = implicitly[ImportanceExtractor[
+      org.apache.spark.ml.regression.RandomForestRegressionModel]].importances(rf, Seq("a", "b"))
+    assert(viaGeneric == viaInstance)
+    val lr = new org.apache.spark.ml.regression.LinearRegression()
+      .setFeaturesCol("__features").setLabelCol("y").fit(assembled)
+    assert(ImportanceExtractor.generic(lr, Seq("a", "b")).keySet == Set("a", "b"))
+    val err = intercept[IllegalArgumentException](ImportanceExtractor.generic("not a model", Seq("a")))
+    assert(err.getMessage.contains("No method for pulling feature importances"))
+  }
+
   // ---- portable (md5) dedup variants ----------------------------------------
 
   lazy val docs = Seq(
