@@ -95,15 +95,24 @@ object Bench {
     val hw8 = Seq(hwThroughput(8), hwThroughput(8)).max
     val hw32 = Seq(hwThroughput(32), hwThroughput(32)).max
     val hwSpeedup = math.min(4.0, hw32 / hw8)
-    val pairs = (1 to 3).map { _ =>
+    // ADAPTIVE reps: a steal burst can hit every rep of one level in a
+    // 3-pair window (observed: all three 32-thread reps 1.5-2x slow while
+    // the 8-thread reps ran clean). Keep sampling interleaved pairs until
+    // each level's minimum is CONFIRMED by a second rep within 20% of it,
+    // capped at 7 pairs.
+    val t8s = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val t32s = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var rows32 = 0L
+    def confirmed(ts: Seq[Double]) = ts.count(_ <= ts.min * 1.2) >= 2
+    while (t8s.size < 7 && (t8s.size < 3 || !(confirmed(t8s.toSeq) && confirmed(t32s.toSeq)))) {
       val a = timeScaling(8, scaleRows, scaleRows / 10)
       val b = timeScaling(32, scaleRows, scaleRows / 10)
       require(a._1 == b._1, s"scaling probe rows diverged: ${a._1} vs ${b._1}")
-      (a, b)
+      rows32 = b._1
+      t8s += a._2; t32s += b._2
     }
-    val rows32 = pairs.head._2._1
-    val sec8 = pairs.map(_._1._2).min
-    val sec32 = pairs.map(_._2._2).min
+    val sec8 = t8s.min
+    val sec32 = t32s.min
     val rps8 = rows32 / sec8
     val rps32 = rows32 / sec32
     val speedup = math.min(4.0, rps32 / rps8) // physically bounded by thread ratio
