@@ -128,6 +128,21 @@ object Similarity {
     df.withColumn("cell", greatest(sims: _*).getField("cell"))
   }
 
+  /** Deterministic IVF centroid seeding: the k vectors with the smallest
+    * seeded id-hash — a hash-random sample that is identical at any
+    * parallelism (no RNG, no data-order dependence). Lloyd refinement is
+    * deliberately NOT applied here: distributed float averaging is
+    * summation-order-dependent, which would break the engine's
+    * rerun/parallelism determinism contract; callers wanting refined
+    * centroids should refine offline and pass them in. */
+  def seedCentroids(df: DataFrame, idCol: String, vecCol: String, k: Int, seed: Long = 42L): Seq[Seq[Double]] =
+    df.select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
+      .limit(k)
+      .collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toSeq)
+      .toSeq
+
   private def cosLocal(a: Seq[Double], b: Seq[Double]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }

@@ -141,6 +141,15 @@ class Round2Spec extends AnyFunSuite {
     assert(ivf == brute)
   }
 
+  test("seedCentroids: deterministic across parallelism, k distinct vectors") {
+    val c1 = Similarity.seedCentroids(vdf, "id", "v", 4)
+    val c2 = Similarity.seedCentroids(vdf.repartition(7), "id", "v", 4)
+    assert(c1 == c2, "hash-random sample must not depend on partitioning")
+    assert(c1.size == 4 && c1.distinct.size == 4)
+    val ivf = Similarity.ivfTopK(vdf, "id", "v", query, 5, c1, nprobe = 4)
+    assert(ivf.collect().length == 5)
+  }
+
   test("ivfTopK probes nearest cells first: planted duplicate always found") {
     val planted = vdf.unionByName(Seq((9999L, vecs.head._2.map(x => x * 3.0f))).toDF("id", "v"))
     val centroids = vecs.take(4).map(_._2.map(_.toDouble).toSeq)
