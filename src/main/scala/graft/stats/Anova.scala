@@ -26,10 +26,15 @@ object Anova {
     require(predictors.nonEmpty, "aov needs at least one predictor")
     val data = df.na.drop(predictors :+ outcome)
 
-    // distinct levels per predictor (sorted — R factor level order)
-    val levels: Map[String, Seq[String]] = predictors.map { p =>
-      p -> data.select(col(p).cast("string")).distinct()
-        .collect().map(_.getString(0)).sorted.toSeq
+    // distinct levels per predictor (sorted — R factor level order), ALL
+    // predictors in ONE aggregation pass: a distinct().collect() per
+    // predictor would re-scan the base table p times
+    val setsRow = data.agg(
+      collect_set(col(predictors.head).cast("string")).as(predictors.head),
+      predictors.tail.map(p => collect_set(col(p).cast("string")).as(p)): _*
+    ).head()
+    val levels: Map[String, Seq[String]] = predictors.zipWithIndex.map { case (p, i) =>
+      p -> setsRow.getSeq[String](i).sorted.toSeq
     }.toMap
 
     // dummy design: intercept + treatment coding (drop first level)

@@ -33,42 +33,43 @@ object Correlation {
     }.toMap
   }
 
-  /** Exact per-column mid-rank TABLE (value → midrank) built from
-    * per-value counts: the window runs over DISTINCT values only, so no
-    * single-partition row sort ever happens. midrank(v) =
-    * (#rows with value < v) + (ties(v) + 1) / 2. */
-  private def midRankTable(df: DataFrame, c: String): DataFrame = {
-    val counts = df.where(col(c).isNotNull).groupBy(col(c).as("value"))
-      .agg(count(lit(1)).as("cnt"))
-    // GLOBAL-WINDOW-OK: runs over the per-VALUE counts table (|distinct|
-    // rows after a map-side-combined groupBy), never over raw rows
-    val w = Window.orderBy(col("value")).rowsBetween(Window.unboundedPreceding, -1)
-    counts.select(
-      col("value"),
-      (coalesce(sum("cnt").over(w), lit(0L)) + (col("cnt") + 1) / 2.0).as("midrank"))
-  }
-
   /** Spearman corr for all features vs outcome: Pearson over EXACT
-    * mid-ranks, computed scalably — per-column rank tables (distinct-value
-    * sized) are joined back, then one corr pass. Identical results to the
-    * naive rank()-window formulation (see StatsSpec). */
+    * mid-ranks, computed scalably — ALL per-column rank tables come from ONE
+    * melted counts pass (the window runs per feature over DISTINCT values,
+    * so no single-partition row sort ever happens; midrank(v) =
+    * (#rows with value < v) + (ties(v) + 1) / 2), are cached (tiny: Σ
+    * per-column distinct counts — each join-back would otherwise re-execute
+    * the melt scan), and joined back per column. Identical results to the
+    * naive rank()-window formulation (see ScalableRankSpec/StatsSpec). */
   def spearman(df: DataFrame, features: Seq[String], outcome: String): Map[String, Option[Double]] = {
     if (features.isEmpty) return Map.empty
     val cols = (features :+ outcome).distinct
-    val withRanks = cols.foldLeft(df.select(cols.map(col): _*)) { (d, c) =>
-      val rt = midRankTable(df, c)
-        .select(col("value").as(c + "__v"), col("midrank").as(c + "__rank"))
-      // no broadcast hint: the rank table is |distinct values| rows —
-      // tiny for discrete columns (AQE broadcasts it), up to n for
-      // continuous ones (AQE picks a shuffle join; still no global
-      // single-partition row sort)
-      d.join(rt, d(c) === rt(c + "__v"), "left").drop(c + "__v")
-    }
-    pearson(
-      withRanks.select(cols.map(c => col(c + "__rank").as(c)): _*),
-      features,
-      outcome
-    )
+    val counts = graft.core.Melt.numeric(df, cols)
+      .where(col("value").isNotNull)
+      .groupBy("feature", "value")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("feature").orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val rankTable = counts.select(
+      col("feature"), col("value"),
+      (coalesce(sum("cnt").over(w), lit(0L)) + (col("cnt") + 1) / 2.0).as("midrank"))
+      .cache()
+    try {
+      val withRanks = cols.foldLeft(df.select(cols.map(c => col(c).cast("double").as(c)): _*)) { (d, c) =>
+        val rt = rankTable.where(col("feature") === c)
+          .select(col("value").as(c + "__v"), col("midrank").as(c + "__rank"))
+        // no broadcast hint: the rank table is |distinct values| rows —
+        // tiny for discrete columns (AQE broadcasts it), up to n for
+        // continuous ones (AQE picks a shuffle join; still no global
+        // single-partition row sort)
+        d.join(rt, d(c) === rt(c + "__v"), "left").drop(c + "__v")
+      }
+      pearson(
+        withRanks.select(cols.map(c => col(c + "__rank").as(c)): _*),
+        features,
+        outcome
+      )
+    } finally rankTable.unpersist(blocking = false)
   }
 
   /** Full p×p Pearson correlation matrix of the features plus the feature–
