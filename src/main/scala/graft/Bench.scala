@@ -75,11 +75,24 @@ object Bench {
     val scaleRows = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS", "12000000").toLong
 
     val spark = GraftSession.get(cpus)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Per-query timing takes the MIN over interleaved reps, exactly like the
+    // scaling probe: neighbor steal on this shared host only ever INFLATES a
+    // timing (observed 6 s ↔ 107 s for the same job in adjacent minutes), so
+    // a single-shot table is unusable and the minimum is the least-noisy
+    // estimate of the uncontended machine. Reps are interleaved across the
+    // whole query list (rep 1 of everything, then rep 2, ...) so a steal
+    // burst degrades one rep of many queries instead of all reps of one.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "3").toInt
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    for (_ <- 1 to reps; name <- names) {
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
     }
+    val results = names.map(n => n -> best(n))
     spark.stop()
 
     // scaling probe: same deterministic input, two parallelism levels (N=8,

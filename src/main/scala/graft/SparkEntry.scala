@@ -214,6 +214,20 @@ object SparkEntry {
       val m = Correlation.spearman(li, liFeatures, "l_extendedprice")
       scoreDF(s, liFeatures.map(f => f -> m(f).get)).orderBy("feature")
     }),
+    // full CAR with the AUTO-estimated shrinkage intensity (care::carscore
+    // lambda=NA default). p=2 keeps R_X^{-1/2} in closed form, so the DuckDB
+    // oracle replays the ENTIRE computation — Schäfer–Strimmer λ* included.
+    "q_car_lambda" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val feats = Seq("l_quantity", "l_discount")
+      val lam = Correlation.estimateLambda(li, feats :+ "l_extendedprice")
+      val car = Correlation.carScores(li, feats, "l_extendedprice") // None ⇒ same estimator
+      feats.map(f => (f, car(f), lam)).toDF("feature", "score", "lambda")
+        .select(col("feature"), round(col("score"), 6).as("score"),
+          round(col("lambda"), 6).as("lambda"))
+        .orderBy("feature")
+    }),
     "q_entropy_scores" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val long0 = Melt.numeric(li, liFeatures, keep = Seq("l_returnflag", "l_orderkey", "l_linenumber"))
@@ -388,20 +402,23 @@ object SparkEntry {
         .groupBy("bucket").agg(count(lit(1)).as("n")).orderBy("bucket")
     }),
     // The raw corpus has max pairwise cosine ~0.51, so a 0.95 threshold
-    // would verify nothing. Plant exact-direction duplicates (×2 scaling is
-    // bit-exact in float, cosine = 1.0) of the first 20 vectors: the query
-    // must recover EXACTLY those 20 pairs, LSH recall is guaranteed
-    // (identical vectors ⇒ identical hyperplane signs), and DuckDB can
-    // derive the same fixture and brute-force the truth.
+    // would verify nothing. Plant PERTURBED (not identical) duplicates of
+    // the first 20 vectors: alternating per-dimension float weights
+    // 1.28/0.72 put each planted pair at cosine ≈ 1/sqrt(1.0784) ≈ 0.96, so
+    // the banded LSH must recover genuinely-near pairs through near-miss
+    // band signatures (single-band recall here would be ~0.43). Float
+    // multiplication by the same constants is bit-identical in DuckDB, so
+    // the oracle derives the same fixture and brute-forces the truth.
     "q_cosine_neardup" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val planted = emb.where(col("vec_id") < 20)
         .select((col("vec_id") + 100000).as("vec_id"),
-          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
-      val planes = Similarity.hyperplanes(8, 64)
+          transform(col("embedding"),
+            (x, i) => x * when(i % 2 === 0, lit(1.28f)).otherwise(lit(0.72f))).as("embedding"))
+      val planes = Similarity.hyperplanes(128, 64)
       Similarity.cosineNearDupPairs(
         emb.select("vec_id", "embedding").unionByName(planted),
-        "vec_id", "embedding", planes, 0.95)
+        "vec_id", "embedding", planes, 0.95, bands = 16)
         .select(col("a"), col("b"), round(col("cosine"), 6).as("cosine"))
         .orderBy("a", "b")
     }),
@@ -416,6 +433,8 @@ object SparkEntry {
     // fit through the checkpointed runtime path (fitOrResume) so the driver
     // bench also exercises per-step checkpoint writes + lineage capture;
     // fresh temp dir per call keeps the query a pure function of the input
+    // (fitOrResume is eager, so the directory can be removed before return —
+    // repeated Bench/Verify runs must not accumulate checkpoint dirs)
     "q_select_pipeline" -> ((s, dir) => {
       import s.implicits._
       val li = t(s, dir, "lineitem")
@@ -424,10 +443,16 @@ object SparkEntry {
         (CorrStep(topP = Some(3), method = "pearson"): SelectorStep) ->
           Seq("l_quantity", "l_discount", "l_tax", "l_partkey"),
         (CorrStep(threshold = Some(0.5), method = "spearman"): SelectorStep) -> Nil)
-      val ckDir = java.nio.file.Files.createTempDirectory("graft-ck-").toString
-      val fitted = graft.runtime.Checkpoints.fitOrResume(
-        s, ckDir, steps, li, "l_extendedprice",
-        lineage = graft.runtime.Lineage.inputFiles(li).take(3).mkString(","))
+      val ckPath = java.nio.file.Files.createTempDirectory("graft-ck-")
+      val fitted =
+        try graft.runtime.Checkpoints.fitOrResume(
+          s, ckPath.toString, steps, li, "l_extendedprice",
+          lineage = graft.runtime.Lineage.inputFiles(li).take(3).mkString(","))
+        finally {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(ckPath).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
       fitted.flatMap(st => st.excluded.map(st.step -> _)).toDF("step", "excluded")
     })
   )
@@ -586,6 +611,49 @@ object SparkEntry {
       """SELECT 'l_quantity' AS feature, round(corr(l_quantity, l_extendedprice), 6) AS score FROM lineitem
         |UNION ALL SELECT 'l_discount', round(corr(l_discount, l_extendedprice), 6) FROM lineitem
         |UNION ALL SELECT 'l_tax', round(corr(l_tax, l_extendedprice), 6) FROM lineitem
+        |ORDER BY feature""".stripMargin,
+    // Full replay of carScores with auto lambda: Schäfer–Strimmer λ* over the
+    // standardized joint (y, X) matrix, then ω = R'^{-1/2} ρ' with the p=2
+    // closed form a,b = (1/sqrt(1+ρ') ± 1/sqrt(1−ρ'))/2.
+    "q_car_lambda" ->
+      """WITH s AS MATERIALIZED (
+        |  SELECT count(*) AS n,
+        |         avg(l_quantity) AS mq, stddev_samp(l_quantity) AS sq,
+        |         avg(l_discount) AS md, stddev_samp(l_discount) AS sd,
+        |         avg(l_extendedprice) AS my, stddev_samp(l_extendedprice) AS sy
+        |  FROM lineitem),
+        |z AS MATERIALIZED (
+        |  SELECT (l_quantity - mq) / sq AS zq, (l_discount - md) / sd AS zd,
+        |         (l_extendedprice - my) / sy AS zy
+        |  FROM lineitem, s),
+        |ps AS MATERIALIZED (
+        |  SELECT sum(zq*zd) AS s1qd, sum(zq*zq*zd*zd) AS s2qd,
+        |         sum(zq*zy) AS s1qy, sum(zq*zq*zy*zy) AS s2qy,
+        |         sum(zd*zy) AS s1dy, sum(zd*zd*zy*zy) AS s2dy
+        |  FROM z),
+        |lam AS MATERIALIZED (
+        |  SELECT least(1.0, greatest(0.0,
+        |    (2*(s2qd/n + s2qy/n + s2dy/n)
+        |       - 2*((s1qd/n)*(s1qd/n) + (s1qy/n)*(s1qy/n) + (s1dy/n)*(s1dy/n)))
+        |    / (2*((s1qd/n)*(s1qd/n) + (s1qy/n)*(s1qy/n) + (s1dy/n)*(s1dy/n)))
+        |    / (n - 1))) AS lambda
+        |  FROM ps, s),
+        |c AS MATERIALIZED (
+        |  SELECT corr(l_quantity, l_discount) AS rqd,
+        |         corr(l_quantity, l_extendedprice) AS rqy,
+        |         corr(l_discount, l_extendedprice) AS rdy
+        |  FROM lineitem),
+        |o AS MATERIALIZED (
+        |  SELECT lambda,
+        |    (1-lambda)*rqy AS pqy, (1-lambda)*rdy AS pdy,
+        |    (1/sqrt(1+(1-lambda)*rqd) + 1/sqrt(1-(1-lambda)*rqd))/2 AS a,
+        |    (1/sqrt(1+(1-lambda)*rqd) - 1/sqrt(1-(1-lambda)*rqd))/2 AS b
+        |  FROM lam, c)
+        |SELECT * FROM (
+        |  SELECT 'l_quantity' AS feature, round(a*pqy + b*pdy, 6) AS score,
+        |         round(lambda, 6) AS lambda FROM o
+        |  UNION ALL
+        |  SELECT 'l_discount', round(b*pqy + a*pdy, 6), round(lambda, 6) FROM o)
         |ORDER BY feature""".stripMargin,
     "q_corr_spearman" ->
       """WITH r AS (
@@ -868,7 +936,10 @@ object SparkEntry {
         |  SELECT vec_id, embedding FROM embeddings
         |  UNION ALL
         |  SELECT vec_id + 100000 AS vec_id,
-        |         list_transform(embedding, x -> x * CAST(2.0 AS FLOAT)) AS embedding
+        |         list_transform(range(1, len(embedding) + 1),
+        |           i -> embedding[i] * (CASE WHEN (i - 1) % 2 = 0
+        |                                THEN CAST(1.28 AS FLOAT)
+        |                                ELSE CAST(0.72 AS FLOAT) END)) AS embedding
         |  FROM embeddings WHERE vec_id < 20),
         |p AS (
         |  SELECT l.vec_id AS a, r.vec_id AS b,

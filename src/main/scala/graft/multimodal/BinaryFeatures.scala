@@ -55,14 +55,16 @@ object BinaryFeatures {
     val bpp = le16(28); val comp = le32(30)
     if (w <= 0 || hRaw == 0 || bpp != 24 || comp != 0) return None
     val h = math.abs(hRaw)
-    val rowBytes = ((w * 3 + 3) / 4) * 4
-    if (off < 0 || off.toLong + rowBytes.toLong * h > b.length) return None
+    // row stride in Long: a crafted header with huge w would overflow w*3 to
+    // a negative Int stride, sneak past the bounds guard, and crash the task
+    val rowBytes = ((w.toLong * 3 + 3) / 4) * 4
+    if (off < 0 || off.toLong + rowBytes * h > b.length) return None
     var sum = 0.0
     var r = 0
     while (r < h) {
       var c = 0
       while (c < w) {
-        val p = off + r * rowBytes + c * 3
+        val p = (off + r * rowBytes + c * 3).toInt // bounded by b.length above
         val bl = b(p) & 0xff; val g = b(p + 1) & 0xff; val rd = b(p + 2) & 0xff
         sum += 0.299 * rd + 0.587 * g + 0.114 * bl
         c += 1
@@ -86,6 +88,10 @@ object BinaryFeatures {
     var dataOff = -1; var dataLen = -1
     while (i + 8 <= b.length && (sampleRate < 0 || dataOff < 0)) {
       val id = tag(i); val sz = le32(i + 4)
+      // a crafted/corrupt chunk size must not stall the walk: reject negative
+      // sizes outright (the step below would stop advancing) — one bad
+      // payload would otherwise wedge the executor task forever
+      if (sz < 0) return None
       if (id == "fmt " && i + 24 <= b.length) {
         fmtCode = le16(i + 8); sampleRate = le32(i + 12); bits = le16(i + 22)
       } else if (id == "data") {

@@ -24,13 +24,56 @@ import org.apache.spark.sql.functions._
   * distributed RF fit. Boruta is a wrapper method — O(maxRuns) model fits
   * by definition — so wall-clock is dominated by MLlib, as in the original.
   */
+/** The full Boruta result surface, mirroring the `res` object the reference
+  * stores on the trained step (step_select_boruta.R:113,127 keeps the whole
+  * Boruta::Boruta return — the package's own tests assert `res$ImpHistory`,
+  * test_step_select_boruta.R:29,60).
+  *
+  * `impHistory` holds one row per round: every feature's raw importance in
+  * that round plus the derived `shadowMin`/`shadowMean`/`shadowMax` of the
+  * shadow copies — the matrix Boruta's plot/attStats/TentativeRoughFix all
+  * consume.
+  */
+final case class BorutaResult(
+    selector: FittedSelector,
+    decisions: Map[String, String], // Confirmed | Rejected | Tentative
+    impHistory: Seq[Map[String, Double]]
+) {
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
+  /** Boruta::TentativeRoughFix semantics: resolve each Tentative feature by
+    * comparing its MEDIAN importance over the recorded history with the
+    * median of the per-round shadowMax; strictly greater ⇒ Confirmed, else
+    * Rejected. Returns a result whose `selector.excluded` reflects the
+    * post-fix Rejected set (no Tentatives remain). */
+  def roughFix: BorutaResult = {
+    val shadowMaxMedian = median(impHistory.map(_("shadowMax")))
+    val fixed = decisions.map {
+      case (p, "Tentative") =>
+        p -> (if (median(impHistory.map(_(p))) > shadowMaxMedian) "Confirmed" else "Rejected")
+      case other => other
+    }
+    val excluded = selector.scores.map(_._1).filter(p => fixed(p) == "Rejected")
+    BorutaResult(
+      selector.copy(excluded = excluded,
+        warnings = Nil), // rough-fix leaves no Tentatives to warn about
+      fixed, impHistory)
+  }
+}
+
 final case class BorutaStep(
     pValue: Double = 0.01,
     mcAdj: Boolean = true,
     maxRuns: Int = 20,
     trees: Int = 50,
     maxDepth: Int = 5,
-    seed: Long = 42L
+    seed: Long = 42L,
+    roughFix: Boolean = false // apply TentativeRoughFix to the decisions
 ) extends SelectorStep {
   val name = "step_select_boruta"
 
@@ -59,7 +102,12 @@ final case class BorutaStep(
     data.join(shadow, "__id")
   }
 
-  def fit(df: DataFrame, outcome: String, predictors: Seq[String]): FittedSelector = {
+  def fit(df: DataFrame, outcome: String, predictors: Seq[String]): FittedSelector =
+    fitDetailed(df, outcome, predictors).selector
+
+  /** Full-surface fit: the selector plus decisions and the per-round
+    * importance history (the reference's `res` object). */
+  def fitDetailed(df: DataFrame, outcome: String, predictors: Seq[String]): BorutaResult = {
     val preds0 = StepCommon.resolvePredictors(df, outcome, predictors)
     val preds = StepCommon.numericPredictors(df, preds0)
     val classif = StepCommon.isClassification(df, outcome)
@@ -76,6 +124,7 @@ final case class BorutaStep(
     try {
       val allFeats = preds ++ preds.map(p => s"__sh_$p")
       val hits = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+      val history = scala.collection.mutable.ArrayBuffer.empty[Map[String, Double]]
       for (round <- 1 to maxRuns) {
         val data = shadowed(base, preds, round)
         val imps: Map[String, Double] =
@@ -93,8 +142,13 @@ final case class BorutaStep(
               .fit(ModelBased.assemble(data, allFeats))
             allFeats.zip(m.featureImportances.toArray).toMap
           }
-        val shadowMax = preds.map(p => imps(s"__sh_$p")).max
+        val shadowImps = preds.map(p => imps(s"__sh_$p"))
+        val shadowMax = shadowImps.max
         preds.foreach(p => if (imps(p) > shadowMax) hits(p) += 1)
+        history += (preds.map(p => p -> imps(p)).toMap
+          + ("shadowMin" -> shadowImps.min)
+          + ("shadowMean" -> shadowImps.sum / shadowImps.length)
+          + ("shadowMax" -> shadowMax))
       }
       val alpha = if (mcAdj) pValue / (2.0 * preds.length) else pValue
       val binom = new BinomialDistribution(maxRuns, 0.5)
@@ -110,8 +164,12 @@ final case class BorutaStep(
       }
       val excluded = decisions.collect { case (p, (_, "Rejected")) => p }
       val scores = decisions.map { case (p, (h, _)) => p -> Some(h.toDouble) }
-      FittedSelector(name, outcome, scores, excluded,
-        decisions.collect { case (p, (_, "Tentative")) => s"$p left Tentative" })
+      val result = BorutaResult(
+        FittedSelector(name, outcome, scores, excluded,
+          decisions.collect { case (p, (_, "Tentative")) => s"$p left Tentative" }),
+        decisions.map { case (p, (_, d)) => p -> d }.toMap,
+        history.toSeq)
+      if (roughFix) result.roughFix else result
     } finally base.unpersist()
   }
 }

@@ -47,17 +47,19 @@ object ImportanceExtractor {
       }.toMap
     }
   // coefficient-bearing models: |coef| convention as pull_importances does
-  // for glm/lm engines
+  // for glm/lm engines (pull_importances.R rescales abs(coefficients)) — a
+  // signed coefficient through a maximize=true rescale would invert the
+  // ranking for strongly negative-weighted features
   implicit val svc: ImportanceExtractor[org.apache.spark.ml.classification.LinearSVCModel] =
-    (m, names) => names.zip(m.coefficients.toArray).toMap
+    (m, names) => names.zip(m.coefficients.toArray.map(math.abs)).toMap
   implicit val glr: ImportanceExtractor[org.apache.spark.ml.regression.GeneralizedLinearRegressionModel] =
-    (m, names) => names.zip(m.coefficients.toArray).toMap
+    (m, names) => names.zip(m.coefficients.toArray.map(math.abs)).toMap
   implicit val aft: ImportanceExtractor[org.apache.spark.ml.regression.AFTSurvivalRegressionModel] =
-    (m, names) => names.zip(m.coefficients.toArray).toMap
+    (m, names) => names.zip(m.coefficients.toArray.map(math.abs)).toMap
   implicit val fmC: ImportanceExtractor[org.apache.spark.ml.classification.FMClassificationModel] =
-    (m, names) => names.zip(m.linear.toArray).toMap
+    (m, names) => names.zip(m.linear.toArray.map(math.abs)).toMap
   implicit val fmR: ImportanceExtractor[org.apache.spark.ml.regression.FMRegressionModel] =
-    (m, names) => names.zip(m.linear.toArray).toMap
+    (m, names) => names.zip(m.linear.toArray.map(math.abs)).toMap
 
   /** pull_importances.default analogue (pull_importances.R:62–68): probe the
     * common importance slots reflectively — `featureImportances` (tree
@@ -206,13 +208,15 @@ final case class ForestStep(
   import org.apache.spark.sql.expressions.Window
 
   /** Permute one column deterministically AND scalably: rows are split into
-    * seeded hash buckets (assignment independent of the label), and values
-    * are reassigned WITHIN each bucket by two different seeded hash orders.
-    * Statistically equivalent to a full permutation for importance purposes
-    * (the x–y pairing is broken uniformly at random within buckets that are
-    * themselves random), but embarrassingly parallel: every window carries a
-    * partitionBy, no global single-partition sort, bucket count grows with n
-    * (~4k rows per bucket). */
+    * seeded hash buckets, and values are reassigned WITHIN each bucket by two
+    * different seeded hash orders. The bucket/order hashes mix ALL columns
+    * (including the label and the permuted feature) — full rows keep the
+    * hashes collision-free so the windows stay deterministic; because
+    * xxhash64 output is statistically independent of its input structure,
+    * the resulting within-bucket reassignment is indistinguishable from an
+    * unconditional uniform permutation for importance purposes.
+    * Embarrassingly parallel: every window carries a partitionBy, no global
+    * single-partition sort, bucket count grows with n (~4k rows/bucket). */
   private def permuteColumn(df: DataFrame, c: String, seed: Long, buckets: Long): DataFrame = {
     val others = df.columns.filterNot(_ == c)
     val allCols = struct(df.columns.map(col): _*)

@@ -4,14 +4,26 @@ import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** step_select_relief — Relief/ReliefF feature weighting
+/** step_select_relief — Relief/ReliefF/RReliefF feature weighting
   * (/root/reference/R/step_select_relief.R:133–181, backed by
-  * FSelectorRcpp::relief(neighboursCount, sampleSize)).
+  * FSelectorRcpp::relief(neighboursCount, sampleSize); the reference passes
+  * ANY outcome type through — there is no classification guard — so numeric
+  * outcomes take the RReliefF regression path).
   *
-  * Algorithm: sample `sampleSize` anchor instances; for each anchor find its
-  * k nearest hits (same class) and k nearest misses (other class) by
-  * normalized Manhattan distance; weight each feature by mean miss-diff
-  * minus mean hit-diff, averaged over anchors. Scores ∈ [−1, 1].
+  * Classification (ReliefF): sample `sampleSize` anchor instances; for each
+  * anchor find its k nearest hits (same class) and k nearest misses (other
+  * class) by normalized Manhattan distance; weight each feature by mean
+  * miss-diff minus mean hit-diff, averaged over anchors. Scores ∈ [−1, 1].
+  *
+  * Regression (RReliefF, Robnik-Šikonja & Kononenko 2003 §2.2): for each
+  * anchor take the k nearest neighbors (no class split) and accumulate over
+  * all anchor–neighbor pairs with dy = |Δy|/range(y), dA = |Δf|/range(f):
+  *   N_dC       = Σ dy
+  *   N_dA[f]    = Σ dA
+  *   N_dC∧dA[f] = Σ dy·dA
+  *   W[f] = N_dC∧dA[f]/N_dC − (N_dA[f] − N_dC∧dA[f])/(m − N_dC)
+  * — the probability-of-different-prediction decomposition that replaces
+  * the hit/miss split when y is continuous.
   *
   * The reference is RNG-dependent (tests fix a seed) — our engine replaces
   * the RNG with a DETERMINISTIC hash-ordered sample (seeded xxhash64), so
@@ -20,8 +32,8 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: anchors are O(sampleSize) — collected and broadcast as
   * literals; distances to all anchors are ONE narrow map over the data
-  * (explode by anchor), top-k per (anchor, hit/miss) via window over a
-  * count-bounded partition; the weight update is a tiny driver fold.
+  * (explode by anchor), top-k per (anchor[, hit/miss]) via a two-phase
+  * bucketed window; the weight update is a tiny driver fold.
   */
 final case class ReliefStep(
     topP: Option[Double] = None,
@@ -37,14 +49,21 @@ final case class ReliefStep(
     StepCommon.preValidate(topP, threshold, name)
     val preds0 = StepCommon.resolvePredictors(df, outcome, predictors)
     val preds = StepCommon.numericPredictors(df, preds0)
-    require(StepCommon.isClassification(df, outcome), s"$name requires a categorical outcome")
-    val data = df.na.drop(preds :+ outcome)
-      .select((preds.map(p => col(p).cast("double").as(p)) :+ col(outcome).cast("string").as("__y")): _*)
+    val classif = StepCommon.isClassification(df, outcome)
+    val data0 = df.na.drop(preds :+ outcome)
+    val data =
+      if (classif)
+        data0.select((preds.map(p => col(p).cast("double").as(p)) :+
+          col(outcome).cast("string").as("__y")): _*)
+      else
+        data0.select((preds.map(p => col(p).cast("double").as(p)) :+
+          col(outcome).cast("double").as("__y")): _*)
 
-    // per-feature ranges in one pass (normalization denominators)
-    val rangeAggs = preds.flatMap(p => Seq(min(col(p)).as(s"mn_$p"), max(col(p)).as(s"mx_$p")))
+    // per-feature (and, for regression, outcome) ranges in one pass
+    val rangeCols = if (classif) preds else preds :+ "__y"
+    val rangeAggs = rangeCols.flatMap(p => Seq(min(col(p)).as(s"mn_$p"), max(col(p)).as(s"mx_$p")))
     val rr = data.agg(rangeAggs.head, rangeAggs.tail: _*).head()
-    val ranges: Map[String, Double] = preds.zipWithIndex.map { case (p, i) =>
+    val ranges: Map[String, Double] = rangeCols.zipWithIndex.map { case (p, i) =>
       val d = rr.getDouble(2 * i + 1) - rr.getDouble(2 * i)
       p -> (if (d == 0) 1.0 else d)
     }.toMap
@@ -54,53 +73,84 @@ final case class ReliefStep(
     val anchors: Array[Row] = hashed.orderBy("__h").limit(sampleSize).collect()
 
     // one pass: explode each row against every anchor, compute normalized
-    // Manhattan distance, tag hit/miss
+    // Manhattan distance; classification tags hit/miss, regression carries
+    // the normalized outcome distance dy
     val anchorStructs = anchors.zipWithIndex.map { case (a, i) =>
+      val ay =
+        if (classif) lit(a.getString(a.fieldIndex("__y"))).as("ay")
+        else lit(a.getDouble(a.fieldIndex("__y"))).as("ay")
       struct(
         lit(i).as("aid"),
-        lit(a.getString(a.fieldIndex("__y"))).as("ay"),
+        ay,
         lit(a.getLong(a.fieldIndex("__h"))).as("ah"),
         struct(preds.map(p => lit(a.getDouble(a.fieldIndex(p))).as(p)): _*).as("av")
       )
     }
     val dist = preds.map(p =>
       abs(col(p) - col("__a.av." + p)) / ranges(p)).reduce(_ + _)
+    val sideCol =
+      if (classif) (col("__y") === col("__a.ay")).as("side") // hit?
+      else (abs(col("__y") - col("__a.ay")) / ranges("__y")).as("side") // dy
     val exploded = hashed
       .withColumn("__a", explode(array(anchorStructs.toIndexedSeq: _*)))
       .where(col("__h") =!= col("__a.ah")) // exclude the anchor itself
       .select(
         col("__a.aid").as("aid"),
-        (col("__y") === col("__a.ay")).as("isHit"),
+        sideCol,
         dist.as("dist"),
         struct(preds.map(p => ((col(p) - col("__a.av." + p)) / ranges(p)).as(p)): _*).as("diffs"),
         col("__h"))
 
-    // two-phase exact top-k: per-(anchor, side) partitions hold O(n) rows, so
-    // a direct row_number window would sort n rows in ONE task per group.
+    // two-phase exact top-k: per-group partitions hold O(n) rows, so a
+    // direct row_number window would sort n rows in ONE task per group.
     // Stage 1 takes the top-k within 64 hash sub-buckets (small parallel
     // sorts); stage 2 merges the <= 64·k survivors per group — global top-k
-    // is exactly the top-k of the per-bucket top-ks.
-    val w1 = Window.partitionBy("aid", "isHit", "__bkt")
+    // is exactly the top-k of the per-bucket top-ks. Classification groups
+    // by (anchor, hit/miss); regression by anchor alone (k nearest overall).
+    val groupCols = if (classif) Seq("aid", "side") else Seq("aid")
+    val w1 = Window.partitionBy((groupCols :+ "__bkt").map(col): _*)
       .orderBy(col("dist"), col("__h"))
-    val w2 = Window.partitionBy("aid", "isHit").orderBy(col("dist"), col("__h"))
+    val w2 = Window.partitionBy(groupCols.map(col): _*).orderBy(col("dist"), col("__h"))
     val nearest = exploded
       .withColumn("__bkt", pmod(xxhash64(col("__h"), lit(seed)), lit(64L)))
       .withColumn("__rn1", row_number().over(w1))
       .where(col("__rn1") <= neighbours)
       .withColumn("__rn", row_number().over(w2))
       .where(col("__rn") <= neighbours)
-      .select(col("aid"), col("isHit"), col("diffs"))
+      .select(col("aid"), col("side"), col("diffs"))
       .collect()
 
-    // driver fold: W[f] = mean over anchors of (avg miss diff − avg hit diff)
     val weights = scala.collection.mutable.Map.empty[String, Double].withDefaultValue(0.0)
-    nearest.groupBy(_.getInt(0)).foreach { case (_, rows) =>
-      val (hits, misses) = rows.partition(_.getBoolean(1))
-      def avgAbs(group: Array[Row], p: String): Double =
-        if (group.isEmpty) 0.0
-        else group.map(r => math.abs(r.getStruct(2).getDouble(preds.indexOf(p)))).sum / group.length
+    if (classif) {
+      // driver fold: W[f] = mean over anchors of (avg miss diff − avg hit diff)
+      nearest.groupBy(_.getInt(0)).foreach { case (_, rows) =>
+        val (hits, misses) = rows.partition(_.getBoolean(1))
+        def avgAbs(group: Array[Row], p: String): Double =
+          if (group.isEmpty) 0.0
+          else group.map(r => math.abs(r.getStruct(2).getDouble(preds.indexOf(p)))).sum / group.length
+        preds.foreach { p =>
+          weights(p) += (avgAbs(misses, p) - avgAbs(hits, p)) / anchors.length
+        }
+      }
+    } else {
+      // driver fold: the RReliefF accumulators over ALL anchor-neighbor pairs
+      var ndc = 0.0
+      var m = 0.0
+      val ndA = scala.collection.mutable.Map.empty[String, Double].withDefaultValue(0.0)
+      val ndcdA = scala.collection.mutable.Map.empty[String, Double].withDefaultValue(0.0)
+      nearest.foreach { r =>
+        val dy = r.getDouble(1)
+        ndc += dy; m += 1.0
+        preds.zipWithIndex.foreach { case (p, i) =>
+          val dA = math.abs(r.getStruct(2).getDouble(i))
+          ndA(p) += dA
+          ndcdA(p) += dy * dA
+        }
+      }
       preds.foreach { p =>
-        weights(p) += (avgAbs(misses, p) - avgAbs(hits, p)) / anchors.length
+        val t1 = if (ndc == 0.0) 0.0 else ndcdA(p) / ndc
+        val t2 = if (m - ndc == 0.0) 0.0 else (ndA(p) - ndcdA(p)) / (m - ndc)
+        weights(p) = t1 - t2
       }
     }
 

@@ -310,7 +310,14 @@ final case class CorrStep(
     threshold: Option[Double] = None,
     cutoff: Option[Double] = None,
     method: String = "pearson", // pearson | spearman | car
-    lambda: Double = 0.0 // shrinkage intensity for car/pearson: ρ' = (1−λ)ρ (care::carscore lambda, step_select_carscore.R:128–131)
+    // shrinkage intensity: ρ' = (1−λ)ρ (care::carscore lambda,
+    // step_select_carscore.R:128–131 — passed to care only when set). None
+    // mirrors the reference's `lambda = NA` default: for method="car" the
+    // intensity is ESTIMATED from the data (care's James–Stein default via
+    // Correlation.estimateLambda); pearson/spearman marginal scores stay
+    // unshrunk unless a lambda is pinned (shrinking a marginal-only score is
+    // a monotone rescale that cannot change the selection).
+    lambda: Option[Double] = None
 ) extends SelectorStep {
   val name = s"step_select_corr_$method"
   def fit(df: DataFrame, outcome: String, predictors: Seq[String]): FittedSelector = {
@@ -318,8 +325,8 @@ final case class CorrStep(
     val preds0 = StepCommon.resolvePredictors(df, outcome, predictors)
     val preds = StepCommon.numericPredictors(df, preds0)
     require(!StepCommon.isClassification(df, outcome), s"$name requires a numeric outcome")
-    require(lambda >= 0 && lambda <= 1, "`lambda` must be on [0, 1]")
-    val shrink: Option[Double] => Option[Double] = _.map(_ * (1 - lambda))
+    require(lambda.forall(l => l >= 0 && l <= 1), "`lambda` must be on [0, 1]")
+    val shrink: Option[Double] => Option[Double] = _.map(_ * (1 - lambda.getOrElse(0.0)))
     val raw: Map[String, Option[Double]] = method match {
       case "pearson"  => Correlation.pearson(df, preds, outcome).map { case (k, v) => k -> shrink(v) }
       case "spearman" => Correlation.spearman(df, preds, outcome)

@@ -94,14 +94,64 @@ object Correlation {
     (m, y)
   }
 
+  /** Schäfer–Strimmer (2005) correlation shrinkage intensity — the
+    * James–Stein estimate care::carscore applies when `lambda` is NOT
+    * supplied (the reference passes lambda to care only when set,
+    * step_select_carscore.R:128–131; care delegates to corpcor's
+    * `estimate.lambda`):
+    *
+    *   λ* = clamp( Σ_{i≠j} Var̂(r_ij) / Σ_{i≠j} r̂_ij² , 0, 1 )
+    *
+    * computed over the standardized joint matrix (z = (x − mean)/sd, sample
+    * sd). With w_kij = z_ki·z_kj, w̄_ij = mean_k w_kij and m2_ij = mean_k
+    * w²_kij, this reduces to λ* = (Σ m2 − Σ w̄²) / Σ w̄² · 1/(n−1) over the
+    * off-diagonal pairs — two aggregation passes (moments, then pair sums),
+    * p(p+1) sum-aggs, everything map-side combinable. Rows with any NA are
+    * dropped listwise, as R's complete-matrix requirement does. A
+    * zero-variance denominator (or a constant column's NaN) degrades to
+    * λ = 1 — full shrinkage toward identity, corpcor's convention. */
+  def estimateLambda(df: DataFrame, cols: Seq[String]): Double = {
+    val data = df.na.drop(cols).select(cols.map(c => col(c).cast("double").as(c)): _*)
+    val momentAggs = cols.flatMap(c =>
+      Seq(avg(col(c)).as(s"m_$c"), stddev_samp(col(c)).as(s"s_$c"))) :+ count(lit(1)).as("n")
+    val mr = data.agg(momentAggs.head, momentAggs.tail: _*).head()
+    val n = mr.getLong(2 * cols.length)
+    if (n < 3) return 1.0
+    val z = cols.zipWithIndex.map { case (c, i) =>
+      ((col(c) - mr.getDouble(2 * i)) / mr.getDouble(2 * i + 1)).as(c)
+    }
+    val zdf = data.select(z: _*)
+    val pairs = for (i <- cols.indices; j <- i + 1 until cols.length) yield (i, j)
+    if (pairs.isEmpty) return 0.0
+    val pairAggs = pairs.flatMap { case (i, j) =>
+      val (a, b) = (col(cols(i)), col(cols(j)))
+      Seq(sum(a * b).as(s"s1_${i}_$j"), sum(a * a * b * b).as(s"s2_${i}_$j"))
+    }
+    val pr = zdf.agg(pairAggs.head, pairAggs.tail: _*).head()
+    var sE2R = 0.0; var sER2 = 0.0
+    pairs.indices.foreach { k =>
+      val wbar = pr.getDouble(2 * k) / n
+      val m2 = pr.getDouble(2 * k + 1) / n
+      sE2R += 2 * wbar * wbar
+      sER2 += 2 * m2
+    }
+    val lam = (sER2 - sE2R) / sE2R / (n - 1).toDouble
+    if (sE2R == 0.0 || lam.isNaN) 1.0 else math.max(0.0, math.min(1.0, lam))
+  }
+
   /** CAR scores ω = R_X^{−1/2} ρ_{Xy} via driver-side symmetric eigensolve
     * of the (tiny, p×p) correlation matrix (care::carscore semantics,
     * step_select_carscore.R:133–140). `lambda` applies linear shrinkage
-    * toward identity / zero: R' = (1−λ)R + λI, ρ' = (1−λ)ρ — the form of
-    * care's James–Stein shrinkage with a caller-chosen intensity.
+    * toward identity / zero: R' = (1−λ)R + λI, ρ' = (1−λ)ρ — care's
+    * James–Stein shrinkage. `None` (the care/reference DEFAULT) estimates
+    * the intensity from the joint (outcome + features) data via
+    * [[estimateLambda]]; `Some(x)` pins it, matching an explicitly-set
+    * `lambda` in step_select_carscore.
     */
-  def carScores(df: DataFrame, features: Seq[String], outcome: String, lambda: Double = 0.0): Map[String, Double] = {
+  def carScores(df: DataFrame, features: Seq[String], outcome: String,
+                lambdaOpt: Option[Double] = None): Map[String, Double] = {
     if (features.isEmpty) return Map.empty
+    val lambda = lambdaOpt.getOrElse(estimateLambda(df, (features :+ outcome).distinct))
     val (m0, y0) = corrMatrix(df, features, outcome)
     val p = features.length
     val m = Array.tabulate(p, p)((i, j) =>

@@ -83,7 +83,9 @@ object GoldenFixtures {
           XtabStep(topP = Some(1)).fit(cat, "species", Seq("x1", "x2"))
         },
         "relief_classif" ->
-          ReliefStep(topP = Some(2), sampleSize = 20).fit(iris, "species", irisPreds)
+          ReliefStep(topP = Some(2), sampleSize = 20).fit(iris, "species", irisPreds),
+        "relief_regression" ->
+          ReliefStep(topP = Some(2), sampleSize = 20).fit(bio, "hhv", bioPreds)
       )
     } finally { iris.unpersist(); bio.unpersist() }
   }

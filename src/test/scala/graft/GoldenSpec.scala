@@ -39,7 +39,7 @@ class GoldenSpec extends AnyFunSuite {
     "infogain_regression", "mrmr_classif", "roc_multiclass",
     "pearson_regression", "spearman_regression", "car_regression",
     "fcbf_classif", "linear_regression", "aov_regression", "xtab_classif",
-    "relief_classif")
+    "relief_classif", "relief_regression")
 
   test("golden file covers every method") {
     assert(golden.keySet == current.keySet,

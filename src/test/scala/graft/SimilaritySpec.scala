@@ -67,6 +67,52 @@ class SimilaritySpec extends AnyFunSuite {
     lsh.foreach { r => assert(math.abs(r.getDouble(1) - bruteAll(r.getLong(0))) < 1e-6) }
   }
 
+  test("banded near-dup pairs recover EVERY true pair at cosine >= 0.95 (recall property)") {
+    // perturbed (not identical) duplicates: alternating 1.28/0.72 weights put
+    // each planted pair near cosine 0.96 — every hyperplane sees a genuinely
+    // different vector, so recall must come from the AND-OR banding, not from
+    // identical signatures
+    val planted = vecs.take(30).map { case (id, v) =>
+      (id + 10000L, v.zipWithIndex.map { case (x, i) => x * (if (i % 2 == 0) 1.28f else 0.72f) })
+    }
+    val all = vecs ++ planted
+    val allDf = all.toDF("id", "v")
+    def cosLocal(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val truth = (for {
+      x <- all; y <- all if x._1 < y._1
+      c = cosLocal(x._2, y._2) if c >= 0.95
+    } yield (x._1, y._1) -> c).toMap
+    assert(truth.size >= 25, s"fixture must plant a meaningful pair count, got ${truth.size}")
+    val planes = Similarity.hyperplanes(128, 64)
+    val got = Similarity.cosineNearDupPairs(allDf, "id", "v", planes, 0.95, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == truth.keySet,
+      s"missed=${truth.keySet -- got.keySet} spurious=${got.keySet -- truth.keySet}")
+    got.foreach { case (k, v) => assert(math.abs(v - truth(k)) < 1e-12, k.toString) }
+  }
+
+  test("single band at the same plane budget has materially lower recall than banding") {
+    // documents WHY the banded construction exists: one 16-plane band ANDs
+    // all sign bits, so a cosine-0.96 pair survives with p ≈ 0.93^16 ≈ 0.3
+    val planted = vecs.take(30).map { case (id, v) =>
+      (id + 10000L, v.zipWithIndex.map { case (x, i) => x * (if (i % 2 == 0) 1.28f else 0.72f) })
+    }
+    val allDf = (vecs ++ planted).toDF("id", "v")
+    val planes16 = Similarity.hyperplanes(16, 64)
+    val single = Similarity.cosineNearDupPairs(allDf, "id", "v", planes16, 0.95, bands = 1)
+      .count()
+    val banded = Similarity.cosineNearDupPairs(allDf, "id", "v", planes16, 0.95, bands = 8)
+      .count()
+    assert(banded > single, s"banded=$banded single=$single")
+  }
+
   test("IVF assignment puts each vector in its nearest centroid cell") {
     val centroids = vecs.take(3).map(_._2.map(_.toDouble).toSeq)
     val assigned = Similarity.ivfAssign(df, "v", centroids).collect()

@@ -114,6 +114,48 @@ class StatsSpec extends AnyFunSuite {
     assert(got2.toSeq == Seq("l", "l", "l", "l", "l", "h"))
   }
 
+  test("estimateLambda matches the naive Schäfer–Strimmer formula and is scale-invariant") {
+    // naive single-threaded replay of corpcor::estimate.lambda (equal
+    // weights): standardize, w_kij = z_ki z_kj, λ* = Σ(m2−w̄²)/Σw̄²/(n−1)
+    def naive(cols: Seq[Array[Double]]): Double = {
+      val n = cols.head.length
+      val z = cols.map { c =>
+        val m = c.sum / n
+        val sd = math.sqrt(c.map(x => (x - m) * (x - m)).sum / (n - 1))
+        c.map(x => (x - m) / sd)
+      }
+      var sE2R = 0.0; var sER2 = 0.0
+      for (i <- z.indices; j <- i + 1 until z.length) {
+        val w = (0 until n).map(k => z(i)(k) * z(j)(k))
+        val wbar = w.sum / n
+        val m2 = w.map(x => x * x).sum / n
+        sE2R += 2 * wbar * wbar; sER2 += 2 * m2
+      }
+      math.max(0.0, math.min(1.0, (sER2 - sE2R) / sE2R / (n - 1)))
+    }
+    val cols = Seq("f1", "f2", "f3", "f4").map(c => rows.map {
+      r => c match { case "f1" => r.f1; case "f2" => r.f2; case "f3" => r.f3; case _ => r.f4 }
+    }.toArray)
+    val want = naive(cols)
+    val got = Correlation.estimateLambda(df, Seq("f1", "f2", "f3", "f4"))
+    assert(approxEq(got, want, 1e-9), s"got $got want $want")
+    assert(got > 0.0 && got < 1.0, s"meaningful intensity on this fixture, got $got")
+    // standardization makes the estimate invariant to affine rescaling
+    val scaled = df.select(
+      (col("f1") * 100 + 7).as("f1"), (col("f2") / 3).as("f2"),
+      (col("f3") * -2).as("f3"), col("f4"), col("species"))
+    val got2 = Correlation.estimateLambda(scaled, Seq("f1", "f2", "f3", "f4"))
+    assert(approxEq(got, got2, 1e-9), s"scale invariance: $got vs $got2")
+  }
+
+  test("carScores with auto lambda == carScores with the estimated lambda pinned") {
+    val reg = df.withColumn("y", col("f1") + col("f3") * 0.5)
+    val lam = Correlation.estimateLambda(reg, Seq("f1", "f3", "y"))
+    val auto = Correlation.carScores(reg, Seq("f1", "f3"), "y")
+    val pinned = Correlation.carScores(reg, Seq("f1", "f3"), "y", Some(lam))
+    Seq("f1", "f3").foreach(f => assert(approxEq(auto(f), pinned(f), 1e-12), f))
+  }
+
   test("car scores reduce to marginal correlations for orthonormal predictors") {
     // with (near-)uncorrelated predictors R_X ~ I so omega ~ rho
     val reg = df.withColumn("y", col("f1") + col("f3") * 0.5)

@@ -165,16 +165,64 @@ class StepsSpec extends AnyFunSuite {
     assert(m("f1").get > m("f3").get)
   }
 
+  test("ReliefStep regression (RReliefF): numeric outcome works, deterministic, informative > noise") {
+    // the reference passes numeric outcomes straight to FSelectorRcpp::relief
+    // (step_select_relief.R:133–181 — no outcome-type guard)
+    val rng = new scala.util.Random(7)
+    val reg = (0 until 300).map { _ =>
+      val a = rng.nextGaussian(); val noise = rng.nextGaussian()
+      (a, noise, 3 * a + rng.nextGaussian() * 0.2)
+    }.toDF("inf", "noi", "y")
+    val a = ReliefStep(topP = Some(1), sampleSize = 20).fit(reg, "y", Seq("inf", "noi"))
+    val b = ReliefStep(topP = Some(1), sampleSize = 20).fit(reg, "y", Seq("inf", "noi"))
+    assert(a.scores == b.scores, "seeded determinism")
+    val m = a.scores.toMap
+    assert(m("inf").get > m("noi").get,
+      s"informative feature must outscore noise: $m")
+    assert(a.excluded == Seq("noi"))
+    assert(m.values.flatten.forall(v => v >= -1.0 && v <= 1.0), "RReliefF scores in [-1, 1]")
+  }
+
   test("BorutaStep: informative feature wins every round; only noise can be excluded") {
     // With 12 runs a pure-noise feature may legitimately end Tentative
     // (P(noise beats max-of-3-shadows) ≈ 1/4 per round), so assert the
     // decision structure, not a forced rejection.
-    val fitted = BorutaStep(maxRuns = 12, trees = 20).fit(df, "species", Seq("f1", "f2", "f3"))
+    val res = BorutaStep(maxRuns = 12, trees = 20).fitDetailed(df, "species", Seq("f1", "f2", "f3"))
+    val fitted = res.selector
     val hits = fitted.scores.toMap
     assert(hits("f1").get == 12.0, "informative feature beats shadows every round")
     assert(!fitted.excluded.contains("f1") && !fitted.excluded.contains("f2"))
     assert(fitted.excluded.forall(_ == "f3"))
     assert(hits("f3").get < 12.0)
+
+    // ImpHistory shape: one row per round, each carrying every feature plus
+    // the shadowMin/Mean/Max summaries (test_step_select_boruta.R:29,60)
+    assert(res.impHistory.length == 12)
+    val wantKeys = Set("f1", "f2", "f3", "shadowMin", "shadowMean", "shadowMax")
+    res.impHistory.foreach { row =>
+      assert(row.keySet == wantKeys)
+      assert(row("shadowMin") <= row("shadowMean") && row("shadowMean") <= row("shadowMax"))
+    }
+    assert(res.decisions("f1") == "Confirmed")
+
+    // TentativeRoughFix: no Tentatives survive; each is resolved by
+    // median-importance vs median-shadowMax, and the fixed exclusion set
+    // matches the decisions
+    val fixed = res.roughFix
+    assert(!fixed.decisions.values.exists(_ == "Tentative"))
+    assert(fixed.decisions("f1") == "Confirmed", "rough-fix never demotes a Confirmed feature")
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val shadowMed = median(res.impHistory.map(_("shadowMax")))
+    res.decisions.collect { case (p, "Tentative") => p }.foreach { p =>
+      val want = if (median(res.impHistory.map(_(p))) > shadowMed) "Confirmed" else "Rejected"
+      assert(fixed.decisions(p) == want, s"rough-fix rule for $p")
+    }
+    assert(fixed.selector.excluded.toSet ==
+      fixed.decisions.collect { case (p, "Rejected") => p }.toSet)
+    assert(fixed.selector.warnings.isEmpty)
   }
 
   test("pipeline fits steps in order on progressively reduced schema") {
