@@ -6,14 +6,44 @@ import org.apache.spark.sql.functions._
 /** Multimodal columns: image/audio/video treated as opaque `binary` columns
   * with typed metadata. The Spark-side plumbing — schema, partitioning,
   * batch iteration shape, container-format sniffing — is real everywhere.
-  * The DECODE is real (pure-JVM parsers, no external codecs) for the
-  * uncompressed formats: 24-bit BMP images and 16-bit PCM WAV audio.
-  * Compressed codecs (jpeg/png/mp3/mp4) are STUBBED with a deterministic
-  * fake — those libraries are not in this container; swap
-  * [[StubCodec.decodeImage]] for a real codec (e.g. TwelveMonkeys/JavaCV)
-  * without touching the plumbing.
+  * The DECODE is real for every image format the JDK ships a codec for:
+  * jpeg/png/gif via `javax.imageio` (zero external dependencies), plus
+  * pure-JVM parsers for the uncompressed formats (24-bit BMP, 16-bit PCM
+  * WAV). Only video/audio-compressed containers (mp4/mp3) fall to the
+  * clearly-marked deterministic stub — swap [[StubCodec.decodeImage]] for a
+  * real demuxer (e.g. JavaCV) without touching the plumbing.
   */
 object BinaryFeatures {
+
+  // ImageIO's default ImageInputStream spills to a disk-backed cache per
+  // read — pure overhead for in-memory byte arrays on an executor
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** REAL decoder for the JDK-codec formats (jpeg/png/gif): full pixel
+    * decode via javax.imageio, then exact BT.601 mean luma over the ARGB
+    * raster. Returns None on corrupt/unsupported payloads (the caller falls
+    * back to the stub, never fails the task). */
+  def decodeImageIO(b: Array[Byte]): Option[(Int, Int, Double)] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        var sum = 0.0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val bl = rgb & 0xff
+            sum += 0.299 * r + 0.587 * g + 0.114 * bl
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, sum / (w.toLong * h) / 255.0))
+      }
+    } catch { case _: Exception => None }
 
   /** Container sniffing from magic bytes — REAL (these are the published
     * file signatures), pure Column expr, codegen-eligible. */
@@ -111,10 +141,10 @@ object BinaryFeatures {
     Some((sampleRate, n.toLong, sum / n / 32768.0))
   }
 
-  /** ====== STUB ====== deterministic fake decoder for COMPRESSED formats:
-    * derives pseudo dimensions/luma from a content hash. Replace with a real
-    * image codec; the signature (bytes in, small typed struct out) is the
-    * contract. */
+  /** ====== STUB ====== deterministic fake decoder for the formats with no
+    * JDK codec (mp4/mp3) and for corrupt image payloads: derives pseudo
+    * dimensions/luma from a content hash. Replace with a real demuxer; the
+    * signature (bytes in, small typed struct out) is the contract. */
   object StubCodec {
     def decodeImage(bytes: Array[Byte]): (Int, Int, Double) = {
       var h = 1125899906842597L
@@ -131,8 +161,10 @@ object BinaryFeatures {
     * Dataset API: one iterator pass per partition, no per-row task setup,
     * decode parallelism = partition parallelism. Metadata features
     * (n_bytes, format via magic bytes, content hash) are REAL for every
-    * format; bmp/wav rows get REAL pixel/sample statistics, compressed
-    * formats fall back to the stub codec (marked `decoded = "stub"`). */
+    * format; jpeg/png/gif rows get REAL pixel statistics via the JDK's
+    * ImageIO codecs, bmp/wav via the pure-JVM parsers; only codec-less
+    * containers (mp4) and corrupt payloads fall back to the stub codec
+    * (marked `decoded = "stub"`). */
   def decodeFeatures(spark: SparkSession, media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.mapPartitions { it =>
@@ -141,9 +173,13 @@ object BinaryFeatures {
         var h = 1125899906842597L
         var i = 0
         while (i < row.bytes.length) { h = 31 * h + row.bytes(i); i += 1 }
-        val bmp = if (fmt == "bmp") decodeBmp(row.bytes) else None
+        val img = fmt match {
+          case "bmp"                  => decodeBmp(row.bytes)
+          case "jpeg" | "png" | "gif" => decodeImageIO(row.bytes)
+          case _                      => None
+        }
         val wav = if (fmt == "wav") decodeWav(row.bytes) else None
-        (bmp, wav) match {
+        (img, wav) match {
           case (Some((w, ht, luma)), _) =>
             MediaFeatures(row.id, row.bytes.length.toLong, fmt, h, w, ht, luma, 0, 0L, 0.0, "real")
           case (_, Some((sr, n, amp))) =>
@@ -174,10 +210,12 @@ object BinaryFeatures {
     Array(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff, (v >> 24) & 0xff).map(_.toByte)
 
   /** Deterministic synthetic media payload so the decode pipeline can be
-    * exercised end-to-end without external codec fixtures: id mod 3 selects
+    * exercised end-to-end without external codec fixtures: id mod 4 selects
     * a PCM16 WAV (8 samples derived from the id), a 2×2 24-bit BMP (pixels
-    * derived from the id), or the raw text bytes (stub/sniff path). */
-  def syntheticMedia(id: Long, text: String): Array[Byte] = (id % 3) match {
+    * derived from the id), a 2×2 PNG (ImageIO-encoded, pixels derived from
+    * the id — exercises the REAL JDK codec path), or the raw text bytes
+    * (stub/sniff path). */
+  def syntheticMedia(id: Long, text: String): Array[Byte] = (id % 4) match {
     case 0 =>
       val samples = (0 until 8).map(i => (((id * 131 + i * 2654435761L) % 65536) - 32768).toInt)
       val data = samples.flatMap(le16).toArray
@@ -194,6 +232,14 @@ object BinaryFeatures {
       "BM".getBytes("US-ASCII") ++ le32(70) ++ le32(0) ++ le32(54) ++
         le32(40) ++ le32(2) ++ le32(2) ++ le16(1) ++ le16(24) ++ le32(0) ++ le32(16) ++
         le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++ pixels
+    case 2 =>
+      val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 4).foreach { i =>
+        img.setRGB(i % 2, i / 2, math.floorMod(id * 2654435761L + i * 40503, 0x1000000L).toInt)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
     case _ => text.getBytes("UTF-8")
   }
 

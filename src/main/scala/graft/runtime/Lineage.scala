@@ -58,6 +58,32 @@ object Lineage {
       .agg(countDistinct(sha2(encode(col(text), "UTF-8"), 256)).as("variants"))
       .where(col("variants") > 1)
 
+  /** Hot-key alarm for order-dependent window features (lag/sessionize/
+    * backfill): window partitions are NOT split by AQE, so one pathological
+    * key (a url crawled millions of times) silently degrades the whole
+    * stage to a single task. Returns the keys whose row count exceeds
+    * `maxRows` — empty ⇒ the per-key partitioning is safe to window over.
+    * One map-side-combined groupBy; callers gate the window stage on it
+    * (associative features can instead route through
+    * [[graft.temporal.Salting]], which hot keys do not hurt). */
+  def hotKeys(df: DataFrame, key: String, maxRows: Long): DataFrame =
+    df.groupBy(col(key))
+      .agg(count(lit(1)).as("n_rows"))
+      .where(col("n_rows") > maxRows)
+
+  /** Throwing gate over [[hotKeys]]: abort (with the worst offenders named)
+    * before planning a window stage that would serialize on one task. */
+  def requireNoHotKeys(df: DataFrame, key: String, maxRows: Long): Unit = {
+    val top = hotKeys(df, key, maxRows)
+      .orderBy(col("n_rows").desc, col(key)).limit(3).collect()
+    if (top.nonEmpty) {
+      val worst = top.map(r => s"${r.get(0)}=${r.getLong(1)} rows").mkString(", ")
+      throw new IllegalStateException(
+        s"hot keys exceed $maxRows rows for order-dependent windowing on `$key`: $worst " +
+          "(salt associative features or split the offending keys upstream)")
+    }
+  }
+
   /** Write a metrics table next to an output path (single small file). */
   def writeMetrics(metrics: DataFrame, outPath: String): Unit =
     metrics.coalesce(1).write.mode("overwrite").json(outPath)

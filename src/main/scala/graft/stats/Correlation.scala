@@ -34,15 +34,44 @@ object Correlation {
   }
 
   /** Spearman corr for all features vs outcome: Pearson over EXACT
-    * mid-ranks, computed scalably — ALL per-column rank tables come from ONE
-    * melted counts pass (the window runs per feature over DISTINCT values,
-    * so no single-partition row sort ever happens; midrank(v) =
-    * (#rows with value < v) + (ties(v) + 1) / 2), are cached (tiny: Σ
-    * per-column distinct counts — each join-back would otherwise re-execute
-    * the melt scan), and joined back per column. Identical results to the
-    * naive rank()-window formulation (see ScalableRankSpec/StatsSpec). */
+    * mid-ranks, computed scalably in a FIXED number of shuffles regardless
+    * of the feature count (the per-feature rank join-back this replaced was
+    * one full-table shuffle join per feature — a 100-TB cost bug for wide
+    * inputs):
+    *
+    *  1. ONE melted counts pass builds every column's rank table (the
+    *     window runs per feature over DISTINCT values, so no
+    *     single-partition row sort ever happens; midrank(v) =
+    *     (#rows with value < v) + (ties(v) + 1)/2). Cached: it is referenced
+    *     by both the feature-rank and the outcome-rank join.
+    *  2. ONE melted joint-counts pass builds the (feature, value, y-value)
+    *     distribution for ALL features — pairs with either side NULL drop
+    *     out, preserving `corr`'s pairwise-deletion semantics.
+    *  3. Ranks join onto the joint counts (tables of distinct-pair size,
+    *     not row count), and the count-weighted Pearson is computed with
+    *     the two-pass (subtract-the-mean) formulation — window means over
+    *     the feature partition reuse the final groupBy's partitioning, so
+    *     steps 2→3 are one exchange chain.
+    *
+    * Identical results to the naive rank()-window formulation
+    * (ScalableRankSpec pins equality at 1e-12). */
   def spearman(df: DataFrame, features: Seq[String], outcome: String): Map[String, Option[Double]] = {
     if (features.isEmpty) return Map.empty
+    val (stats, rankTable) = spearmanStats(df, features, outcome)
+    try {
+      val got = stats.collect().map { r =>
+        val (sxy, sxx, syy) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+        r.getString(0) -> (sxy / math.sqrt(sxx * syy)) // 0/0 => NaN, like corr
+      }.toMap
+      features.map(f => f -> got.get(f)).toMap
+    } finally rankTable.unpersist(blocking = false)
+  }
+
+  /** The per-feature weighted central moments (feature, sxy, sxx, syy, cnt)
+    * of the mid-ranks, plus the CACHED rank table the plan references twice
+    * — exposed so PlanSpec can pin the shuffle count; callers unpersist the
+    * rank table when done (as [[spearman]] does). */
+  private[graft] def spearmanStats(df: DataFrame, features: Seq[String], outcome: String): (DataFrame, DataFrame) = {
     val cols = (features :+ outcome).distinct
     val counts = graft.core.Melt.numeric(df, cols)
       .where(col("value").isNotNull)
@@ -54,22 +83,31 @@ object Correlation {
       col("feature"), col("value"),
       (coalesce(sum("cnt").over(w), lit(0L)) + (col("cnt") + 1) / 2.0).as("midrank"))
       .cache()
-    try {
-      val withRanks = cols.foldLeft(df.select(cols.map(c => col(c).cast("double").as(c)): _*)) { (d, c) =>
-        val rt = rankTable.where(col("feature") === c)
-          .select(col("value").as(c + "__v"), col("midrank").as(c + "__rank"))
-        // no broadcast hint: the rank table is |distinct values| rows —
-        // tiny for discrete columns (AQE broadcasts it), up to n for
-        // continuous ones (AQE picks a shuffle join; still no global
-        // single-partition row sort)
-        d.join(rt, d(c) === rt(c + "__v"), "left").drop(c + "__v")
-      }
-      pearson(
-        withRanks.select(cols.map(c => col(c + "__rank").as(c)): _*),
-        features,
-        outcome
-      )
-    } finally rankTable.unpersist(blocking = false)
+    val joint = graft.core.Melt.numeric(
+        df.withColumn("__yv", col(outcome).cast("double")), features, keep = Seq("__yv"))
+      .where(col("value").isNotNull && col("__yv").isNotNull)
+      .groupBy("feature", "value", "__yv")
+      .agg(count(lit(1)).as("n"))
+    val yRank = rankTable.where(col("feature") === outcome)
+      .select(col("value").as("__yv"), col("midrank").as("ry"))
+    val ranked = joint
+      .join(rankTable, Seq("feature", "value"))
+      .join(yRank, "__yv")
+      .select(col("feature"), col("n").cast("double").as("n"),
+        col("midrank").as("rf"), col("ry"))
+    // two-pass weighted Pearson: window means over the feature partition
+    // (partitionBy present — no global window), then centered sums in the
+    // groupBy that reuses the same hash partitioning
+    val wf = Window.partitionBy("feature")
+    val centered = ranked
+      .withColumn("mf", sum(col("n") * col("rf")).over(wf) / sum(col("n")).over(wf))
+      .withColumn("my", sum(col("n") * col("ry")).over(wf) / sum(col("n")).over(wf))
+    val stats = centered.groupBy("feature").agg(
+      sum(col("n") * (col("rf") - col("mf")) * (col("ry") - col("my"))).as("sxy"),
+      sum(col("n") * (col("rf") - col("mf")) * (col("rf") - col("mf"))).as("sxx"),
+      sum(col("n") * (col("ry") - col("my")) * (col("ry") - col("my"))).as("syy"),
+      sum(col("n")).as("cnt"))
+    (stats, rankTable)
   }
 
   /** Full p×p Pearson correlation matrix of the features plus the feature–

@@ -20,7 +20,9 @@ import org.apache.spark.sql.functions._
   * same [[byKey]] spec. Hot-key skew: window partitions are NOT split by
   * AQE; for associative features (counts/sums) use [[Salting]]'s two-phase
   * decomposition; order-dependent features (lag) on a pathological key
-  * degrade to a single task — detect via [[graft.runtime.Lineage]] metrics.
+  * degrade to a single task — gate the stage with
+  * [[graft.runtime.Lineage.requireNoHotKeys]] (or inspect
+  * [[graft.runtime.Lineage.hotKeys]]) before windowing.
   */
 object Windows {
 

@@ -63,6 +63,23 @@ class PlanSpec extends AnyFunSuite {
     assert(scans <= 5, s"expected <=5 parquet scans, got $scans")
   }
 
+  test("spearman shuffles do not grow with the feature count (one melted join, not p joins)") {
+    // the per-feature rank join-back formulation planned one full-table
+    // shuffle join PER feature; the melted joint-counts formulation is
+    // pinned to a constant exchange count
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    def exchanges(features: Seq[String]): Int = {
+      val (stats, rankTable) = graft.stats.Correlation
+        .spearmanStats(li, features, "l_extendedprice")
+      try "Exchange hashpartitioning".r
+        .findAllIn(stats.queryExecution.executedPlan.toString).length
+      finally rankTable.unpersist(blocking = false)
+    }
+    val one = exchanges(Seq("l_quantity"))
+    val three = exchanges(Seq("l_quantity", "l_discount", "l_tax"))
+    assert(three == one, s"exchange count must be feature-count-invariant: p=1 -> $one, p=3 -> $three")
+  }
+
   test("no registered query plans a CartesianProduct") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString

@@ -63,6 +63,22 @@ class RuntimeSpec extends AnyFunSuite {
     assert(Lineage.textIdentityViolations(corrupted, "url", "text").count() == 1)
   }
 
+  test("hot-key alarm trips on a 90%-one-url table and passes balanced data") {
+    import spark.implicits._
+    // 90% of rows share one url — the order-dependent window killer
+    val skewed = (0 until 1000).map(i =>
+      (if (i < 900) "http://hot" else s"http://u$i", i.toLong)).toDF("url", "v")
+    val hot = Lineage.hotKeys(skewed, "url", maxRows = 500).collect()
+    assert(hot.length == 1 && hot.head.getString(0) == "http://hot" && hot.head.getLong(1) == 900L)
+    val err = intercept[IllegalStateException](
+      Lineage.requireNoHotKeys(skewed, "url", maxRows = 500))
+    assert(err.getMessage.contains("http://hot") && err.getMessage.contains("900"))
+    // balanced synthetic pages pass the same gate
+    val pages = graft.core.PagesGen.pages(spark, 1000, 100)
+    assert(Lineage.hotKeys(pages, "url", maxRows = 500).count() == 0)
+    Lineage.requireNoHotKeys(pages, "url", maxRows = 500) // must not throw
+  }
+
   test("media decode plumbing: magic-byte sniffing + stable stub features") {
     import graft.multimodal.BinaryFeatures
     val jpeg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte, 1, 2, 3)
@@ -106,6 +122,59 @@ class RuntimeSpec extends AnyFunSuite {
     val f = BinaryFeatures.decodeFeatures(spark, ds).collect().head
     assert(f.format == "bmp" && f.decoded == "real" && f.width == 2 && f.height == 2)
     assert(math.abs(f.mean_luma - wantLuma) < 1e-9)
+  }
+
+  test("REAL jpeg/png/gif decode via the JDK's ImageIO: known tiny images round-trip") {
+    import graft.multimodal.BinaryFeatures
+    // 2x1 image: one white pixel, one black pixel -> mean luma exactly 0.5
+    val img = new java.awt.image.BufferedImage(2, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xffffff); img.setRGB(1, 0, 0x000000)
+    def encode(fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val png = encode("png"); val gif = encode("gif"); val jpg = encode("jpg")
+    // png/gif are lossless: exact dims and exact luma
+    Seq("png" -> png, "gif" -> gif).foreach { case (name, bytes) =>
+      val (w, h, luma) = BinaryFeatures.decodeImageIO(bytes).get
+      assert(w == 2 && h == 1, name)
+      assert(math.abs(luma - 0.5) < 1e-9, s"$name luma=$luma")
+    }
+    // jpeg is lossy: exact dims, luma within compression tolerance
+    val (jw, jh, jluma) = BinaryFeatures.decodeImageIO(jpg).get
+    assert(jw == 2 && jh == 1)
+    assert(math.abs(jluma - 0.5) < 0.05, s"jpeg luma=$jluma")
+    // end-to-end through the batch decoder: decoded = "real", formats sniffed
+    val ds = spark.createDataset(Seq(
+      BinaryFeatures.MediaRow(1, png), BinaryFeatures.MediaRow(2, gif),
+      BinaryFeatures.MediaRow(3, jpg)))
+    val got = BinaryFeatures.decodeFeatures(spark, ds).collect().sortBy(_.id)
+    assert(got.map(_.format).toSeq == Seq("png", "gif", "jpeg"))
+    assert(got.forall(_.decoded == "real"), got.map(r => r.format -> r.decoded).mkString(","))
+    assert(got.forall(r => r.width == 2 && r.height == 1))
+    // a TRUNCATED png (valid magic, corrupt body) must fall back to the
+    // stub, not fail the task
+    val corrupt = png.take(12)
+    val fb = BinaryFeatures.decodeFeatures(
+      spark, spark.createDataset(Seq(BinaryFeatures.MediaRow(9, corrupt)))).collect().head
+    assert(fb.format == "png" && fb.decoded == "stub")
+  }
+
+  test("crafted media payloads cannot hang or crash the decoders") {
+    import graft.multimodal.BinaryFeatures
+    // a negative RIFF chunk size used to make the chunk-walk step
+    // non-positive — the executor task would spin forever
+    val evilWav = ("RIFF".getBytes("US-ASCII").toSeq ++ le32(100) ++
+      "WAVE".getBytes("US-ASCII").toSeq ++
+      "junk".getBytes("US-ASCII").toSeq ++ le32(-8) ++ Seq.fill(32)(0.toByte)).toArray
+    assert(BinaryFeatures.decodeWav(evilWav).isEmpty)
+    // a huge width used to overflow w*3 to a negative Int row stride, pass
+    // the bounds guard, and throw ArrayIndexOutOfBounds in the pixel loop
+    val evilBmp = ("BM".getBytes("US-ASCII").toSeq ++ le32(70) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(0x40000000) ++ le32(1) ++ le16(1) ++ le16(24) ++ le32(0) ++
+      le32(16) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++ Seq.fill(16)(0.toByte)).toArray
+    assert(BinaryFeatures.decodeBmp(evilBmp).isEmpty)
   }
 
   test("REAL wav decode: PCM16 sample stats from the data chunk") {
