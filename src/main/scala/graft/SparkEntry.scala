@@ -9,7 +9,7 @@ import graft.select._
 import graft.sim.Similarity
 import graft.stats.{Anova, Auc, Binning, ChiSq, Correlation, Entropy}
 import graft.temporal.{AsOf, Salting, Windows}
-import graft.text.{Dedup, TextFeatures}
+import graft.text.{Dedup, Sampling, TextFeatures}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -164,6 +164,23 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"), TextFeatures.rollingFingerprintMd5(col("text")).as("fp"))
         .orderBy("doc_id")
+    }),
+    // deterministic corpus split: portable md5-bucket variant so DuckDB
+    // reproduces the exact membership of every split; the xxhash64
+    // production variant is pinned by CurationSpec
+    "q_hash_split" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        Sampling.splitByHashMd5(col("doc_id"),
+          Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)).as("split"))
+        .orderBy("doc_id")),
+    // per-domain quota: top-3 docs per source by quality (rounded to the
+    // cross-engine-stable 6 dp before ordering), doc_id tiebreak
+    "q_domain_quota" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("quality", round(TextFeatures.qualityScore(col("text")), 6))
+      Sampling.domainQuota(d, col("source"), 3, Seq(col("quality").desc, col("doc_id")))
+        .select("doc_id", "source", "quality").orderBy("doc_id")
     }),
     // ---- similarity search ----
     "q_cosine_sims" -> ((s, dir) => {
@@ -607,6 +624,46 @@ object SparkEntry {
         |       * sqrt(list_sum(list_transform(q.e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS c
         |  FROM embeddings v CROSS JOIN q)
         |SELECT vec_id, round(c, 6) AS cosine FROM s ORDER BY c DESC, vec_id LIMIT 10""".stripMargin,
+    // 48-bit md5-prefix bucket (the repo's portable hash) walked against the
+    // cumulative 0.8/0.9 thresholds — both engines divide the same exact
+    // integer by 1e6, so the comparisons are bit-identical
+    "q_hash_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN b < 0.8 THEN 'train' WHEN b < 0.9 THEN 'valid' ELSE 'test' END AS split
+        |FROM (
+        |  SELECT doc_id,
+        |    (CAST(list_sum(list_transform(range(1, 13),
+        |       k -> (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), CAST(k AS INT), 1)) - 1)
+        |            * pow(16, 12 - k))) AS BIGINT) % 1000000) / 1000000.0 AS b
+        |  FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+    // quality replay (same chain as q_quality) -> row_number per source over
+    // (quality DESC, doc_id) -> keep rn <= 3
+    "q_domain_quota" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, text,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, source, n,
+        |    CASE WHEN n = 0 THEN 0.0
+        |         ELSE CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], t))) AS DOUBLE) / n END AS sr,
+        |    CASE WHEN len(text) = 0 THEN 0.0
+        |         ELSE CAST(len(text) - len(regexp_replace(text, '[.,;:!?()]', '', 'g')) AS DOUBLE) / len(text) END AS pr
+        |  FROM base),
+        |q AS (
+        |  SELECT doc_id, source,
+        |    round((CASE WHEN n >= 20 AND n <= 100000 THEN 1.0 WHEN n >= 5 THEN 0.5 ELSE 0.0 END) * 0.4
+        |        + (CASE WHEN sr >= 0.05 THEN 1.0 ELSE 0.0 END) * 0.4
+        |        + (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END) * 0.2, 6) AS quality
+        |  FROM m),
+        |r AS (
+        |  SELECT doc_id, source, quality,
+        |    row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rn
+        |  FROM q)
+        |SELECT doc_id, source, quality FROM r WHERE rn <= 3 ORDER BY doc_id""".stripMargin,
     "q_corr_pearson" ->
       """SELECT 'l_quantity' AS feature, round(corr(l_quantity, l_extendedprice), 6) AS score FROM lineitem
         |UNION ALL SELECT 'l_discount', round(corr(l_discount, l_extendedprice), 6) FROM lineitem

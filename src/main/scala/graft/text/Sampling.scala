@@ -1,0 +1,58 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation primitives a reproducible training-data pipeline needs
+  * at 100 TB: deterministic dataset splitting and per-domain quotas.
+  *
+  * Both are pure per-row/per-group column logic — no RNG state, no driver
+  * round-trips — so results are identical at any parallelism, across
+  * reruns, and across engine versions (the property that makes a train/test
+  * split trustworthy: a document can never silently migrate between splits
+  * when the cluster is resized).
+  */
+object Sampling {
+
+  /** Walk the cumulative fraction thresholds over a [0, 1) bucket value. */
+  private def assign(bucket: Column, fractions: Seq[(String, Double)]): Column = {
+    require(fractions.nonEmpty, "at least one split fraction required")
+    require(fractions.forall(_._2 > 0), "fractions must be positive")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9, "fractions must sum to 1")
+    val cums = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    fractions.zip(cums).dropRight(1).foldRight(lit(fractions.last._1): Column) {
+      case (((name, _), cum), acc) => when(bucket < cum, name).otherwise(acc)
+    }
+  }
+
+  /** Deterministic split assignment by seeded key hash — the production
+    * path (xxhash64, fastest). `fractions` e.g.
+    * Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1). */
+  def splitByHash(key: Column, fractions: Seq[(String, Double)], seed: Long = 42L): Column =
+    assign(pmod(xxhash64(key, lit(seed)), lit(1000000L)) / lit(1e6), fractions)
+
+  /** Portable variant: 48-bit md5-prefix bucket — bit-identical in any
+    * engine with md5 (the repo's standard cross-engine hash), so an
+    * external system can reproduce the exact membership of every split. */
+  def splitByHashMd5(key: Column, fractions: Seq[(String, Double)]): Column =
+    assign(
+      pmod(conv(substring(md5(key.cast("string")), 1, 12), 16, 10).cast("long"),
+        lit(1000000L)) / lit(1e6),
+      fractions)
+
+  /** Per-domain quota: keep at most `k` rows per `domain`, preferring the
+    * `precedence` ordering (e.g. quality desc with a deterministic id
+    * tiebreak) — the standard domain-balance filter that stops one giant
+    * host from dominating a web corpus. One window over the domain
+    * partitioning; hot domains hold at most the rows that reach this stage,
+    * and the selection is deterministic given the precedence columns. */
+  def domainQuota(df: DataFrame, domain: Column, k: Int, precedence: Seq[Column]): DataFrame = {
+    require(k >= 1, "quota must be >= 1")
+    require(precedence.nonEmpty, "a deterministic precedence ordering is required")
+    val w = Window.partitionBy(domain).orderBy(precedence: _*)
+    df.withColumn("__quota_rn", row_number().over(w))
+      .where(col("__quota_rn") <= k)
+      .drop("__quota_rn")
+  }
+}

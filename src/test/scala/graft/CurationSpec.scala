@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.text.Sampling
+
+/** Corpus-curation primitives: deterministic splits and per-domain quotas. */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val fractions = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
+  lazy val docs = (0L until 5000L).map(i => (i, s"dom${i % 37}")).toDF("id", "domain")
+
+  test("splitByHash: total function, deterministic, parallelism-invariant") {
+    def splits(parts: Int): Map[Long, String] =
+      docs.repartition(parts)
+        .select(col("id"), Sampling.splitByHash(col("id"), fractions).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a = splits(4)
+    assert(a.size == 5000 && a.values.toSet == Set("train", "valid", "test"))
+    assert(splits(13) == a, "split membership must not depend on partitioning")
+    // fractions approximately honored (hash-uniform: ±3% absolute at n=5000)
+    val counts = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    fractions.foreach { case (name, f) =>
+      assert(math.abs(counts(name).toDouble / 5000 - f) < 0.03, s"$name: $counts")
+    }
+  }
+
+  test("splitByHash: different seeds give different assignments, same seed identical") {
+    val s1 = docs.select(Sampling.splitByHash(col("id"), fractions, seed = 1).as("s"))
+      .collect().map(_.getString(0)).toSeq
+    val s1b = docs.select(Sampling.splitByHash(col("id"), fractions, seed = 1).as("s"))
+      .collect().map(_.getString(0)).toSeq
+    val s2 = docs.select(Sampling.splitByHash(col("id"), fractions, seed = 2).as("s"))
+      .collect().map(_.getString(0)).toSeq
+    assert(s1 == s1b)
+    assert(s1 != s2, "seed must matter")
+  }
+
+  test("splitByHashMd5 matches a local md5 replay of the bucket walk") {
+    val got = docs.limit(200)
+      .select(col("id"), Sampling.splitByHashMd5(col("id"), fractions).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    got.foreach { case (id, s) =>
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      val b = (java.lang.Long.parseLong(hex, 16) % 1000000L) / 1e6
+      val want = if (b < 0.8) "train" else if (b < 0.9) "valid" else "test"
+      assert(s == want, s"id=$id b=$b")
+    }
+  }
+
+  test("splitByHash rejects bad fractions") {
+    intercept[IllegalArgumentException](
+      Sampling.splitByHash(col("id"), Seq("a" -> 0.5, "b" -> 0.4)))
+    intercept[IllegalArgumentException](
+      Sampling.splitByHash(col("id"), Seq("a" -> 1.5, "b" -> -0.5)))
+  }
+
+  test("domainQuota keeps at most k rows per domain, preferring the precedence order") {
+    val scored = docs.withColumn("score", (col("id") % 101).cast("double"))
+    val kept = Sampling.domainQuota(scored, col("domain"), 3,
+      Seq(col("score").desc, col("id")))
+    val byDom = kept.collect().groupBy(_.getString(1))
+    assert(byDom.size == 37)
+    byDom.foreach { case (d, rows) => assert(rows.length == 3, d) }
+    // each kept row beats-or-equals every dropped row of its domain
+    val all = scored.collect().groupBy(_.getString(1))
+    byDom.foreach { case (d, rows) =>
+      val keptMin = rows.map(_.getDouble(2)).min
+      val dropped = all(d).map(r => (r.getDouble(2), r.getLong(0))).toSet --
+        rows.map(r => (r.getDouble(2), r.getLong(0))).toSet
+      val better = dropped.count(_._1 > keptMin)
+      assert(better == 0, s"$d: dropped rows outrank kept (min kept $keptMin)")
+    }
+    // deterministic across reruns
+    val again = Sampling.domainQuota(scored, col("domain"), 3,
+      Seq(col("score").desc, col("id"))).collect().map(_.getLong(0)).sorted.toSeq
+    assert(again == kept.collect().map(_.getLong(0)).sorted.toSeq)
+  }
+}
