@@ -9,9 +9,11 @@ import org.apache.spark.sql.functions._
   * The DECODE is real for every image format the JDK ships a codec for:
   * jpeg/png/gif via `javax.imageio` (zero external dependencies), plus
   * pure-JVM parsers for the uncompressed formats (24-bit BMP, 16-bit PCM
-  * WAV). Only video/audio-compressed containers (mp4/mp3) fall to the
-  * clearly-marked deterministic stub — swap [[StubCodec.decodeImage]] for a
-  * real demuxer (e.g. JavaCV) without touching the plumbing.
+  * WAV) and for ISO-BMFF (mp4) container METADATA (duration, track
+  * dimensions — `decoded = "meta"`). Only frame/sample DATA of codec-bound
+  * containers (mp4 frames, mp3) falls to the clearly-marked deterministic
+  * stub — swap [[StubCodec.decodeImage]] for a real codec (e.g. JavaCV)
+  * without touching the plumbing.
   */
 object BinaryFeatures {
 
@@ -71,7 +73,8 @@ object BinaryFeatures {
       sample_rate: Int,      // audio decode (REAL for wav/pcm16; 0 otherwise)
       n_samples: Long,
       mean_amplitude: Double, // mean |sample| / 32768 in [0,1]
-      decoded: String        // "real" | "stub"
+      decoded: String,       // "real" | "meta" (container metadata only) | "stub"
+      duration_s: Double = 0.0 // mp4 mvhd duration/timescale (container metadata)
   )
 
   /** REAL decoder: uncompressed 24-bit BMP (BITMAPINFOHEADER, no
@@ -141,10 +144,82 @@ object BinaryFeatures {
     Some((sampleRate, n.toLong, sum / n / 32768.0))
   }
 
-  /** ====== STUB ====== deterministic fake decoder for the formats with no
-    * JDK codec (mp4/mp3) and for corrupt image payloads: derives pseudo
-    * dimensions/luma from a content hash. Replace with a real demuxer; the
-    * signature (bytes in, small typed struct out) is the contract. */
+  /** REAL parser: ISO BMFF (mp4/mov) container METADATA — walks the
+    * top-level box list to `moov`, then `moov`'s children for `mvhd`
+    * (timescale + duration, version 0 and 1 layouts) and each `trak`'s
+    * `tkhd` (16.16 fixed-point presentation width/height; the max across
+    * tracks wins). Returns (durationSeconds, width, height). Frame DECODE
+    * still requires a codec the JVM does not ship — only the demux-level
+    * metadata is real; see [[StubCodec]] for the frame-stat stub. Malformed
+    * box sizes abort cleanly (never hang: the cursor must strictly
+    * advance). */
+  def decodeMp4Meta(b: Array[Byte]): Option[(Double, Int, Int)] = {
+    def be32(i: Int): Long =
+      ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) | ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def tag(i: Int): String = new String(b.slice(i, i + 4), "US-ASCII")
+    if (b.length < 16 || tag(4) != "ftyp") return None
+
+    // find a child box by type inside [from, to); returns (payloadStart, payloadEnd)
+    def findBox(name: String, from: Int, to: Int): Option[(Int, Int)] = {
+      var i = from
+      while (i + 8 <= to) {
+        val sz0 = be32(i)
+        val (hdr, sz) =
+          if (sz0 == 1L && i + 16 <= to) (16, be64(i + 8))
+          else if (sz0 == 0L) (8, (to - i).toLong) // box extends to the end
+          else (8, sz0)
+        if (sz < hdr || i + sz > to) return None // corrupt size: stop, don't spin
+        if (tag(i + 4) == name) return Some((i + hdr, i + sz.toInt))
+        i += sz.toInt
+      }
+      None
+    }
+
+    findBox("moov", 0, b.length).flatMap { case (moovS, moovE) =>
+      findBox("mvhd", moovS, moovE).flatMap { case (s, e) =>
+        if (e - s < 4) None
+        else {
+          val version = b(s) & 0xff
+          val (timescale, duration) =
+            if (version == 1 && e - s >= 28) (be32(s + 20), be64(s + 24))
+            else if (version == 0 && e - s >= 20) (be32(s + 12), be32(s + 16))
+            else (0L, 0L)
+          if (timescale <= 0) None
+          else {
+            // max presentation width/height across tracks (16.16 fixed)
+            var w = 0; var h = 0
+            var cursor = moovS
+            var continue = true
+            while (continue) {
+              findBox("trak", cursor, moovE) match {
+                case Some((ts, te)) =>
+                  findBox("tkhd", ts, te).foreach { case (ks, ke) =>
+                    val v = b(ks) & 0xff
+                    // v0: 4 ver/flags + 4 c + 4 m + 4 id + 4 res + 4 dur +
+                    // 8 res + 2+2+2+2 + 36 matrix = 76; v1 widens c/m/dur +12
+                    val whOff = ks + (if (v == 1) 88 else 76)
+                    if (whOff + 8 <= ke) {
+                      w = math.max(w, (be32(whOff) >> 16).toInt)
+                      h = math.max(h, (be32(whOff + 4) >> 16).toInt)
+                    }
+                  }
+                  cursor = te
+                case None => continue = false
+              }
+            }
+            Some((duration.toDouble / timescale, w, h))
+          }
+        }
+      }
+    }
+  }
+
+  /** ====== STUB ====== deterministic fake decoder for frame/sample DATA in
+    * formats with no JVM codec (mp4 frames, mp3) and for corrupt image
+    * payloads: derives pseudo dimensions/luma from a content hash. Replace
+    * with a real codec; the signature (bytes in, small typed struct out) is
+    * the contract. */
   object StubCodec {
     def decodeImage(bytes: Array[Byte]): (Int, Int, Double) = {
       var h = 1125899906842597L
@@ -179,11 +254,14 @@ object BinaryFeatures {
           case _                      => None
         }
         val wav = if (fmt == "wav") decodeWav(row.bytes) else None
-        (img, wav) match {
-          case (Some((w, ht, luma)), _) =>
+        val mp4 = if (fmt == "mp4") decodeMp4Meta(row.bytes) else None
+        (img, wav, mp4) match {
+          case (Some((w, ht, luma)), _, _) =>
             MediaFeatures(row.id, row.bytes.length.toLong, fmt, h, w, ht, luma, 0, 0L, 0.0, "real")
-          case (_, Some((sr, n, amp))) =>
+          case (_, Some((sr, n, amp)), _) =>
             MediaFeatures(row.id, row.bytes.length.toLong, fmt, h, 0, 0, 0.0, sr, n, amp, "real")
+          case (_, _, Some((dur, w, ht))) => // demux metadata real, frames undecoded
+            MediaFeatures(row.id, row.bytes.length.toLong, fmt, h, w, ht, 0.0, 0, 0L, 0.0, "meta", dur)
           case _ =>
             val (w, ht, luma) = StubCodec.decodeImage(row.bytes)
             MediaFeatures(row.id, row.bytes.length.toLong, fmt, h, w, ht, luma, 0, 0L, 0.0, "stub")

@@ -161,6 +161,34 @@ class RuntimeSpec extends AnyFunSuite {
     assert(fb.format == "png" && fb.decoded == "stub")
   }
 
+  test("REAL mp4 container metadata: mvhd duration + tkhd dimensions from a crafted BMFF") {
+    import graft.multimodal.BinaryFeatures
+    def be32(v: Long): Seq[Byte] =
+      Seq((v >> 24) & 0xff, (v >> 16) & 0xff, (v >> 8) & 0xff, v & 0xff).map(_.toByte)
+    def box(name: String, payload: Seq[Byte]): Seq[Byte] =
+      be32(8 + payload.length) ++ name.getBytes("US-ASCII").toSeq ++ payload
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII").toSeq ++ be32(0))
+    // mvhd v0 (truncated after duration): timescale 1000, duration 90000 -> 90 s
+    val mvhd = box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++ be32(1000) ++ be32(90000))
+    // tkhd v0: width/height live at payload offsets 76/80 as 16.16 fixed
+    val tkhdPayload = Seq.fill(76)(0.toByte) ++ be32(640L << 16) ++ be32(360L << 16)
+    val trak = box("trak", box("tkhd", tkhdPayload))
+    val mp4 = (ftyp ++ box("moov", mvhd ++ trak)).toArray
+    val (dur, w, h) = BinaryFeatures.decodeMp4Meta(mp4).get
+    assert(dur == 90.0 && w == 640 && h == 360, s"($dur, $w, $h)")
+    // end-to-end: decoded = "meta" (container metadata real, frames stubbed)
+    val f = BinaryFeatures.decodeFeatures(
+      spark, spark.createDataset(Seq(BinaryFeatures.MediaRow(4, mp4)))).collect().head
+    assert(f.format == "mp4" && f.decoded == "meta")
+    assert(f.duration_s == 90.0 && f.width == 640 && f.height == 360)
+    // corrupt box size: clean None, no hang
+    val evil = mp4.clone()
+    // overwrite moov's first child box size with 0xFFFFFFFF
+    val moovOff = ftyp.length
+    be32(0xffffffffL).zipWithIndex.foreach { case (b, i) => evil(moovOff + 8 + i) = b }
+    assert(BinaryFeatures.decodeMp4Meta(evil).isEmpty)
+  }
+
   test("crafted media payloads cannot hang or crash the decoders") {
     import graft.multimodal.BinaryFeatures
     // a negative RIFF chunk size used to make the chunk-walk step
