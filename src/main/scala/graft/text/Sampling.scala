@@ -44,15 +44,28 @@ object Sampling {
   /** Per-domain quota: keep at most `k` rows per `domain`, preferring the
     * `precedence` ordering (e.g. quality desc with a deterministic id
     * tiebreak) — the standard domain-balance filter that stops one giant
-    * host from dominating a web corpus. One window over the domain
-    * partitioning; hot domains hold at most the rows that reach this stage,
-    * and the selection is deterministic given the precedence columns. */
+    * host from dominating a web corpus.
+    *
+    * Hot domains are the NORMAL case for this operator (it exists because
+    * some hosts have millions of pages), and window partitions are not
+    * split by AQE — a single `row_number` over the domain would serialize
+    * each hot domain into one task. So the top-k is two-phase, the same
+    * shape as Relief's bucketed top-k: stage 1 takes the top-k within 64
+    * seeded hash sub-buckets of each domain (small parallel sorts), stage 2
+    * merges the ≤ 64·k survivors per domain — the global top-k is exactly
+    * the top-k of the per-bucket top-ks for any total `precedence` order
+    * (callers must include a deterministic tiebreak, e.g. the row id). */
   def domainQuota(df: DataFrame, domain: Column, k: Int, precedence: Seq[Column]): DataFrame = {
     require(k >= 1, "quota must be >= 1")
     require(precedence.nonEmpty, "a deterministic precedence ordering is required")
-    val w = Window.partitionBy(domain).orderBy(precedence: _*)
-    df.withColumn("__quota_rn", row_number().over(w))
+    val bucket = pmod(xxhash64(struct(df.columns.map(col): _*)), lit(64L))
+    val w1 = Window.partitionBy(domain, col("__quota_bkt")).orderBy(precedence: _*)
+    val w2 = Window.partitionBy(domain).orderBy(precedence: _*)
+    df.withColumn("__quota_bkt", bucket)
+      .withColumn("__quota_rn1", row_number().over(w1))
+      .where(col("__quota_rn1") <= k)
+      .withColumn("__quota_rn", row_number().over(w2))
       .where(col("__quota_rn") <= k)
-      .drop("__quota_rn")
+      .drop("__quota_bkt", "__quota_rn1", "__quota_rn")
   }
 }

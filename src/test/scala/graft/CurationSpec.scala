@@ -80,4 +80,20 @@ class CurationSpec extends AnyFunSuite {
       Seq(col("score").desc, col("id"))).collect().map(_.getLong(0)).sorted.toSeq
     assert(again == kept.collect().map(_.getLong(0)).sorted.toSeq)
   }
+
+  test("two-phase domainQuota == naive single-window top-k, including on a hot domain") {
+    // 90% of rows in one domain — the case the operator exists for; the
+    // bucketed two-phase selection must still be EXACTLY the global top-k
+    val rows = (0L until 3000L).map(i =>
+      (i, if (i < 2700) "hot.example" else s"d${i % 11}", (i * 37 % 97).toDouble))
+    val df = rows.toDF("id", "domain", "score")
+    val prec = Seq(col("score").desc, col("id"))
+    val fast = Sampling.domainQuota(df, col("domain"), 5, prec)
+      .collect().map(_.getLong(0)).toSet
+    // GLOBAL-WINDOW-OK: test-only naive reference, tiny fixture
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("domain")).orderBy(prec: _*)
+    val naive = df.withColumn("__rn", row_number().over(w)).where(col("__rn") <= 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(fast == naive, s"missing=${naive -- fast} extra=${fast -- naive}")
+  }
 }
