@@ -88,11 +88,16 @@ object Bench {
     for (_ <- 1 to reps; name <- names) {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
       val sec = (System.nanoTime() - t0) / 1e9
-      best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
+      // only successful reps count — a time-to-exception is not a timing; a
+      // query with no successful rep reports -1 so a failing build can never
+      // masquerade as a fast, green bench
+      if (ok) best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
     }
-    val results = names.map(n => n -> best(n))
+    val results = names.map(n => n -> best.getOrElse(n, -1.0))
     spark.stop()
 
     // scaling probe: same deterministic input, two parallelism levels (N=8,
@@ -133,7 +138,7 @@ object Bench {
     val effVsHw = math.min(1.0, speedup / hwSpeedup)
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum // failed (-1) excluded
     val scaling =
       f"""{"rows":$rows32,"sec8":$sec8%.2f,"rps8":$rps8%.0f,"sec32":$sec32%.2f,"rps32":$rps32%.0f,""" +
         f""""speedup":$speedup%.2f,"efficiency":$eff%.3f,"hwSpeedup":$hwSpeedup%.2f,"effVsHw":$effVsHw%.3f}"""

@@ -14,7 +14,15 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   * e.g. Similarity.cosineBuiltin or hand-written SQL) and fuse it into the
   * single-loop native [[CosineSimilarity]] expression — 16× on the
   * embedding hot path (BENCH.md) with bit-identical results (same
-  * ascending-index summation).
+  * ascending-index summation). The lambda bodies are verified to be pure
+  * products/sums of the lambda variables, so a scaled or transformed
+  * variant (e.g. `(x, y) -> x*2*y`) is never mis-fused.
+  *
+  * Declared semantic normalization: the UNGUARDED two-column form
+  * `dot/(‖a‖·‖b‖)` evaluates to NaN on a zero-norm vector, while the fused
+  * expression follows the cosine_sim convention of 0.0 — the rule
+  * normalizes the degenerate case to 0.0 (pinned in ExtensionsSpec). The
+  * guarded CASE form is bit-identical everywhere.
   *
   * Registered through [[GraftExtensions]]
   * (`spark.sql.extensions=graft.functions.GraftExtensions`), which also
@@ -22,14 +30,30 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   */
 object FuseCosineChain extends Rule[LogicalPlan] {
 
-  /** Σ x·y as ArrayAggregate(ZipWith(a, b, *), 0.0, +) → (a, b). */
+  /** The lambda body must be a PURE product/sum of the lambda's own bound
+    * variables (possibly cast) — `(x, y) -> x * 2 * y` or `t -> f(t)*f(t)`
+    * would otherwise fuse into plain cosine and silently drop the factor. */
+  private def isVar(e: Expression, v: NamedExpression): Boolean = e match {
+    case Cast(inner, DoubleType, _, _) => isVar(inner, v)
+    case n: NamedLambdaVariable        => n.exprId == v.exprId
+    case _                             => false
+  }
+
+  private def bothVars(x: Expression, y: Expression, vars: Seq[NamedExpression]): Boolean =
+    vars match {
+      case Seq(v1, v2) => (isVar(x, v1) && isVar(y, v2)) || (isVar(x, v2) && isVar(y, v1))
+      case Seq(v)      => isVar(x, v) && isVar(y, v)
+      case _           => false
+    }
+
+  /** Σ x·y as ArrayAggregate(ZipWith(a, b, (x,y) -> x*y), 0.0, +) → (a, b). */
   private object DotAgg {
     def unapply(e: Expression): Option[(Expression, Expression)] = e match {
       case ArrayAggregate(
-            ZipWith(a, b, LambdaFunction(Multiply(_, _, _), _, _)),
+            ZipWith(a, b, LambdaFunction(Multiply(x, y, _), mv, _)),
             Literal(zero, DoubleType),
-            LambdaFunction(Add(_, _, _), _, _),
-            _) if zero == 0.0 =>
+            LambdaFunction(Add(u, w, _), av, _),
+            _) if zero == 0.0 && bothVars(x, y, mv) && bothVars(u, w, av) =>
         Some((a, b))
       case _ => None
     }
@@ -39,10 +63,11 @@ object FuseCosineChain extends Rule[LogicalPlan] {
   private object NormOf {
     def unapply(e: Expression): Option[Expression] = e match {
       case Sqrt(ArrayAggregate(
-            ArrayTransform(a, LambdaFunction(Multiply(x, y, _), _, _)),
+            ArrayTransform(a, LambdaFunction(Multiply(x, y, _), mv, _)),
             Literal(zero, DoubleType),
-            LambdaFunction(Add(_, _, _), _, _),
-            _)) if zero == 0.0 && x.semanticEquals(y) =>
+            LambdaFunction(Add(u, w, _), av, _),
+            _)) if zero == 0.0 && x.semanticEquals(y) &&
+              isVar(x, mv.head) && bothVars(u, w, av) =>
         Some(a)
       case _ => None
     }

@@ -182,8 +182,10 @@ object BinaryFeatures {
         if (e - s < 4) None
         else {
           val version = b(s) & 0xff
+          // v1 layout: 4 ver/flags + 8 creation + 8 modification + 4
+          // timescale + 8 duration = 32 bytes — be64(s+24) reads s..s+31
           val (timescale, duration) =
-            if (version == 1 && e - s >= 28) (be32(s + 20), be64(s + 24))
+            if (version == 1 && e - s >= 32) (be32(s + 20), be64(s + 24))
             else if (version == 0 && e - s >= 20) (be32(s + 12), be32(s + 16))
             else (0L, 0L)
           if (timescale <= 0) None

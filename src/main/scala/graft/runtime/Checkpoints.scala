@@ -38,11 +38,60 @@ object Checkpoints {
       s""""excluded":$excluded,"warnings":$warnings,"input_lineage":"${esc(lineage)}"}"""
   }
 
+  /** Inverse of [[esc]]: the full escape set esc can emit (plus \r \t for
+    * safety) — a naive replace-chain would miss \n and \uXXXX. */
+  private def unesc(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s(i + 1) match {
+          case '"'  => sb += '"'; i += 2
+          case '\\' => sb += '\\'; i += 2
+          case 'n'  => sb += '\n'; i += 2
+          case 'r'  => sb += '\r'; i += 2
+          case 't'  => sb += '\t'; i += 2
+          case 'u'  => sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
+          case o    => sb += o; i += 2
+        }
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Split an array/object body on TOP-LEVEL commas only — a comma inside a
+    * string literal (e.g. check_top_p's "(1, n)" warning, or a column named
+    * "a,b") must not split the element; a naive split corrupted resumed
+    * warnings/excluded lists. */
+  private def splitTop(body: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val sb = new StringBuilder
+    var inStr = false
+    var i = 0
+    while (i < body.length) {
+      val c = body(i)
+      if (inStr) {
+        sb += c
+        if (c == '\\' && i + 1 < body.length) { sb += body(i + 1); i += 1 }
+        else if (c == '"') inStr = false
+      } else if (c == '"') { inStr = true; sb += c }
+      else if (c == ',') { out += sb.toString; sb.clear() }
+      else sb += c
+      i += 1
+    }
+    if (sb.nonEmpty) out += sb.toString
+    out.result()
+  }
+
+  private def stripQuotes(s: String): String =
+    unesc(s.trim.stripPrefix("\"").stripSuffix("\""))
+
   /** Minimal JSON reader for the checkpoint shape written above. */
   def fromJson(json: String): FittedSelector = {
     def str(key: String): String = {
       val m = ("\"" + key + "\":\"((?:[^\"\\\\]|\\\\.)*)\"").r.findFirstMatchIn(json)
-      m.map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).getOrElse("")
+      m.map(g => unesc(g.group(1))).getOrElse("")
     }
     def obj(key: String): String = {
       val start = json.indexOf("\"" + key + "\":{")
@@ -54,19 +103,25 @@ object Checkpoints {
     def arr(key: String): Seq[String] = {
       val start = json.indexOf("\"" + key + "\":[")
       val open = json.indexOf('[', start)
-      val close = json.indexOf(']', open)
-      val body = json.substring(open + 1, close)
-      if (body.trim.isEmpty) Nil
-      else body.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")
-        .replace("\\\"", "\"").replace("\\\\", "\\"))
+      // the close bracket must also be found string-aware: scan forward
+      var i = open + 1; var inStr = false
+      while (i < json.length && (inStr || json(i) != ']')) {
+        val c = json(i)
+        if (inStr) {
+          if (c == '\\') i += 1
+          else if (c == '"') inStr = false
+        } else if (c == '"') inStr = true
+        i += 1
+      }
+      val body = json.substring(open + 1, i)
+      if (body.trim.isEmpty) Nil else splitTop(body).map(stripQuotes)
     }
     val scorePairs = {
       val body = obj("scores")
       if (body.trim.isEmpty) Nil
-      else body.split(",(?=\")").toSeq.map { kv =>
+      else splitTop(body).map { kv =>
         val i = kv.lastIndexOf(':')
-        val k = kv.take(i).trim.stripPrefix("\"").stripSuffix("\"")
-          .replace("\\\"", "\"").replace("\\\\", "\\")
+        val k = stripQuotes(kv.take(i))
         val v = kv.drop(i + 1).trim
         k -> (if (v == "null") None else Some(v.toDouble))
       }

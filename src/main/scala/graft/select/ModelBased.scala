@@ -119,9 +119,12 @@ final case class LinearStep(
     StepCommon.preValidate(topP, threshold, name)
     val preds0 = StepCommon.resolvePredictors(df, outcome, predictors)
     val preds = StepCommon.numericPredictors(df, preds0)
+    // complete cases, like R's na.omit (VectorAssembler's skip only covers
+    // invalid FEATURES — a null label would fail the MLlib fit)
+    val dfc = df.na.drop(preds :+ outcome)
     val coefs: Map[String, Double] =
       if (StepCommon.isClassification(df, outcome)) {
-        val (indexed, nClasses) = ModelBased.indexLabel(df, outcome)
+        val (indexed, nClasses) = ModelBased.indexLabel(dfc, outcome)
         require(nClasses == 2,
           "step_select_linear can only be used for binary classification problems")
         val data = ModelBased.assemble(indexed, preds)
@@ -131,7 +134,7 @@ final case class LinearStep(
           .fit(data)
         ImportanceExtractor.logistic.importances(m, preds)
       } else {
-        val data = ModelBased.assemble(df, preds)
+        val data = ModelBased.assemble(dfc, preds)
         val m = new LinearRegression()
           .setFeaturesCol("__features").setLabelCol(outcome)
           .setRegParam(penalty).setElasticNetParam(mixture)
@@ -164,9 +167,10 @@ final case class TreeStep(
     StepCommon.preValidate(topP, threshold, name)
     val preds0 = StepCommon.resolvePredictors(df, outcome, predictors)
     val preds = StepCommon.numericPredictors(df, preds0)
+    val dfc = df.na.drop(preds :+ outcome) // complete cases (null label fails the fit)
     val imps: Map[String, Double] =
       if (StepCommon.isClassification(df, outcome)) {
-        val (indexed, _) = ModelBased.indexLabel(df, outcome)
+        val (indexed, _) = ModelBased.indexLabel(dfc, outcome)
         val m = new DecisionTreeClassifier()
           .setFeaturesCol("__features").setLabelCol("__label")
           .setMaxDepth(maxDepth).setSeed(seed)
@@ -176,7 +180,7 @@ final case class TreeStep(
         val m = new DecisionTreeRegressor()
           .setFeaturesCol("__features").setLabelCol(outcome)
           .setMaxDepth(maxDepth).setSeed(seed)
-          .fit(ModelBased.assemble(df, preds))
+          .fit(ModelBased.assemble(dfc, preds))
         ImportanceExtractor.dtR.importances(m, preds)
       }
     val rescaled = DualFilter.rescale(imps)
@@ -237,11 +241,12 @@ final case class ForestStep(
     val preds0 = StepCommon.resolvePredictors(df, outcome, predictors)
     val preds = StepCommon.numericPredictors(df, preds0)
     val classif = StepCommon.isClassification(df, outcome)
+    val dfc = df.na.drop(preds :+ outcome) // complete cases (null label fails the fit)
     val imps: Map[String, Double] =
       if (importance == "permutation") {
         // deterministic train/holdout split by row hash
-        val tagged = df.withColumn("__h",
-          pmod(xxhash64(struct(df.columns.map(col): _*), lit(seed)), lit(4L)))
+        val tagged = dfc.withColumn("__h",
+          pmod(xxhash64(struct(dfc.columns.map(col): _*), lit(seed)), lit(4L)))
         val train = tagged.where(col("__h") =!= 0).drop("__h").cache()
         val hold = tagged.where(col("__h") === 0).drop("__h").cache()
         try {
@@ -250,7 +255,7 @@ final case class ForestStep(
           if (classif) {
             // label mapping fit ONCE on the full data: a holdout missing an
             // alphabetically-early class must not shift indices
-            val indexer = ModelBased.labelIndexer(df, outcome)
+            val indexer = ModelBased.labelIndexer(dfc, outcome)
             val m = new RandomForestClassifier()
               .setFeaturesCol("__features").setLabelCol("__label")
               .setNumTrees(trees).setMaxDepth(maxDepth).setSeed(seed)
@@ -276,7 +281,7 @@ final case class ForestStep(
           }
         } finally { train.unpersist(); hold.unpersist() }
       } else if (classif) {
-        val (indexed, _) = ModelBased.indexLabel(df, outcome)
+        val (indexed, _) = ModelBased.indexLabel(dfc, outcome)
         val m = new RandomForestClassifier()
           .setFeaturesCol("__features").setLabelCol("__label")
           .setNumTrees(trees).setMaxDepth(maxDepth).setSeed(seed)
@@ -286,7 +291,7 @@ final case class ForestStep(
         val m = new RandomForestRegressor()
           .setFeaturesCol("__features").setLabelCol(outcome)
           .setNumTrees(trees).setMaxDepth(maxDepth).setSeed(seed)
-          .fit(ModelBased.assemble(df, preds))
+          .fit(ModelBased.assemble(dfc, preds))
         ImportanceExtractor.rfR.importances(m, preds)
       }
     val rescaled = DualFilter.rescale(imps)

@@ -329,7 +329,10 @@ final case class CorrStep(
     val shrink: Option[Double] => Option[Double] = _.map(_ * (1 - lambda.getOrElse(0.0)))
     val raw: Map[String, Option[Double]] = method match {
       case "pearson"  => Correlation.pearson(df, preds, outcome).map { case (k, v) => k -> shrink(v) }
-      case "spearman" => Correlation.spearman(df, preds, outcome)
+      // a PINNED lambda shrinks spearman exactly like pearson — cutoff is in
+      // absolute score units, so the two marginal methods must not diverge
+      // under the same lambda+cutoff configuration
+      case "spearman" => Correlation.spearman(df, preds, outcome).map { case (k, v) => k -> shrink(v) }
       case "car"      => Correlation.carScores(df, preds, outcome, lambda).map { case (k, v) => k -> Some(v) }
       case other      => throw new IllegalArgumentException(s"unknown method $other")
     }

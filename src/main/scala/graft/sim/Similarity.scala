@@ -31,7 +31,11 @@ object Similarity {
     val dot = aggregate(zip_with(v, q, (a, b) => a * b), lit(0.0), (acc, x) => acc + x)
     val nv = sqrt(aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x))
     val nq = math.sqrt(query.map(x => x * x).sum)
-    when(nv === 0.0, lit(0.0)).otherwise(dot / (nv * nq))
+    // a zero-norm QUERY folds to the 0.0 convention driver-side (the native
+    // expression returns 0.0 when either norm is zero; 0/0 here would be
+    // NaN and break the bit-for-bit equality contract)
+    if (nq == 0.0) lit(0.0)
+    else when(nv === 0.0, lit(0.0)).otherwise(dot / (nv * nq))
   }
 
   /** Hot-path cosine: the fused single-loop Catalyst expression

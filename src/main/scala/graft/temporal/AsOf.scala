@@ -118,8 +118,15 @@ object AsOf {
       col(key).as("__e_key") +: col(eventTs).as("__e_ts") +:
         tiebreak.map(col).getOrElse(lit(0L)).as("__e_tb") +:
         eventCols.map(c => col(c).as(s"__e_$c")): _*)
-    val p = probes.select(
-      col(key).as("__p_key") +: col(probeTs).as("__p_ts") +:
+    // a unique per-probe-row id so duplicate (key, ts) probe rows each keep
+    // their own output row, exactly like sortMerge (grouping on (key, ts)
+    // alone collapsed them to one arbitrary row). The window is global but
+    // the probe side is by contract tiny — it is broadcast below.
+    // GLOBAL-WINDOW-OK: probe side is small by contract (broadcast join side)
+    val pid = org.apache.spark.sql.expressions.Window.orderBy(probes.columns.map(col): _*)
+    val p = probes
+      .withColumn("__p_id", row_number().over(pid))
+      .select(col("__p_id") +: col(key).as("__p_key") +: col(probeTs).as("__p_ts") +:
         probeCols.map(c => col(c).as(s"__p_$c")): _*)
     val cond: Column =
       col("__e_key") === col("__p_key") &&
@@ -129,7 +136,8 @@ object AsOf {
       probeCols.map(c => first(col(s"__p_$c")).as(c)) ++
         eventCols.map(c => max_by(col(s"__e_$c"), struct(col("__e_ts"), col("__e_tb"))).as(c))
     e.join(broadcast(p), cond, "right")
-      .groupBy(col("__p_key").as(key), col("__p_ts").as(probeTs))
+      .groupBy(col("__p_id"), col("__p_key").as(key), col("__p_ts").as(probeTs))
       .agg(aggs.head, aggs.tail: _*)
+      .drop("__p_id")
   }
 }

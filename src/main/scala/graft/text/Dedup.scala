@@ -136,7 +136,12 @@ object Dedup {
     * xxhash64; signature element i = min over shingles of hash(i, shingle).
     * Returns (id, sig: array<long>). One narrow map + per-doc aggregate. */
   def minHashSignatures(df: DataFrame, id: String, text: String, n: Int, k: Int): DataFrame = {
+    // shingle-less docs (under n tokens) must be dropped like the md5
+    // variant does: array_min over an empty array is null, so ALL such docs
+    // would share identical null-band buckets and form an O(m²) candidate
+    // clique in the banding join — the exact blowup banding exists to avoid
     val sh = df.select(col(id), shingles(col(text), n).as("sh"))
+      .where(size(col("sh")) > 0)
     val sigCols = (0 until k).map { i =>
       array_min(transform(col("sh"), s => xxhash64(lit(i), s))).as(s"h$i")
     }

@@ -44,6 +44,36 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(math.abs(got - 1.0) < 1e-12)
   }
 
+  test("rule does NOT fuse lambdas that are not pure products of the lambda variables") {
+    df.createOrReplaceTempView("ext_vecs3")
+    // (x, y) -> x * 2 * y: fusing this into cosine would silently drop the
+    // factor of 2 from the numerator
+    val sql =
+      """SELECT a.id,
+        |  aggregate(zip_with(CAST(a.v AS array<double>), CAST(b.v AS array<double>), (x, y) -> x * 2 * y), 0D, (acc, x) -> acc + x)
+        |  / (sqrt(aggregate(transform(CAST(a.v AS array<double>), x -> x * x), 0D, (acc, x) -> acc + x))
+        |     * sqrt(aggregate(transform(CAST(b.v AS array<double>), x -> x * x), 0D, (acc, x) -> acc + x))) AS c
+        |FROM ext_vecs3 a JOIN ext_vecs3 b ON b.id = 0""".stripMargin
+    val q = spark.sql(sql)
+    assert(!q.queryExecution.optimizedPlan.toString.toLowerCase.contains("cosinesimilarity"),
+      "scaled lambda must not fuse")
+    // and the value is exactly 2x the true cosine, not the cosine
+    val row0 = df.where(col("id") === 0).head()
+    val q0 = row0.getSeq[Float](row0.fieldIndex("v")).map(_.toDouble).toSeq
+    val cos0 = df.where(col("id") === 0)
+      .select(ArrayMath.cosineSimTo(col("v"), q0)).head().getDouble(0)
+    val got0 = q.where(col("id") === 0).head().getDouble(1)
+    assert(math.abs(got0 - 2.0 * cos0) < 1e-9, s"got $got0 want ${2 * cos0}")
+  }
+
+  test("zero-norm query: cosineBuiltin == native (0.0 convention, bit-for-bit)") {
+    val zq = Seq.fill(32)(0.0)
+    val b = df.select(Similarity.cosineBuiltin(col("v"), zq)).collect().map(_.getDouble(0))
+    val n = df.select(ArrayMath.cosineSimTo(col("v"), zq)).collect().map(_.getDouble(0))
+    assert(b.toSeq == n.toSeq)
+    assert(b.forall(_ == 0.0))
+  }
+
   test("rule fuses the unguarded two-column SQL chain too") {
     df.createOrReplaceTempView("ext_vecs2")
     val sql =

@@ -223,6 +223,22 @@ class Round2Spec extends AnyFunSuite {
     assert(!got.exists { case (a, b) => a >= 3L || b >= 3L }, "distinct docs produce no pairs")
   }
 
+  test("shingle-less docs are dropped from minhash signatures (no null-signature clique)") {
+    // docs under n tokens produce an empty shingle array: array_min = null,
+    // so they would all share identical null-band buckets and form an
+    // O(m²) candidate clique in the banding join
+    val short = Seq(
+      (100L, "one two"), (101L, "x"), (102L, ""),
+      (103L, "three words here plus more")
+    ).toDF("doc_id", "text")
+    val sigs = Dedup.minHashSignatures(short, "doc_id", "text", 3, 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(sigs == Set(103L), s"only the shingle-bearing doc keeps a signature: $sigs")
+    val cands = Dedup.minHashCandidates(
+      Dedup.minHashSignatures(short, "doc_id", "text", 3, 8), "doc_id", 4, 2)
+    assert(cands.count() == 0, "no spurious candidate pairs among shingle-less docs")
+  }
+
   test("portable md5 minhash signatures: identical docs identical sigs, deterministic") {
     val sigs = Dedup.minHashSignaturesMd5(docs, "doc_id", "text", 3, 4)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap

@@ -19,6 +19,19 @@ class RuntimeSpec extends AnyFunSuite {
     assert(back == f)
   }
 
+  test("checkpoint JSON round-trips commas, newlines, and control chars in strings") {
+    // check_top_p's real warning contains a comma ("(1, n)"); a naive
+    // comma-split parser corrupted the resumed warnings/excluded lists
+    val f = FittedSelector(
+      "step_select_corr_pearson", "y",
+      Seq("a,b" -> Some(1.0), "k:v" -> None),
+      Seq("a,b", "line\nbreak", "tab\there"),
+      Seq("`top_p` should be on (1, 4) based on the number of terms (got 9)",
+        "multi\nline ctl"))
+    val back = Checkpoints.fromJson(Checkpoints.toJson(f, "x,y\nz"))
+    assert(back == f)
+  }
+
   test("fitOrResume: killed after step 1 resumes with identical results") {
     val rng = new scala.util.Random(3)
     val df = spark.createDataFrame((0 until 200).map { _ =>
@@ -187,6 +200,12 @@ class RuntimeSpec extends AnyFunSuite {
     val moovOff = ftyp.length
     be32(0xffffffffL).zipWithIndex.foreach { case (b, i) => evil(moovOff + 8 + i) = b }
     assert(BinaryFeatures.decodeMp4Meta(evil).isEmpty)
+    // a TRUNCATED version-1 mvhd (28-byte payload where the layout needs 32)
+    // must return None, not read past the buffer
+    val mvhdV1Short = box("mvhd",
+      Seq[Byte](1, 0, 0, 0) ++ be32(0) ++ be32(0) ++ be32(0) ++ be32(0) ++ be32(1000))
+    val shortMp4 = (ftyp ++ box("moov", mvhdV1Short)).toArray
+    assert(BinaryFeatures.decodeMp4Meta(shortMp4).isEmpty)
   }
 
   test("crafted media payloads cannot hang or crash the decoders") {

@@ -52,6 +52,22 @@ class TemporalSpec extends AnyFunSuite {
     assert(sm == bc)
   }
 
+  test("broadcastProbe keeps DUPLICATE (key, ts) probe rows as separate outputs, like sortMerge") {
+    // two purchases by one user in the same second with different payloads:
+    // grouping on (key, ts) alone used to collapse them to one arbitrary row
+    val ev = Seq(("u1", ts("2024-01-01 00:00:00"), 5.0)).toDF("url", "warc_ts", "v")
+    val dupProbes = Seq(
+      ("u1", ts("2024-01-02 00:00:00"), "p1"),
+      ("u1", ts("2024-01-02 00:00:00"), "p2")
+    ).toDF("url", "label_ts", "label")
+    val sm = AsOf.sortMerge(ev, dupProbes, "url", "warc_ts", "label_ts", Seq("v"))
+      .collect().map(r => r.getString(r.fieldIndex("label"))).sorted.toSeq
+    val bc = AsOf.broadcastProbe(ev, dupProbes, "url", "warc_ts", "label_ts", Seq("v"))
+      .collect().map(r => r.getString(r.fieldIndex("label"))).sorted.toSeq
+    assert(sm == Seq("p1", "p2"))
+    assert(bc == sm, s"broadcast variant must emit one row per probe row: $bc")
+  }
+
   test("tiebreak column makes equal-(key, ts) events deterministic in both variants") {
     // two events at the SAME (key, ts) — without a tiebreak the carried
     // value is order-dependent; with one, the greatest tiebreak wins
