@@ -165,6 +165,17 @@ object SparkEntry {
         .select(col("doc_id"), TextFeatures.rollingFingerprintMd5(col("text")).as("fp"))
         .orderBy("doc_id")
     }),
+    // benchmark decontamination: the first 5 docs stand in for an eval
+    // benchmark; every doc is scored by the fraction of its 3-grams that
+    // appear in the benchmark's n-gram set (broadcast semi-join)
+    "q_decontaminate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.contamination(d, "doc_id", "text",
+        d.where(col("doc_id") < 5), "text", n = 3)
+        .select(col("doc_id"), col("total_ngrams"), col("contaminated_ngrams"),
+          round(col("contamination"), 6).as("contamination"))
+        .orderBy("doc_id")
+    }),
     // deterministic corpus split: portable md5-bucket variant so DuckDB
     // reproduces the exact membership of every split; the xxhash64
     // production variant is pinned by CurationSpec
@@ -633,6 +644,29 @@ object SparkEntry {
         |       * sqrt(list_sum(list_transform(q.e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS c
         |  FROM embeddings v CROSS JOIN q)
         |SELECT vec_id, round(c, 6) AS cosine FROM s ORDER BY c DESC, vec_id LIMIT 10""".stripMargin,
+    "q_decontaminate" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok,
+        |         generate_subscripts(regexp_split_to_array(trim(lower(text)), '\s+'), 1) AS pos
+        |  FROM documents),
+        |tri AS (
+        |  SELECT doc_id,
+        |    concat(tok, ' ', lead(tok, 1) OVER d, ' ', lead(tok, 2) OVER d) AS s,
+        |    pos, count(*) OVER (PARTITION BY doc_id) AS n
+        |  FROM w WINDOW d AS (PARTITION BY doc_id ORDER BY pos)),
+        |sh AS MATERIALIZED (SELECT DISTINCT doc_id, s FROM tri WHERE pos <= n - 2),
+        |bg AS MATERIALIZED (SELECT DISTINCT s FROM sh WHERE doc_id < 5),
+        |tot AS (SELECT doc_id, count(*) AS total FROM sh GROUP BY doc_id),
+        |hit AS (SELECT sh.doc_id, count(*) AS hits FROM sh JOIN bg USING (s) GROUP BY sh.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(tot.total, 0) AS BIGINT) AS total_ngrams,
+        |  CAST(COALESCE(hit.hits, 0) AS BIGINT) AS contaminated_ngrams,
+        |  round(CASE WHEN COALESCE(tot.total, 0) = 0 THEN 0.0
+        |        ELSE CAST(COALESCE(hit.hits, 0) AS DOUBLE) / tot.total END, 6) AS contamination
+        |FROM documents d
+        |LEFT JOIN tot ON d.doc_id = tot.doc_id
+        |LEFT JOIN hit ON d.doc_id = hit.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // 48-bit md5-prefix bucket (the repo's portable hash) walked against the
     // cumulative 0.8/0.9 thresholds — both engines divide the same exact
     // integer by 1e6, so the comparisons are bit-identical

@@ -171,6 +171,36 @@ object Dedup {
       .select("a", "b").distinct()
   }
 
+  /** Benchmark decontamination: score each training doc by the fraction of
+    * its distinct n-grams that appear in an evaluation benchmark — the
+    * standard n-gram contamination filter run before a training set ships
+    * (callers drop or flag rows above a threshold). The benchmark is small
+    * by definition, so its distinct n-gram set rides a broadcast join; the
+    * corpus side is one narrow pass plus a map-side-combinable per-doc
+    * count — no corpus shuffle, no pairwise anything. Returns
+    * (id, total_ngrams, contaminated_ngrams, contamination ∈ [0,1]);
+    * shingle-less docs score 0. */
+  def contamination(
+      docs: DataFrame,
+      id: String,
+      text: String,
+      bench: DataFrame,
+      benchText: String,
+      n: Int
+  ): DataFrame = {
+    val bg = bench.select(explode(shingles(col(benchText), n)).as("g")).distinct()
+    val ex = docs
+      .select(col(id), shingles(col(text), n).as("gs")) // shingles are distinct per doc
+      .select(col(id), size(col("gs")).cast("long").as("total_ngrams"),
+        explode_outer(col("gs")).as("g"))
+    ex.join(broadcast(bg.withColumn("__hit", lit(1L))), Seq("g"), "left")
+      .groupBy(col(id), col("total_ngrams"))
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("contaminated_ngrams"))
+      .withColumn("contamination",
+        when(col("total_ngrams") === 0, lit(0.0))
+          .otherwise(col("contaminated_ngrams") / col("total_ngrams")))
+  }
+
   /** 64-bit SimHash over tokens: bit j of the result is 1 iff the sum of
     * (+1/−1) contributions of token-hash bit j is positive. Expressed as 64
     * per-bit sums in one aggregation (map-side combine). Returns (id, simhash).

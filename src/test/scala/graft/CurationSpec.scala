@@ -81,6 +81,23 @@ class CurationSpec extends AnyFunSuite {
     assert(again == kept.collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("contamination: benchmark self-overlap = 1, disjoint = 0, partial = exact fraction") {
+    import graft.text.Dedup
+    val bench = Seq((0L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),     // identical -> 1.0 (2 trigrams, both hit)
+      (2L, "zeta eta theta iota kappa"),  // disjoint -> 0.0
+      (3L, "alpha beta gamma nine ten"),  // 3 trigrams, 1 in benchmark -> 1/3
+      (4L, "xy")                          // shingle-less -> 0 grams, 0.0
+    ).toDF("doc_id", "text")
+    val got = Dedup.contamination(docs, "doc_id", "text", bench, "text", 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) == ((2L, 2L, 1.0)))
+    assert(got(2L) == ((5L - 2L, 0L, 0.0)))
+    assert(got(3L)._1 == 3L && got(3L)._2 == 1L && math.abs(got(3L)._3 - 1.0 / 3) < 1e-12)
+    assert(got(4L) == ((0L, 0L, 0.0)))
+  }
+
   test("two-phase domainQuota == naive single-window top-k, including on a hot domain") {
     // 90% of rows in one domain — the case the operator exists for; the
     // bucketed two-phase selection must still be EXACTLY the global top-k
