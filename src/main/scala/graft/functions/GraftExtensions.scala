@@ -73,11 +73,15 @@ object FuseCosineChain extends Rule[LogicalPlan] {
     }
   }
 
-  /** Strip the `transform(v, cast-to-double)` wrapper — CosineSimilarity
-    * reads float arrays natively, so the cast array need not materialize. */
+  /** Strip the `transform(v, x -> CAST(x AS double))` wrapper —
+    * CosineSimilarity reads float arrays natively, so the cast array need
+    * not materialize. The Cast's child must be the BARE lambda variable:
+    * `transform(v, x -> CAST(abs(x) AS double))` transforms values and must
+    * NOT be stripped (it would silently fuse cosine over the raw array). */
   private def stripCast(e: Expression): Expression = e match {
-    case ArrayTransform(base, LambdaFunction(c: Cast, _, _))
+    case ArrayTransform(base, LambdaFunction(c: Cast, vars, _))
         if c.dataType == DoubleType &&
+          vars.nonEmpty && isVar(c.child, vars.head) &&
           base.dataType.isInstanceOf[ArrayType] &&
           (base.dataType.asInstanceOf[ArrayType].elementType == FloatType ||
             base.dataType.asInstanceOf[ArrayType].elementType == DoubleType) =>

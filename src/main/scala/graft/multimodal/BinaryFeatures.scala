@@ -122,16 +122,20 @@ object BinaryFeatures {
     while (i + 8 <= b.length && (sampleRate < 0 || dataOff < 0)) {
       val id = tag(i); val sz = le32(i + 4)
       // a crafted/corrupt chunk size must not stall or crash the walk:
-      // negative sizes would stop the cursor advancing (task wedged forever),
-      // and a huge positive size would overflow the Int cursor to negative
-      // and index out of bounds — reject anything that cannot fit the buffer
-      if (sz < 0 || sz > b.length - i - 8) return None
+      // negative sizes would stop the cursor advancing (task wedged forever)
+      if (sz < 0) return None
       if (id == "fmt " && i + 24 <= b.length) {
         fmtCode = le16(i + 8); sampleRate = le32(i + 12); bits = le16(i + 22)
       } else if (id == "data") {
         dataOff = i + 8; dataLen = math.min(sz, b.length - dataOff)
       }
-      i += 8 + sz + (sz & 1) // chunks are word-aligned
+      // advance in Long: a huge positive size would overflow the Int cursor
+      // to negative and index out of bounds. A declared size running past
+      // the buffer is TOLERATED as the final chunk (truncated downloads are
+      // decodable prefixes — dataLen above already clamps), it just ends
+      // the walk.
+      val next = i.toLong + 8L + sz + (sz & 1) // chunks are word-aligned
+      if (next > b.length) i = b.length else i = next.toInt
     }
     if (fmtCode != 1 || bits != 16 || sampleRate <= 0 || dataOff < 0 || dataLen < 2) return None
     val n = dataLen / 2

@@ -96,8 +96,19 @@ object Checkpoints {
     def obj(key: String): String = {
       val start = json.indexOf("\"" + key + "\":{")
       val open = json.indexOf('{', start + key.length + 3)
-      var depth = 0; var i = open
-      while ({ val c = json(i); if (c == '{') depth += 1 else if (c == '}') depth -= 1; depth > 0 }) i += 1
+      // depth scan must be string-aware: a brace inside a feature-name key
+      // would otherwise truncate or overrun the object body
+      var depth = 0; var i = open; var inStr = false
+      while ({
+        val c = json(i)
+        if (inStr) {
+          if (c == '\\') i += 1
+          else if (c == '"') inStr = false
+        } else if (c == '"') inStr = true
+        else if (c == '{') depth += 1
+        else if (c == '}') depth -= 1
+        depth > 0
+      }) i += 1
       json.substring(open + 1, i)
     }
     def arr(key: String): Seq[String] = {
@@ -149,13 +160,18 @@ object Checkpoints {
     var cur = df
     steps.zipWithIndex.map { case ((step, preds), i) =>
       val path = Paths.get(dir, f"step_$i%03d_${step.name}.json")
+      def refit(): FittedSelector = {
+        val f = step.fit(cur, outcome, preds)
+        write(path, toJson(f, lineage))
+        f
+      }
       val fitted =
-        if (Files.exists(path)) fromJson(Files.readString(path))
-        else {
-          val f = step.fit(cur, outcome, preds)
-          write(path, toJson(f, lineage))
-          f
-        }
+        if (Files.exists(path))
+          // a corrupt/truncated checkpoint (disk-full mid-escape, partial
+          // write outside the atomic path) falls back to refitting the step
+          // rather than aborting the whole resume
+          scala.util.Try(fromJson(Files.readString(path))).getOrElse(refit())
+        else refit()
       cur = fitted.transform(cur)
       fitted
     }

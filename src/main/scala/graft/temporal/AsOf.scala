@@ -120,12 +120,13 @@ object AsOf {
         eventCols.map(c => col(c).as(s"__e_$c")): _*)
     // a unique per-probe-row id so duplicate (key, ts) probe rows each keep
     // their own output row, exactly like sortMerge (grouping on (key, ts)
-    // alone collapsed them to one arbitrary row). The window is global but
-    // the probe side is by contract tiny — it is broadcast below.
-    // GLOBAL-WINDOW-OK: probe side is small by contract (broadcast join side)
-    val pid = org.apache.spark.sql.expressions.Window.orderBy(probes.columns.map(col): _*)
+    // alone collapsed them to one arbitrary row). monotonically_increasing_id
+    // is only a disambiguator: it is unique within the one broadcast
+    // materialization this plan evaluates, it is dropped before return, and
+    // — unlike an all-columns ordering — it puts no orderability requirement
+    // on probe payload types (maps etc.).
     val p = probes
-      .withColumn("__p_id", row_number().over(pid))
+      .withColumn("__p_id", monotonically_increasing_id())
       .select(col("__p_id") +: col(key).as("__p_key") +: col(probeTs).as("__p_ts") +:
         probeCols.map(c => col(c).as(s"__p_$c")): _*)
     val cond: Column =

@@ -190,7 +190,10 @@ object Dedup {
   ): DataFrame = {
     val bg = bench.select(explode(shingles(col(benchText), n)).as("g")).distinct()
     val ex = docs
-      .select(col(id), shingles(col(text), n).as("gs")) // shingles are distinct per doc
+      // null text ⇒ empty gram set, scoring 0 like any shingle-less doc
+      // (ANSI size(null) is null and would poison the whole row otherwise)
+      .select(col(id),
+        coalesce(shingles(col(text), n), array().cast("array<string>")).as("gs"))
       .select(col(id), size(col("gs")).cast("long").as("total_ngrams"),
         explode_outer(col("gs")).as("g"))
     ex.join(broadcast(bg.withColumn("__hit", lit(1L))), Seq("g"), "left")

@@ -58,7 +58,13 @@ object Sampling {
   def domainQuota(df: DataFrame, domain: Column, k: Int, precedence: Seq[Column]): DataFrame = {
     require(k >= 1, "quota must be >= 1")
     require(precedence.nonEmpty, "a deterministic precedence ordering is required")
-    val bucket = pmod(xxhash64(struct(df.columns.map(col): _*)), lit(64L))
+    // bucket by the precedence expressions themselves (a total order ⇒ they
+    // already identify the row uniquely): hashing struct(ALL columns) would
+    // drag multi-KB payload columns through the hash and defeat column
+    // pruning. SortOrder wrappers (.desc/.asc) are unwrapped to their child.
+    val precedenceValues =
+      precedence.map(org.apache.spark.sql.graftbridge.ColumnBridge.stripSortOrder)
+    val bucket = pmod(xxhash64(precedenceValues: _*), lit(64L))
     val w1 = Window.partitionBy(domain, col("__quota_bkt")).orderBy(precedence: _*)
     val w2 = Window.partitionBy(domain).orderBy(precedence: _*)
     df.withColumn("__quota_bkt", bucket)

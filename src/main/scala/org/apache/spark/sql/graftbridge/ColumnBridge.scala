@@ -12,4 +12,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Strip a `.asc`/`.desc` sort wrapper, returning the VALUE column —
+    * Spark 4 models sort direction as an internal SortOrder ColumnNode, so
+    * a caller holding ordering columns cannot otherwise hash/project them. */
+  def stripSortOrder(c: Column): Column = c.node match {
+    case so: org.apache.spark.sql.internal.SortOrder => Column(so.child)
+    case _ => c
+  }
 }

@@ -88,7 +88,8 @@ class CurationSpec extends AnyFunSuite {
       (1L, "alpha beta gamma delta"),     // identical -> 1.0 (2 trigrams, both hit)
       (2L, "zeta eta theta iota kappa"),  // disjoint -> 0.0
       (3L, "alpha beta gamma nine ten"),  // 3 trigrams, 1 in benchmark -> 1/3
-      (4L, "xy")                          // shingle-less -> 0 grams, 0.0
+      (4L, "xy"),                         // shingle-less -> 0 grams, 0.0
+      (5L, null.asInstanceOf[String])     // null text -> 0 grams, 0.0 (not null row)
     ).toDF("doc_id", "text")
     val got = Dedup.contamination(docs, "doc_id", "text", bench, "text", 3)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
@@ -96,6 +97,7 @@ class CurationSpec extends AnyFunSuite {
     assert(got(2L) == ((5L - 2L, 0L, 0.0)))
     assert(got(3L)._1 == 3L && got(3L)._2 == 1L && math.abs(got(3L)._3 - 1.0 / 3) < 1e-12)
     assert(got(4L) == ((0L, 0L, 0.0)))
+    assert(got(5L) == ((0L, 0L, 0.0)), "null text must score a clean 0, not nulls")
   }
 
   test("two-phase domainQuota == naive single-window top-k, including on a hot domain") {

@@ -66,6 +66,33 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(math.abs(got0 - 2.0 * cos0) < 1e-9, s"got $got0 want ${2 * cos0}")
   }
 
+  test("rule does NOT strip a cast whose body transforms the value (abs-then-cast)") {
+    df.createOrReplaceTempView("ext_vecs4")
+    // transform(v, x -> CAST(abs(x) AS double)) is a VALUE transform — fusing
+    // over the raw array would compute cos(a,b) instead of cos(|a|,|b|)
+    val sql =
+      """SELECT a.id,
+        |  aggregate(zip_with(transform(a.v, x -> CAST(abs(x) AS double)), transform(b.v, x -> CAST(abs(x) AS double)), (x, y) -> x * y), 0D, (acc, x) -> acc + x)
+        |  / (sqrt(aggregate(transform(transform(a.v, x -> CAST(abs(x) AS double)), x -> x * x), 0D, (acc, x) -> acc + x))
+        |     * sqrt(aggregate(transform(transform(b.v, x -> CAST(abs(x) AS double)), x -> x * x), 0D, (acc, x) -> acc + x))) AS c
+        |FROM ext_vecs4 a JOIN ext_vecs4 b ON b.id = 0""".stripMargin
+    val q = spark.sql(sql)
+    val plan = q.queryExecution.optimizedPlan.toString
+    // fusing CosineSimilarity(transform(abs), transform(abs)) is fine; what
+    // must NOT happen is stripping the abs-transform down to the raw arrays
+    assert(!plan.contains("cosinesimilarity(v#") || plan.contains("transform"),
+      s"abs-transform must survive in:\n$plan")
+    // value check: vectors here are all-positive floats so |x| = x — use a
+    // planted negative via SQL literals instead
+    val lit = spark.sql(
+      """SELECT
+        |  aggregate(zip_with(transform(array(CAST(1.0 AS FLOAT), CAST(-1.0 AS FLOAT)), x -> CAST(abs(x) AS double)), transform(array(CAST(1.0 AS FLOAT), CAST(1.0 AS FLOAT)), x -> CAST(abs(x) AS double)), (x, y) -> x * y), 0D, (acc, x) -> acc + x)
+        |  / (sqrt(aggregate(transform(transform(array(CAST(1.0 AS FLOAT), CAST(-1.0 AS FLOAT)), x -> CAST(abs(x) AS double)), x -> x * x), 0D, (acc, x) -> acc + x))
+        |     * sqrt(aggregate(transform(transform(array(CAST(1.0 AS FLOAT), CAST(1.0 AS FLOAT)), x -> CAST(abs(x) AS double)), x -> x * x), 0D, (acc, x) -> acc + x))) AS c""".stripMargin)
+      .head().getDouble(0)
+    assert(math.abs(lit - 1.0) < 1e-12, s"cos(|a|,|b|) must be 1.0, got $lit")
+  }
+
   test("zero-norm query: cosineBuiltin == native (0.0 convention, bit-for-bit)") {
     val zq = Seq.fill(32)(0.0)
     val b = df.select(Similarity.cosineBuiltin(col("v"), zq)).collect().map(_.getDouble(0))

@@ -222,6 +222,17 @@ class RuntimeSpec extends AnyFunSuite {
       "WAVE".getBytes("US-ASCII").toSeq ++
       "junk".getBytes("US-ASCII").toSeq ++ le32(0x7ffffff0) ++ Seq.fill(32)(0.toByte)).toArray
     assert(BinaryFeatures.decodeWav(evilWav2).isEmpty)
+    // but a TRUNCATED final data chunk (interrupted download: declared size
+    // exceeds the bytes present) must still decode the available prefix
+    val samples = Seq(16384, -16384)
+    val data = samples.flatMap(le16)
+    val truncated = ("RIFF".getBytes("US-ASCII").toSeq ++ le32(36 + 1000) ++
+      "WAVE".getBytes("US-ASCII").toSeq ++
+      "fmt ".getBytes("US-ASCII").toSeq ++ le32(16) ++ le16(1) ++ le16(1) ++
+      le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16) ++
+      "data".getBytes("US-ASCII").toSeq ++ le32(1000) ++ data).toArray
+    val got = BinaryFeatures.decodeWav(truncated)
+    assert(got.exists(g => g._1 == 8000 && g._2 == 2L), s"prefix decodes: $got")
     // a huge width used to overflow w*3 to a negative Int row stride, pass
     // the bounds guard, and throw ArrayIndexOutOfBounds in the pixel loop
     val evilBmp = ("BM".getBytes("US-ASCII").toSeq ++ le32(70) ++ le32(0) ++ le32(54) ++
