@@ -32,8 +32,9 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: anchors are O(sampleSize) — collected and broadcast as
   * literals; distances to all anchors are ONE narrow map over the data
-  * (explode by anchor), top-k per (anchor[, hit/miss]) via a two-phase
-  * bucketed window; the weight update is a tiny driver fold.
+  * (explode by anchor); top-k per (anchor[, hit/miss]) via a map-side
+  * bounded heap (the exploded table never shuffles) merged by one tiny
+  * exact window; the weight update is a tiny driver fold.
   */
 object ReliefStep {
   /** One anchor–candidate pair flowing through the map-side top-k. */
@@ -52,6 +53,8 @@ final case class ReliefStep(
 
   def fit(df: DataFrame, outcome: String, predictors: Seq[String]): FittedSelector = {
     StepCommon.preValidate(topP, threshold, name)
+    require(neighbours >= 1, "`neighbours` must be >= 1")
+    require(sampleSize >= 1, "`sampleSize` must be >= 1")
     val preds0 = StepCommon.resolvePredictors(df, outcome, predictors)
     val preds = StepCommon.numericPredictors(df, preds0)
     val classif = StepCommon.isClassification(df, outcome)
@@ -121,11 +124,19 @@ final case class ReliefStep(
     val kN = neighbours
     val isClassif = classif
     val perPartition = exploded.as[ReliefStep.Cand].mapPartitions { it =>
-      val ord = Ordering.by[ReliefStep.Cand, (Double, Long)](c => (c.dist, c.h))
+      // allocation-free comparator + primitive Long key: this loop runs once
+      // per exploded row (n × anchors), so boxed tuples here would dominate
+      val ord = new Ordering[ReliefStep.Cand] {
+        def compare(a: ReliefStep.Cand, b: ReliefStep.Cand): Int = {
+          val d = java.lang.Double.compare(a.dist, b.dist)
+          if (d != 0) d else java.lang.Long.compare(a.h, b.h)
+        }
+      }
       val heaps = scala.collection.mutable.Map
-        .empty[(Int, Double), scala.collection.mutable.PriorityQueue[ReliefStep.Cand]]
+        .empty[Long, scala.collection.mutable.PriorityQueue[ReliefStep.Cand]]
       it.foreach { c =>
-        val key = (c.aid, if (isClassif) c.side else 0.0)
+        val key = if (isClassif) (c.aid.toLong << 1) | (if (c.side == 1.0) 1L else 0L)
+                  else c.aid.toLong
         val heap = heaps.getOrElseUpdate(key,
           scala.collection.mutable.PriorityQueue.empty[ReliefStep.Cand](ord)) // max at head
         if (heap.size < kN) heap.enqueue(c)
