@@ -138,7 +138,11 @@ object Bench {
     val effVsHw = math.min(1.0, speedup / hwSpeedup)
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum // failed (-1) excluded
+    // ANY failed query poisons the headline total to -1: summing only the
+    // successes would make a partially-failing bench report a SMALLER
+    // (better-looking) total than a green one
+    val failed = results.collect { case (k, v) if v < 0 => k }
+    val total = if (failed.nonEmpty) -1.0 else results.map(_._2).sum
     val scaling =
       f"""{"rows":$rows32,"sec8":$sec8%.2f,"rps8":$rps8%.0f,"sec32":$sec32%.2f,"rps32":$rps32%.0f,""" +
         f""""speedup":$speedup%.2f,"efficiency":$eff%.3f,"hwSpeedup":$hwSpeedup%.2f,"effVsHw":$effVsHw%.3f}"""

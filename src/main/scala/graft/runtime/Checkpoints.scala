@@ -38,106 +38,39 @@ object Checkpoints {
       s""""excluded":$excluded,"warnings":$warnings,"input_lineage":"${esc(lineage)}"}"""
   }
 
-  /** Inverse of [[esc]]: the full escape set esc can emit (plus \r \t for
-    * safety) — a naive replace-chain would miss \n and \uXXXX. */
-  private def unesc(s: String): String = {
-    val sb = new StringBuilder
-    var i = 0
-    while (i < s.length) {
-      val c = s(i)
-      if (c == '\\' && i + 1 < s.length) {
-        s(i + 1) match {
-          case '"'  => sb += '"'; i += 2
-          case '\\' => sb += '\\'; i += 2
-          case 'n'  => sb += '\n'; i += 2
-          case 'r'  => sb += '\r'; i += 2
-          case 't'  => sb += '\t'; i += 2
-          case 'u'  => sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
-          case o    => sb += o; i += 2
-        }
-      } else { sb += c; i += 1 }
-    }
-    sb.toString
-  }
-
-  /** Split an array/object body on TOP-LEVEL commas only — a comma inside a
-    * string literal (e.g. check_top_p's "(1, n)" warning, or a column named
-    * "a,b") must not split the element; a naive split corrupted resumed
-    * warnings/excluded lists. */
-  private def splitTop(body: String): Seq[String] = {
-    val out = Seq.newBuilder[String]
-    val sb = new StringBuilder
-    var inStr = false
-    var i = 0
-    while (i < body.length) {
-      val c = body(i)
-      if (inStr) {
-        sb += c
-        if (c == '\\' && i + 1 < body.length) { sb += body(i + 1); i += 1 }
-        else if (c == '"') inStr = false
-      } else if (c == '"') { inStr = true; sb += c }
-      else if (c == ',') { out += sb.toString; sb.clear() }
-      else sb += c
-      i += 1
-    }
-    if (sb.nonEmpty) out += sb.toString
-    out.result()
-  }
-
-  private def stripQuotes(s: String): String =
-    unesc(s.trim.stripPrefix("\"").stripSuffix("\""))
-
-  /** Minimal JSON reader for the checkpoint shape written above. */
+  /** Reader for the checkpoint shape written above, on the json4s parser
+    * that ships with Spark — a hand-rolled scanner here went through two
+    * rounds of escaping/nesting fixes and still risked fabricating state on
+    * truncated input. json4s throws on malformed JSON, which is exactly
+    * what [[fitOrResume]]'s refit fallback needs; missing keys throw too
+    * (a half-written document must never resume as empty state). */
   def fromJson(json: String): FittedSelector = {
-    def str(key: String): String = {
-      val m = ("\"" + key + "\":\"((?:[^\"\\\\]|\\\\.)*)\"").r.findFirstMatchIn(json)
-      m.map(g => unesc(g.group(1))).getOrElse("")
+    import org.json4s._
+    val ast = org.json4s.jackson.JsonMethods.parse(json)
+    def fail(what: String): Nothing =
+      throw new IllegalArgumentException(s"corrupt checkpoint: $what in $json")
+    def str(key: String): String = ast \ key match {
+      case JString(v) => v
+      case _          => fail(s"missing string `$key`")
     }
-    def obj(key: String): String = {
-      val start = json.indexOf("\"" + key + "\":{")
-      val open = json.indexOf('{', start + key.length + 3)
-      // depth scan must be string-aware: a brace inside a feature-name key
-      // would otherwise truncate or overrun the object body
-      var depth = 0; var i = open; var inStr = false
-      while ({
-        val c = json(i)
-        if (inStr) {
-          if (c == '\\') i += 1
-          else if (c == '"') inStr = false
-        } else if (c == '"') inStr = true
-        else if (c == '{') depth += 1
-        else if (c == '}') depth -= 1
-        depth > 0
-      }) i += 1
-      json.substring(open + 1, i)
+    def arr(key: String): Seq[String] = ast \ key match {
+      case JArray(xs) => xs.map { case JString(v) => v; case other => fail(s"non-string in `$key`: $other") }
+      case _          => fail(s"missing array `$key`")
     }
-    def arr(key: String): Seq[String] = {
-      val start = json.indexOf("\"" + key + "\":[")
-      val open = json.indexOf('[', start)
-      // the close bracket must also be found string-aware: scan forward
-      var i = open + 1; var inStr = false
-      while (i < json.length && (inStr || json(i) != ']')) {
-        val c = json(i)
-        if (inStr) {
-          if (c == '\\') i += 1
-          else if (c == '"') inStr = false
-        } else if (c == '"') inStr = true
-        i += 1
+    val scores = ast \ "scores" match {
+      case JObject(fields) => fields.map { case (k, v) =>
+        k -> (v match {
+          case JNull        => None
+          case JDouble(d)   => Some(d)
+          case JInt(i)      => Some(i.toDouble)
+          case JDecimal(d)  => Some(d.toDouble)
+          case JLong(l)     => Some(l.toDouble)
+          case other        => fail(s"non-numeric score for `$k`: $other")
+        })
       }
-      val body = json.substring(open + 1, i)
-      if (body.trim.isEmpty) Nil else splitTop(body).map(stripQuotes)
+      case _ => fail("missing object `scores`")
     }
-    val scorePairs = {
-      val body = obj("scores")
-      if (body.trim.isEmpty) Nil
-      else splitTop(body).map { kv =>
-        val i = kv.lastIndexOf(':')
-        val k = stripQuotes(kv.take(i))
-        val v = kv.drop(i + 1).trim
-        k -> (if (v == "null") None else Some(v.toDouble))
-      }
-    }
-    FittedSelector(str("step"), str("outcome"), scorePairs, arr("excluded"), arr("warnings"))
+    FittedSelector(str("step"), str("outcome"), scores, arr("excluded"), arr("warnings"))
   }
 
   private def write(path: Path, content: String): Unit = {

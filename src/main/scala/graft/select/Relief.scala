@@ -123,26 +123,31 @@ final case class ReliefStep(
     import spark.implicits._
     val kN = neighbours
     val isClassif = classif
+    val nAnchors = anchors.length
     val perPartition = exploded.as[ReliefStep.Cand].mapPartitions { it =>
-      // allocation-free comparator + primitive Long key: this loop runs once
-      // per exploded row (n × anchors), so boxed tuples here would dominate
+      // allocation-free hot loop (runs once per exploded row, n × anchors):
+      // comparator on primitives and heaps in a dense array indexed by the
+      // small key (aid·2 + hitBit) — a Map.getOrElseUpdate here would box
+      // the key and allocate a thunk per row
       val ord = new Ordering[ReliefStep.Cand] {
         def compare(a: ReliefStep.Cand, b: ReliefStep.Cand): Int = {
           val d = java.lang.Double.compare(a.dist, b.dist)
           if (d != 0) d else java.lang.Long.compare(a.h, b.h)
         }
       }
-      val heaps = scala.collection.mutable.Map
-        .empty[Long, scala.collection.mutable.PriorityQueue[ReliefStep.Cand]]
+      val nKeys = if (isClassif) nAnchors * 2 else nAnchors
+      val heaps = new Array[scala.collection.mutable.PriorityQueue[ReliefStep.Cand]](nKeys)
       it.foreach { c =>
-        val key = if (isClassif) (c.aid.toLong << 1) | (if (c.side == 1.0) 1L else 0L)
-                  else c.aid.toLong
-        val heap = heaps.getOrElseUpdate(key,
-          scala.collection.mutable.PriorityQueue.empty[ReliefStep.Cand](ord)) // max at head
+        val key = if (isClassif) c.aid * 2 + (if (c.side == 1.0) 1 else 0) else c.aid
+        var heap = heaps(key)
+        if (heap == null) {
+          heap = scala.collection.mutable.PriorityQueue.empty[ReliefStep.Cand](ord) // max at head
+          heaps(key) = heap
+        }
         if (heap.size < kN) heap.enqueue(c)
         else if (ord.lt(c, heap.head)) { heap.dequeue(); heap.enqueue(c) }
       }
-      heaps.valuesIterator.flatMap(_.iterator)
+      heaps.iterator.filter(_ != null).flatMap(_.iterator)
     }
     val groupCols = if (classif) Seq("aid", "side") else Seq("aid")
     val w2 = Window.partitionBy(groupCols.map(col): _*).orderBy(col("dist"), col("h"))

@@ -58,13 +58,14 @@ object Sampling {
   def domainQuota(df: DataFrame, domain: Column, k: Int, precedence: Seq[Column]): DataFrame = {
     require(k >= 1, "quota must be >= 1")
     require(precedence.nonEmpty, "a deterministic precedence ordering is required")
-    // bucket by the precedence expressions themselves (a total order ⇒ they
-    // already identify the row uniquely): hashing struct(ALL columns) would
-    // drag multi-KB payload columns through the hash and defeat column
-    // pruning. SortOrder wrappers (.desc/.asc) are unwrapped to their child.
-    val precedenceValues =
-      precedence.map(org.apache.spark.sql.graftbridge.ColumnBridge.stripSortOrder)
-    val bucket = pmod(xxhash64(precedenceValues: _*), lit(64L))
+    // bucket assignment only needs an even spread — the stage-2 merge is
+    // exact regardless of which bucket a row landed in — so use the
+    // zero-cost monotonic row id: hashing struct(ALL columns) would drag
+    // multi-KB payload columns through the hash and defeat column pruning,
+    // and hashing the precedence values would collapse precedence-TIED rows
+    // of a hot domain into one bucket (the single-task sort this two-phase
+    // shape exists to avoid) if a caller violates the total-order contract.
+    val bucket = pmod(monotonically_increasing_id(), lit(64L))
     val w1 = Window.partitionBy(domain, col("__quota_bkt")).orderBy(precedence: _*)
     val w2 = Window.partitionBy(domain).orderBy(precedence: _*)
     df.withColumn("__quota_bkt", bucket)

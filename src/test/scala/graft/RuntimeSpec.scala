@@ -32,6 +32,18 @@ class RuntimeSpec extends AnyFunSuite {
     assert(back == f)
   }
 
+  test("corrupt/truncated checkpoint JSON throws (never fabricates state)") {
+    val f = FittedSelector("s", "y", Seq("a" -> Some(1.0)), Seq("a"), Nil)
+    val json = Checkpoints.toJson(f, "lineage")
+    // truncations at various points must all throw so fitOrResume's
+    // Try-refit fallback fires — a half document must never parse as
+    // empty excluded/warnings
+    Seq(json.take(20), json.take(json.indexOf("excluded")), json.dropRight(3), "{", "")
+      .foreach { bad =>
+        assert(scala.util.Try(Checkpoints.fromJson(bad)).isFailure, s"must reject: $bad")
+      }
+  }
+
   test("fitOrResume: killed after step 1 resumes with identical results") {
     val rng = new scala.util.Random(3)
     val df = spark.createDataFrame((0 until 200).map { _ =>
