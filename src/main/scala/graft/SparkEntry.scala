@@ -9,7 +9,7 @@ import graft.select._
 import graft.sim.Similarity
 import graft.stats.{Anova, Auc, Binning, ChiSq, Correlation, Entropy}
 import graft.temporal.{AsOf, Salting, Windows}
-import graft.text.{Dedup, Sampling, TextFeatures}
+import graft.text.{Dedup, Repetition, Sampling, TextFeatures}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -148,6 +148,11 @@ object SparkEntry {
         round(TextFeatures.qualityScore(col("text")), 6).as("quality")
       ).orderBy("doc_id")
     }),
+    // Gopher-family repetition filters: word/2-gram/3-gram repetition
+    // fractions per document (one explode + one hash agg, no per-n rescan)
+    "q_repetition" -> ((s, dir) =>
+      Repetition.repetitionMetrics(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
     "q_langid" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), TextFeatures.langId(col("text")).as("lang_pred"))
@@ -585,6 +590,35 @@ object SparkEntry {
         | CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
         | len(regexp_extract_all(text, '[a-z]+')) AS n_words
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |g AS (
+        |  SELECT doc_id, 1 AS n, unnest(ws) AS gram FROM w
+        |  UNION ALL
+        |  SELECT doc_id, 2 AS n, unnest(CASE WHEN len(ws) >= 2
+        |    THEN list_transform(ws[1:len(ws)-1], (x, i) -> x || ' ' || ws[i+1]) ELSE [] END) AS gram FROM w
+        |  UNION ALL
+        |  SELECT doc_id, 3 AS n, unnest(CASE WHEN len(ws) >= 3
+        |    THEN list_transform(ws[1:len(ws)-2], (x, i) -> x || ' ' || ws[i+1] || ' ' || ws[i+2]) ELSE [] END) AS gram FROM w),
+        |c AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id, n ORDER BY c DESC, gram ASC) AS rk FROM c),
+        |a AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN n = 1 THEN c END) AS BIGINT) AS w_inst,
+        |    count(CASE WHEN n = 1 THEN gram END) AS w_grams,
+        |    max(CASE WHEN n = 2 AND rk = 1 THEN gram END) AS top_2gram,
+        |    max(CASE WHEN n = 2 AND rk = 1 THEN c END) AS top2_cnt,
+        |    CAST(sum(CASE WHEN n = 2 THEN c END) AS BIGINT) AS g2_inst,
+        |    CAST(sum(CASE WHEN n = 3 AND c > 1 THEN c END) AS BIGINT) AS dup3_inst,
+        |    CAST(sum(CASE WHEN n = 3 THEN c END) AS BIGINT) AS g3_inst
+        |  FROM r GROUP BY doc_id)
+        |SELECT doc_id, w_inst AS n_words,
+        |  round((w_inst - w_grams) / CAST(w_inst AS DOUBLE), 6) AS dup_word_frac,
+        |  top_2gram,
+        |  round(top2_cnt / CAST(g2_inst AS DOUBLE), 6) AS top_2gram_frac,
+        |  round(COALESCE(dup3_inst, 0) / CAST(g3_inst AS DOUBLE), 6) AS dup_3gram_frac
+        |FROM a ORDER BY doc_id""".stripMargin,
     "q_quality" ->
       """WITH base AS (
         |  SELECT doc_id, text,

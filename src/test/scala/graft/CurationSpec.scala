@@ -115,4 +115,32 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(fast == naive, s"missing=${naive -- fast} extra=${fast -- naive}")
   }
+
+  test("repetitionMetrics: hand-computed fractions, deterministic top-gram tiebreak") {
+    val df = Seq(
+      (1L, "b a a b a"),   // words 5, distinct 2; 2-grams: "b a"x2,"a a","a b"; 3-grams all distinct
+      (2L, "x x x x"),     // 2-grams: "x x"x3; 3-grams: "x x x"x2 (all duplicated)
+      (3L, "q w"),         // one 2-gram, no 3-grams
+      (4L, "solo")         // no 2-/3-grams
+    ).toDF("doc_id", "text")
+    val got = graft.text.Repetition.repetitionMetrics(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def d(r: org.apache.spark.sql.Row, i: Int): Double = r.getDouble(i)
+    val r1 = got(1L)
+    assert(r1.getLong(1) == 5 && d(r1, 2) == 0.6)
+    assert(r1.getString(3) == "b a" && d(r1, 4) == 0.5 && d(r1, 5) == 0.0)
+    val r2 = got(2L)
+    assert(r2.getLong(1) == 4 && d(r2, 2) == 0.75)
+    assert(r2.getString(3) == "x x" && d(r2, 4) == 1.0 && d(r2, 5) == 1.0)
+    val r3 = got(3L)
+    assert(r3.getLong(1) == 2 && d(r3, 2) == 0.0 && r3.getString(3) == "q w" && d(r3, 4) == 1.0)
+    assert(r3.isNullAt(5), "no 3-grams in a 2-word doc")
+    val r4 = got(4L)
+    assert(r4.getLong(1) == 1 && r4.isNullAt(3) && r4.isNullAt(4) && r4.isNullAt(5))
+    // ties on count break to the lexicographically smallest gram: all three
+    // 2-grams of "d c b a" ("d c","c b","b a") occur once ⇒ top = "b a"
+    val tie = graft.text.Repetition.repetitionMetrics(
+      Seq((9L, "d c b a")).toDF("doc_id", "text"), "doc_id", "text").collect()(0)
+    assert(tie.getString(3) == "b a")
+  }
 }
