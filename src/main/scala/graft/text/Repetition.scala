@@ -18,10 +18,15 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: ONE pass builds all (n, gram) instances for n = 1, 2, 3
   * inside a single generated-code `transform`/`flatten` (no per-n re-scan
-  * of the corpus), ONE map-side-combinable hash `groupBy(id, n, gram)`,
-  * one window partitioned by (id, n) for the deterministic top gram, and
-  * one final `groupBy(id)` pivot. Shuffle count is independent of both
-  * document length and corpus size; nothing is collected to the driver.
+  * of the corpus), then ONE shuffle total: the exploded instances are
+  * hash-partitioned by document id once, and because partitioning by a
+  * SUBSET of every downstream clustering key satisfies each required
+  * distribution, the gram-count aggregation (id, n, gram), the top-gram
+  * window (id, n) and the final per-document pivot (id) all run in that
+  * same partitioning with no further exchange (PlanSpec-pinned). The
+  * naive formulation shuffles the counts table three times. Shuffle count
+  * is independent of document length, n-gram order count, and corpus
+  * size; nothing is collected to the driver.
   */
 object Repetition {
 
@@ -60,6 +65,9 @@ object Repetition {
       col(id),
       explode(flatten(array(gramsOfN(ws, 1), gramsOfN(ws, 2), gramsOfN(ws, 3)))).as("g")
     ).select(col(id), col("g.n").as("n"), col("g.gram").as("gram"))
+      // one up-front shuffle on id alone serves all three downstream
+      // clusterings (see scaladoc); AQE re-coalesces small partitions
+      .repartition(col(id))
 
     val counts = grams.groupBy(col(id), col("n"), col("gram")).count()
     // (count, gram) is a total order within (id, n): gram is unique per group

@@ -80,6 +80,18 @@ class PlanSpec extends AnyFunSuite {
     assert(three == one, s"exchange count must be feature-count-invariant: p=1 -> $one, p=3 -> $three")
   }
 
+  test("repetition metrics shuffle ONCE (id-partitioning serves counts, window, and pivot)") {
+    // the naive plan exchanges the gram-counts table three times (groupBy
+    // (id,n,gram) → window (id,n) → groupBy (id)); the pinned plan
+    // repartitions the instances by id once and every downstream operator
+    // runs in that partitioning
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = graft.text.Repetition.repetitionMetrics(docs, "doc_id", "text")
+    val ex = "Exchange hashpartitioning".r
+      .findAllIn(df.queryExecution.executedPlan.toString).length
+    assert(ex == 1, s"expected exactly 1 exchange, got $ex")
+  }
+
   test("no registered query plans a CartesianProduct") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
