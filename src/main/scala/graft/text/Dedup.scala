@@ -19,8 +19,17 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
   }
 
-  /** Word n-gram shingles of `text`, as a distinct array. */
-  def shingles(text: Column, n: Int): Column = {
+  /** Word n-gram shingles of `text`, as a distinct array (first-occurrence
+    * order). Native codegen expression — the equivalent built-in
+    * higher-order chain runs interpreted at ~25 µs/shingle and dominated
+    * every shingle query; [[shinglesBuiltin]] keeps it as the equality
+    * reference (DedupSpec asserts element-for-element agreement). */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.WordShingles.shingles(text, n)
+
+  /** Reference formulation of [[shingles]] in built-in expressions only —
+    * retained for the bit-equality spec, not used on any production path. */
+  def shinglesBuiltin(text: Column, n: Int): Column = {
     val toks = TextFeatures.tokens(lower(text))
     array_distinct(
       filter(

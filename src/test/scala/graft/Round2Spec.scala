@@ -289,4 +289,33 @@ class Round2Spec extends AnyFunSuite {
     val files = java.nio.file.Files.list(java.nio.file.Paths.get(dir)).count()
     assert(files == 2, s"one checkpoint per step, got $files")
   }
+
+  test("native WordShingles == built-in HOF chain, element-for-element (incl. order)") {
+    import spark.implicits._
+    // edge shapes: empty, whitespace-only, single word, n-1 words, unicode,
+    // mixed case, tabs/newlines/multi-space runs, repeated grams
+    val texts = Seq(
+      "", " ", "solo", "two words", "a b c d e f",
+      "The  QUICK\tbrown\nfox  the quick brown fox",
+      "x x x x x", "Ünïcodé ÆØÅ ünïcodé æøå Ünïcodé",
+      "a, b. c! a, b. c!", "  leading and trailing  "
+    ) ++ (0 until 50).map { i =>
+      val r = new scala.util.Random(i)
+      (0 until r.nextInt(30)).map(_ => s"w${r.nextInt(8)}").mkString(" ")
+    }
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val native = df.select($"id", graft.text.Dedup.shingles($"text", n).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val builtin = df.select($"id", graft.text.Dedup.shinglesBuiltin($"text", n).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(native == builtin, s"n=$n mismatch: " +
+        native.keys.filter(k => native(k) != builtin(k)).take(3)
+          .map(k => s"id=$k native=${native(k)} builtin=${builtin(k)}").mkString("; "))
+    }
+    // null text propagates null, exactly like the built-in chain
+    val withNull = spark.sql("SELECT CAST(NULL AS STRING) AS text")
+    assert(withNull.select(graft.text.Dedup.shingles(col("text"), 3)).collect()(0).isNullAt(0))
+    assert(withNull.select(graft.text.Dedup.shinglesBuiltin(col("text"), 3)).collect()(0).isNullAt(0))
+  }
 }
