@@ -143,12 +143,23 @@ object Dedup {
 
   /** MinHash signature: k independent permutations approximated by seeded
     * xxhash64; signature element i = min over shingles of hash(i, shingle).
-    * Returns (id, sig: array<long>). One narrow map + per-doc aggregate. */
+    * Returns (id, sig: array<long>). One narrow map + per-doc aggregate.
+    * Native fused expression; [[minHashSignaturesBuiltin]] keeps the
+    * built-in formulation as the bit-equality reference (Round2Spec). */
   def minHashSignatures(df: DataFrame, id: String, text: String, n: Int, k: Int): DataFrame = {
     // shingle-less docs (under n tokens) must be dropped like the md5
-    // variant does: array_min over an empty array is null, so ALL such docs
+    // variant does: a null/empty-shingle signature is null, so ALL such docs
     // would share identical null-band buckets and form an O(m²) candidate
     // clique in the banding join — the exact blowup banding exists to avoid
+    val sh = df.select(col(id), shingles(col(text), n).as("sh"))
+      .where(size(col("sh")) > 0)
+    sh.select(col(id), graft.functions.MinHashSignature.signature(col("sh"), k).as("sig"))
+  }
+
+  /** Reference formulation of [[minHashSignatures]] in built-in expressions
+    * only (k interpreted transforms) — retained for the bit-equality spec,
+    * not used on any production path. */
+  def minHashSignaturesBuiltin(df: DataFrame, id: String, text: String, n: Int, k: Int): DataFrame = {
     val sh = df.select(col(id), shingles(col(text), n).as("sh"))
       .where(size(col("sh")) > 0)
     val sigCols = (0 until k).map { i =>

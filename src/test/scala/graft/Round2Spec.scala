@@ -318,4 +318,19 @@ class Round2Spec extends AnyFunSuite {
     assert(withNull.select(graft.text.Dedup.shingles(col("text"), 3)).collect()(0).isNullAt(0))
     assert(withNull.select(graft.text.Dedup.shinglesBuiltin(col("text"), 3)).collect()(0).isNullAt(0))
   }
+
+  test("native MinHashSignature == k-transform built-in chain, bit-for-bit") {
+    import spark.implicits._
+    val docs = (0L until 40L).map { i =>
+      val r = new scala.util.Random(i)
+      (i, (0 until 5 + r.nextInt(40)).map(_ => s"t${r.nextInt(12)}").mkString(" "))
+    }.toDF("doc_id", "text")
+    for (k <- Seq(1, 8, 32)) {
+      val native = graft.text.Dedup.minHashSignatures(docs, "doc_id", "text", 3, k)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val builtin = graft.text.Dedup.minHashSignaturesBuiltin(docs, "doc_id", "text", 3, k)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(native == builtin, s"k=$k signature mismatch")
+    }
+  }
 }
