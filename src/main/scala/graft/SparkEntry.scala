@@ -591,7 +591,7 @@ object SparkEntry {
         | len(regexp_extract_all(text, '[a-z]+')) AS n_words
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_repetition" ->
-      """WITH w AS (
+      """WITH w AS MATERIALIZED (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
         |g AS (
         |  SELECT doc_id, 1 AS n, unnest(ws) AS gram FROM w

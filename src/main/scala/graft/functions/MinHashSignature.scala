@@ -39,15 +39,19 @@ case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
 
   override def nullable: Boolean = true // empty array → null even for non-null child
 
+  // constant for the expression's lifetime: xxhash64 state after the int
+  // literal i — recomputing k int-hashes per ROW is waste on the hot path
+  @transient private lazy val seeds: Array[Long] = MinHashSignature.seedsFor(k)
+
   override def nullSafeEval(a: Any): Any =
-    MinHashSignature.compute(a.asInstanceOf[ArrayData], k)
+    MinHashSignature.compute(a.asInstanceOf[ArrayData], seeds)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val code = nullSafeCodeGen(ctx, ev, c => s"""
-       |${ev.value} = graft.functions.MinHashSignature.compute($c, $k);
+    val seedsRef = ctx.addReferenceObj("minhashSeeds", seeds, "long[]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.MinHashSignature.compute($c, $seedsRef);
        |${ev.isNull} = (${ev.value} == null);
      """.stripMargin)
-    code
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -57,21 +61,27 @@ case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
 object MinHashSignature {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
-  /** One-pass signature: seeds[i] = xxhash64 state after the int literal i
-    * (exactly XxHash64(Seq(lit(i), s)) child-chaining with default seed 42),
-    * then a running min per i while the shingle bytes are hot. */
-  def compute(arr: ArrayData, k: Int): ArrayData = {
-    val m = arr.numElements()
-    if (m == 0) return null
+  /** seeds[i] = xxhash64 state after the int literal i — exactly the
+    * XxHash64(Seq(lit(i), s)) child-chaining with default seed 42. */
+  def seedsFor(k: Int): Array[Long] = {
     val seeds = new Array[Long](k)
     var i = 0
     while (i < k) { seeds(i) = XxHash64Function.hash(i, IntegerType, 42L); i += 1 }
+    seeds
+  }
+
+  /** One-pass signature: a running min per permutation while the shingle
+    * bytes are hot. */
+  def compute(arr: ArrayData, seeds: Array[Long]): ArrayData = {
+    val m = arr.numElements()
+    if (m == 0) return null
+    val k = seeds.length
     val mins = new Array[Long](k)
     java.util.Arrays.fill(mins, Long.MaxValue)
     var j = 0
     while (j < m) {
       val s = arr.getUTF8String(j)
-      i = 0
+      var i = 0
       while (i < k) {
         val h = XxHash64Function.hash(s, StringType, seeds(i))
         if (h < mins(i)) mins(i) = h

@@ -14,7 +14,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * Semantically identical to the built-in chain
   * `array_distinct(filter(transform(split(trim(lower(text)), "\\s+"), …)))`
   * (first-occurrence order, lowercase, whitespace tokens, <n words ⇒ empty) —
-  * asserted element-for-element in DedupSpec. The built-in chain evaluates
+  * asserted element-for-element in Round2Spec. The built-in chain evaluates
   * four nested higher-order functions per row in INTERPRETED mode (HOFs are
   * CodegenFallback), with a per-element closure dispatch, an ArrayData slice
   * copy and a concat_ws allocation per shingle — measured ~25 µs per shingle,
@@ -78,7 +78,9 @@ object WordShingles {
     new GenericArrayData(out)
   }
 
-  /** Column API: distinct word n-gram shingles of `text`. */
+  /** Column API: distinct word n-gram shingles of `text`. The cast keeps
+    * the builtin chain's analyzer tolerance for non-string inputs
+    * (`lower(x)` coerced them); identity casts are optimized away. */
   def shingles(text: Column, n: Int): Column =
-    ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
+    ColumnBridge.column(WordShingles(ColumnBridge.expression(text.cast("string")), n))
 }

@@ -23,7 +23,7 @@ object Dedup {
     * order). Native codegen expression — the equivalent built-in
     * higher-order chain runs interpreted at ~25 µs/shingle and dominated
     * every shingle query; [[shinglesBuiltin]] keeps it as the equality
-    * reference (DedupSpec asserts element-for-element agreement). */
+    * reference (Round2Spec asserts element-for-element agreement). */
   def shingles(text: Column, n: Int): Column =
     graft.functions.WordShingles.shingles(text, n)
 

@@ -37,7 +37,11 @@ object Repetition {
 
   /** Per-document repetition metrics over whitespace words:
     *
-    *  - `n_words`          — whitespace token count (== TextFeatures.tokenCount)
+    *  - `n_words`          — whitespace token count. NOTE: an empty or
+    *                         whitespace-only document counts as ONE empty
+    *                         token (raw `split` semantics, identical in the
+    *                         DuckDB oracle) — unlike TextFeatures.tokenCount,
+    *                         which special-cases empty text to 0
     *  - `dup_word_frac`    — fraction of word instances beyond each word's
     *                         first occurrence: (instances − distinct) / instances
     *  - `top_2gram`        — most frequent word 2-gram; ties broken by the
@@ -55,7 +59,7 @@ object Repetition {
       .select(col(id), col(textCol))
       // the one shuffle: cluster raw documents by id up front (see scaladoc)
       .repartition(col(id))
-      .select(col(id), posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
+      .select(col(id), posexplode(TextFeatures.tokens(col(textCol))).as(Seq("pos", "tok")))
 
     val byPos = Window.partitionBy(col(id)).orderBy(col("pos"))
     val t1 = lead(col("tok"), 1).over(byPos)
