@@ -259,9 +259,12 @@ object SparkEntry {
       // two estimateLambda aggregation jobs a second time for a bit-equal
       // result (StatsSpec pins auto == pinned at 1e-12)
       val car = Correlation.carScores(li, feats, "l_extendedprice", Some(lam))
+      // 4 dp, not 6: the replay accumulates multi-stage float error (z-scores,
+      // 4th-power sums, λ*, closed-form eigens) — same precedent as the OLS
+      // coefficients and F-stats, where engines only agree to ~1e-7
       feats.map(f => (f, car(f), lam)).toDF("feature", "score", "lambda")
-        .select(col("feature"), round(col("score"), 6).as("score"),
-          round(col("lambda"), 6).as("lambda"))
+        .select(col("feature"), round(col("score"), 4).as("score"),
+          round(col("lambda"), 4).as("lambda"))
         .orderBy("feature")
     }),
     "q_entropy_scores" -> ((s, dir) => {
@@ -784,10 +787,10 @@ object SparkEntry {
         |    (1/sqrt(1+(1-lambda)*rqd) - 1/sqrt(1-(1-lambda)*rqd))/2 AS b
         |  FROM lam, c)
         |SELECT * FROM (
-        |  SELECT 'l_quantity' AS feature, round(a*pqy + b*pdy, 6) AS score,
-        |         round(lambda, 6) AS lambda FROM o
+        |  SELECT 'l_quantity' AS feature, round(a*pqy + b*pdy, 4) AS score,
+        |         round(lambda, 4) AS lambda FROM o
         |  UNION ALL
-        |  SELECT 'l_discount', round(b*pqy + a*pdy, 6), round(lambda, 6) FROM o)
+        |  SELECT 'l_discount', round(b*pqy + a*pdy, 4), round(lambda, 4) FROM o)
         |ORDER BY feature""".stripMargin,
     "q_corr_spearman" ->
       """WITH r AS (

@@ -46,6 +46,15 @@ object FuseCosineChain extends Rule[LogicalPlan] {
       case _           => false
     }
 
+  /** ArrayAggregate's 4th argument (the optional finish transform, identity
+    * when `aggregate` is called without one) must BE the identity — SQL like
+    * `aggregate(..., 0D, (acc,x) -> acc+x, acc -> acc/2)` transforms the sum
+    * and must never fuse into plain cosine. */
+  private def isIdentityFinish(f: Expression): Boolean = f match {
+    case LambdaFunction(body, vars, _) => vars.nonEmpty && isVar(body, vars.head)
+    case _                             => false
+  }
+
   /** Σ x·y as ArrayAggregate(ZipWith(a, b, (x,y) -> x*y), 0.0, +) → (a, b). */
   private object DotAgg {
     def unapply(e: Expression): Option[(Expression, Expression)] = e match {
@@ -53,7 +62,8 @@ object FuseCosineChain extends Rule[LogicalPlan] {
             ZipWith(a, b, LambdaFunction(Multiply(x, y, _), mv, _)),
             Literal(zero, DoubleType),
             LambdaFunction(Add(u, w, _), av, _),
-            _) if zero == 0.0 && bothVars(x, y, mv) && bothVars(u, w, av) =>
+            fin) if zero == 0.0 && bothVars(x, y, mv) && bothVars(u, w, av) &&
+              isIdentityFinish(fin) =>
         Some((a, b))
       case _ => None
     }
@@ -66,8 +76,8 @@ object FuseCosineChain extends Rule[LogicalPlan] {
             ArrayTransform(a, LambdaFunction(Multiply(x, y, _), mv, _)),
             Literal(zero, DoubleType),
             LambdaFunction(Add(u, w, _), av, _),
-            _)) if zero == 0.0 && x.semanticEquals(y) &&
-              isVar(x, mv.head) && bothVars(u, w, av) =>
+            fin)) if zero == 0.0 && x.semanticEquals(y) &&
+              isVar(x, mv.head) && bothVars(u, w, av) && isIdentityFinish(fin) =>
         Some(a)
       case _ => None
     }

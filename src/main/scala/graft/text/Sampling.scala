@@ -59,13 +59,18 @@ object Sampling {
     require(k >= 1, "quota must be >= 1")
     require(precedence.nonEmpty, "a deterministic precedence ordering is required")
     // bucket assignment only needs an even spread — the stage-2 merge is
-    // exact regardless of which bucket a row landed in — so use the
-    // zero-cost monotonic row id: hashing struct(ALL columns) would drag
-    // multi-KB payload columns through the hash and defeat column pruning,
-    // and hashing the precedence values would collapse precedence-TIED rows
-    // of a hot domain into one bucket (the single-task sort this two-phase
-    // shape exists to avoid) if a caller violates the total-order contract.
-    val bucket = pmod(monotonically_increasing_id(), lit(64L))
+    // exact regardless of which bucket a row landed in — but it MUST be
+    // deterministic: a nondeterministic bucket key (monotonic row id) feeds
+    // the stage-1 shuffle, and on a real cluster a fetch-failure recompute
+    // re-assigns rows to buckets other reducers already fetched, duplicating
+    // or losing rows (Spark SQL does not roll the stage back as
+    // INDETERMINATE). So hash the contractually-unique tiebreak column (the
+    // LAST precedence entry — ties are impossible under the total-order
+    // contract, so tied-row collapse cannot occur); no payload columns are
+    // hashed, keeping column pruning intact.
+    val tiebreak =
+      org.apache.spark.sql.graftbridge.ColumnBridge.stripSortOrder(precedence.last)
+    val bucket = pmod(xxhash64(tiebreak, lit(42L)), lit(64L))
     val w1 = Window.partitionBy(domain, col("__quota_bkt")).orderBy(precedence: _*)
     val w2 = Window.partitionBy(domain).orderBy(precedence: _*)
     df.withColumn("__quota_bkt", bucket)

@@ -116,6 +116,21 @@ class CurationSpec extends AnyFunSuite {
     assert(fast == naive, s"missing=${naive -- fast} extra=${fast -- naive}")
   }
 
+  test("domainQuota bucket key is deterministic: identical output at any partitioning") {
+    // the stage-1 bucket is derived from the unique tiebreak column, not a
+    // physical row id — so the kept set cannot depend on how the input is
+    // partitioned (and a fetch-failure recompute on a real cluster re-derives
+    // the SAME buckets instead of re-rolling them)
+    val rows = (0L until 2000L).map(i => (i, s"d${i % 13}", (i * 31 % 89).toDouble))
+    val prec = Seq(col("score").desc, col("id"))
+    val base = rows.toDF("id", "domain", "score")
+    val a = Sampling.domainQuota(base.repartition(1), col("domain"), 4, prec)
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.domainQuota(base.repartition(17, col("score")), col("domain"), 4, prec)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b, s"partitioning changed the kept set: ${(a -- b) ++ (b -- a)}")
+  }
+
   test("repetitionMetrics: hand-computed fractions, deterministic top-gram tiebreak") {
     val df = Seq(
       (1L, "b a a b a"),   // words 5, distinct 2; 2-grams: "b a"x2,"a a","a b"; 3-grams all distinct

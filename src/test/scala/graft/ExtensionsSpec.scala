@@ -66,6 +66,49 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(math.abs(got0 - 2.0 * cos0) < 1e-9, s"got $got0 want ${2 * cos0}")
   }
 
+  test("rule does NOT fuse an aggregate with a non-identity finish lambda") {
+    df.createOrReplaceTempView("ext_vecs5")
+    // aggregate's 4th argument transforms the final sum — fusing would
+    // silently drop the /2 from the numerator
+    val sql =
+      """SELECT a.id,
+        |  aggregate(zip_with(CAST(a.v AS array<double>), CAST(b.v AS array<double>), (x, y) -> x * y), 0D, (acc, x) -> acc + x, acc -> acc / 2)
+        |  / (sqrt(aggregate(transform(CAST(a.v AS array<double>), x -> x * x), 0D, (acc, x) -> acc + x))
+        |     * sqrt(aggregate(transform(CAST(b.v AS array<double>), x -> x * x), 0D, (acc, x) -> acc + x))) AS c
+        |FROM ext_vecs5 a JOIN ext_vecs5 b ON b.id = 0""".stripMargin
+    val q = spark.sql(sql)
+    assert(!q.queryExecution.optimizedPlan.toString.toLowerCase.contains("cosinesimilarity"),
+      "non-identity finish lambda must not fuse")
+    // value: exactly half the true cosine
+    val row0 = df.where(col("id") === 0).head()
+    val q0 = row0.getSeq[Float](row0.fieldIndex("v")).map(_.toDouble).toSeq
+    val cos0 = df.where(col("id") === 0)
+      .select(ArrayMath.cosineSimTo(col("v"), q0)).head().getDouble(0)
+    val got0 = q.where(col("id") === 0).head().getDouble(1)
+    assert(math.abs(got0 - cos0 / 2) < 1e-9, s"got $got0 want ${cos0 / 2}")
+  }
+
+  test("rule does NOT fuse a norm aggregate with a non-identity finish lambda") {
+    df.createOrReplaceTempView("ext_vecs6")
+    // finish lambda inside the NORM: sqrt(aggregate(..., acc -> acc * 4))
+    // doubles the denominator norm — fusing would halve the result wrongly
+    val sql =
+      """SELECT a.id,
+        |  aggregate(zip_with(CAST(a.v AS array<double>), CAST(b.v AS array<double>), (x, y) -> x * y), 0D, (acc, x) -> acc + x)
+        |  / (sqrt(aggregate(transform(CAST(a.v AS array<double>), x -> x * x), 0D, (acc, x) -> acc + x, acc -> acc * 4))
+        |     * sqrt(aggregate(transform(CAST(b.v AS array<double>), x -> x * x), 0D, (acc, x) -> acc + x))) AS c
+        |FROM ext_vecs6 a JOIN ext_vecs6 b ON b.id = 0""".stripMargin
+    val q = spark.sql(sql)
+    assert(!q.queryExecution.optimizedPlan.toString.toLowerCase.contains("cosinesimilarity"),
+      "non-identity norm finish lambda must not fuse")
+    val row0 = df.where(col("id") === 0).head()
+    val q0 = row0.getSeq[Float](row0.fieldIndex("v")).map(_.toDouble).toSeq
+    val cos0 = df.where(col("id") === 0)
+      .select(ArrayMath.cosineSimTo(col("v"), q0)).head().getDouble(0)
+    val got0 = q.where(col("id") === 0).head().getDouble(1)
+    assert(math.abs(got0 - cos0 / 2) < 1e-9, s"got $got0 want ${cos0 / 2}")
+  }
+
   test("rule does NOT strip a cast whose body transforms the value (abs-then-cast)") {
     df.createOrReplaceTempView("ext_vecs4")
     // transform(v, x -> CAST(abs(x) AS double)) is a VALUE transform — fusing
