@@ -397,6 +397,16 @@ object SparkEntry {
     // production variant above stays rows-only
     "q_simhash_md5" -> ((s, dir) =>
       Dedup.simHash48Md5(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")),
+    // the candidate-JOIN mechanism over the portable signatures: Manku-style
+    // multi-table matching (C(6,3) = 20 tables keyed on 3-of-6 8-bit blocks)
+    // is exhaustive for Hamming <= 3, so the verified pairs equal DuckDB's
+    // brute-force bit_count(xor) <= 3 ground truth — the oracle checks the
+    // construction misses nothing and the Hamming verify adds nothing
+    "q_simhash_md5_pairs" -> ((s, dir) => {
+      val sigs = Dedup.simHash48Md5(t(s, dir, "documents"), "doc_id", "text")
+      Dedup.simHashCandidates(sigs, "doc_id", maxHamming = 3,
+        sigCol = "simhash48", bits = 48).orderBy("a", "b")
+    }),
     // LSH banding over the PORTABLE md5 minhash signatures (2 bands × 2
     // rows): DuckDB recomputes the signatures and the band-equality pairs,
     // verifying the banding mechanism cross-engine
@@ -1036,6 +1046,28 @@ object SparkEntry {
         |SELECT doc_id,
         |  CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash48
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // brute-force ground truth for the multi-table candidate construction:
+    // the Spark side is banded (20 tables × 24-bit keys) + exact verify, and
+    // must equal ALL pairs within Hamming 3 — integer bit sums make the sig
+    // CTE deterministic, MATERIALIZED just avoids recomputing it per side
+    "q_simhash_md5_pairs" ->
+      """WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |           FROM documents),
+        |h AS (SELECT doc_id,
+        |        CAST(list_sum(list_transform(range(1, 13),
+        |          k -> (strpos('0123456789abcdef', substr(md5(tok), CAST(k AS INT), 1)) - 1)
+        |               * pow(16, 12 - k))) AS BIGINT) AS hv
+        |      FROM w),
+        |bits AS (SELECT doc_id, j, sum(CASE WHEN (hv >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |         FROM h CROSS JOIN (SELECT unnest(range(0, 48)) AS j) jj GROUP BY 1, 2),
+        |sig AS MATERIALIZED (SELECT doc_id,
+        |    CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS sh
+        |  FROM bits GROUP BY doc_id)
+        |SELECT l.doc_id AS a, r.doc_id AS b,
+        |       CAST(bit_count(xor(l.sh, r.sh)) AS INT) AS hamming
+        |FROM sig l JOIN sig r ON l.doc_id < r.doc_id
+        |WHERE bit_count(xor(l.sh, r.sh)) <= 3
+        |ORDER BY a, b""".stripMargin,
     "q_minhash_md5_pairs" ->
       """WITH w AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok,

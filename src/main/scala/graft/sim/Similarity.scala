@@ -201,7 +201,8 @@ object Similarity {
       vecCol: String,
       planes: Array[Array[Double]],
       minCosine: Double,
-      bands: Int = 16
+      bands: Int = 16,
+      handle: graft.runtime.CacheHandle = new graft.runtime.CacheHandle
   ): DataFrame = {
     require(bands >= 1 && planes.length % bands == 0, "bands must divide the number of planes")
     val r = planes.length / bands
@@ -211,12 +212,13 @@ object Similarity {
           shiftleft(lit(1L), j)).otherwise(lit(0L))
       }.reduce(_ + _)
     }
-    val banded = df.select(
+    val banded = handle.track(df.select(
       col(idCol),
       posexplode(array(bandSigs: _*)).as(Seq("band", "sig"))
-    ).cache() // both self-join sides re-execute the 16-band signature scan
-              // otherwise (Catalyst shares no re-referenced subtree); the
-              // banded table is docs×bands rows of (id, band, sig)
+    ).cache()) // both self-join sides re-execute the 16-band signature scan
+               // otherwise (Catalyst shares no re-referenced subtree); the
+               // banded table is docs×bands rows of (id, band, sig);
+               // `handle` owns its lifetime (see graft.runtime.CacheHandle)
     val l = banded.select(col("band"), col("sig"), col(idCol).as("a"))
     val rr = banded.select(col("band"), col("sig"), col(idCol).as("b"))
     val candidates = l.join(rr, Seq("band", "sig"))

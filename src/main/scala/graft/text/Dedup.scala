@@ -77,10 +77,18 @@ object Dedup {
       text: String,
       n: Int,
       minJaccard: Double,
-      maxDocFreq: Long = 1000L
+      maxDocFreq: Long = 1000L,
+      handle: graft.runtime.CacheHandle = new graft.runtime.CacheHandle
   ): DataFrame = {
-    val sh = shingleTable(df, id, text, n).cache()
-    val sizes = sh.groupBy(id).agg(count(lit(1)).as("sz"))
+    // cache the DOC-LEVEL shingle arrays (one row per doc), not the exploded
+    // long form (one row per (doc, shingle) — LARGER than the input corpus):
+    // the explodes below re-run per reference, but they read the cached
+    // arrays, not the raw text + shingle computation. Sizes come free from
+    // size(array) — no aggregation shuffle.
+    val docSh = handle.track(
+      df.select(col(id), shingles(col(text), n).as("__sh")).cache())
+    val sh = docSh.select(col(id), explode(col("__sh")).as("shingle"))
+    val sizes = docSh.select(col(id), size(col("__sh")).cast("long").as("sz"))
     val rare = sh
       .groupBy("shingle").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDocFreq)
@@ -172,18 +180,24 @@ object Dedup {
   /** LSH banding over MinHash signatures: docs sharing any band land in one
     * bucket; bucket join yields candidate pairs (no cross join). bands·rowsPerBand
     * must equal the signature length. */
-  def minHashCandidates(sigs: DataFrame, id: String, bands: Int, rowsPerBand: Int): DataFrame = {
-    val banded = sigs.select(
+  def minHashCandidates(
+      sigs: DataFrame,
+      id: String,
+      bands: Int,
+      rowsPerBand: Int,
+      handle: graft.runtime.CacheHandle = new graft.runtime.CacheHandle
+  ): DataFrame = {
+    val banded = handle.track(sigs.select(
       col(id),
       posexplode(
         array((0 until bands).map(b =>
           xxhash64(lit(b), concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
         ): _*)
       ).as(Seq("band", "bucket"))
-    ).cache() // both self-join sides re-execute the signature computation
-              // otherwise (Catalyst shares no re-referenced subtree); the
-              // banded table is docs×bands rows of (band, bucket, id) —
-              // a sliver of the corpus
+    ).cache()) // both self-join sides re-execute the signature computation
+               // otherwise (Catalyst shares no re-referenced subtree); the
+               // banded table is docs×bands rows of (band, bucket, id) —
+               // a sliver of the corpus; `handle` owns its lifetime
     val l = banded.select(col("band"), col("bucket"), col(id).as("a"))
     val r = banded.select(col("band"), col("bucket"), col(id).as("b"))
     l.join(r, Seq("band", "bucket"))
@@ -259,11 +273,12 @@ object Dedup {
       n: Int = 3,
       minJaccard: Double = 0.8,
       signatures: Int = 16,
-      bands: Int = 8
+      bands: Int = 8,
+      handle: graft.runtime.CacheHandle = new graft.runtime.CacheHandle
   ): DataFrame = {
     require(signatures % bands == 0, "bands must divide the signature length")
     val sigs = minHashSignatures(df, id, text, n, signatures)
-    val candidates = minHashCandidates(sigs, id, bands, signatures / bands)
+    val candidates = minHashCandidates(sigs, id, bands, signatures / bands, handle)
     // exact verify per CANDIDATE PAIR via array_intersect on the shingle
     // sets — cost is O(|candidates| · avg shingle count), independent of
     // shingle document frequency. (A relational shingle join here costs
@@ -278,21 +293,99 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
-  /** SimHash near-dup candidates within `maxHamming` via 4-segment pigeonhole
-    * (any pair within Hamming distance 3 shares at least one exact 16-bit
-    * segment): segment-bucket join then exact Hamming filter. */
-  def simHashCandidates(sigs: DataFrame, id: String, maxHamming: Int = 3): DataFrame = {
-    val seg = sigs.select(
-      col(id), col("simhash"),
-      posexplode(array((0 until 4).map(s =>
-        shiftright(col("simhash"), s * 16).bitwiseAND(0xffffL)): _*)).as(Seq("seg", "segval"))
-    ).cache() // same self-join subtree-sharing rationale as minHashCandidates
-    val l = seg.select(col("seg"), col("segval"), col(id).as("a"), col("simhash").as("ha"))
-    val r = seg.select(col("seg"), col("segval"), col(id).as("b"), col("simhash").as("hb"))
-    l.join(r, Seq("seg", "segval"))
-      .where(col("a") < col("b"))
-      .select(col("a"), col("b"), hamming(col("ha"), col("hb")).as("hamming"))
+  /** SimHash near-dup candidate pairs within `maxHamming`, via multi-table
+    * exact matching (the candidate scheme of Manku, Jain & Das Sarma,
+    * "Detecting Near-Duplicates for Web Crawling", WWW 2007, §3): split the
+    * `bits` signature bits into `blocks` contiguous blocks; a pair within
+    * Hamming distance d ≤ maxHamming has its differing bits in at most d
+    * blocks, so at least `blocks − maxHamming` blocks match EXACTLY — one
+    * table per (blocks − maxHamming)-subset of blocks, keyed on that
+    * subset's concatenated block values, therefore catches EVERY such pair
+    * (pigeonhole; the construction is exhaustive, and the exact Hamming
+    * filter then removes false positives).
+    *
+    * Why not the classic 4-block/match-1 pigeonhole (the `blocks = 4`
+    * special case of this function): its 16-bit keys leave ~N/2^16 docs per
+    * bucket, so the bucket self-join generates ~4·N²/2^16 candidate pairs —
+    * quadratic at corpus scale (~6e13 pairs at 1e9 docs). The default
+    * 6-choose-3 construction keys on ~32 bits: C(6,3) = 20 tables ×
+    * ~N²/2^32 expected collisions each ≈ 2^20× fewer spurious candidates,
+    * for 5× the (id, key) exploded rows — linear cost for the quadratic fix.
+    *
+    * `maxBucket` (0 = off) drops buckets wider than the cap before the
+    * self-join — the analogue of [[jaccardPairs]]' maxDocFreq skew guard: a
+    * boilerplate signature shared by millions of near-empty pages forms an
+    * O(m²) clique no key width can shrink. Dropped buckets trade recall
+    * among exact-duplicate-signature crowds (which [[exact]] dedup already
+    * catches upstream) for a hard bound on join width.
+    */
+  def simHashCandidates(
+      sigs: DataFrame,
+      id: String,
+      maxHamming: Int = 3,
+      sigCol: String = "simhash",
+      bits: Int = 64,
+      blocks: Int = 6,
+      maxBucket: Long = 0L,
+      handle: graft.runtime.CacheHandle = new graft.runtime.CacheHandle
+  ): DataFrame =
+    simHashCandidatesRaw(sigs, id, maxHamming, sigCol, bits, blocks, maxBucket, handle)
       .where(col("hamming") <= maxHamming)
       .distinct()
+
+  /** [[simHashCandidates]] BEFORE the Hamming filter and dedup — (a, b,
+    * hamming) with one row per colliding (table, key) bucket co-occurrence.
+    * Exposed so tests and telemetry can measure raw candidate-join volume
+    * (the quantity that must stay ~linear in N at corpus scale). */
+  private[graft] def simHashCandidatesRaw(
+      sigs: DataFrame,
+      id: String,
+      maxHamming: Int,
+      sigCol: String,
+      bits: Int,
+      blocks: Int,
+      maxBucket: Long,
+      handle: graft.runtime.CacheHandle
+  ): DataFrame = {
+    require(bits >= 1 && bits <= 64, "bits must be in [1, 64]")
+    require(blocks > maxHamming,
+      s"blocks ($blocks) must exceed maxHamming ($maxHamming) for the pigeonhole to hold")
+    require(blocks <= bits, "blocks must not exceed the signature width")
+    val m = blocks - maxHamming
+    // block s covers signature bits [bounds(s), bounds(s+1)) — widths differ
+    // by at most one when blocks does not divide bits
+    val bounds = (0 to blocks).map(s => s * bits / blocks)
+    def blockVal(s: Int): Column = {
+      val lo = bounds(s)
+      val w = bounds(s + 1) - lo
+      // shiftright is arithmetic (sign-extending) but the mask trims the
+      // extension, so the top block of a negative 64-bit signature is exact
+      shiftright(col(sigCol), lo).bitwiseAND(lit((1L << w) - 1))
+    }
+    // one key per m-subset of blocks: the subset's block values concatenated
+    // by shift-accumulate (exact integer arithmetic — the md5-48 variant
+    // replays in any SQL engine). Keys of different tables never meet: the
+    // join is on (tbl, key).
+    val keys = (0 until blocks).combinations(m).map { combo =>
+      combo.foldLeft(lit(0L): Column) { (acc, s) =>
+        acc * lit(1L << (bounds(s + 1) - bounds(s))) + blockVal(s)
+      }
+    }.toSeq
+    val exploded = sigs.select(
+      col(id), col(sigCol),
+      posexplode(array(keys: _*)).as(Seq("tbl", "key")))
+    val guarded =
+      if (maxBucket > 0) {
+        val wB = Window.partitionBy(col("tbl"), col("key"))
+        exploded.withColumn("__bw", count(lit(1)).over(wB))
+          .where(col("__bw") <= maxBucket).drop("__bw")
+      } else exploded
+    val tab = handle.track(guarded.cache()) // same self-join subtree-sharing
+                                            // rationale as minHashCandidates
+    val l = tab.select(col("tbl"), col("key"), col(id).as("a"), col(sigCol).as("ha"))
+    val r = tab.select(col("tbl"), col("key"), col(id).as("b"), col(sigCol).as("hb"))
+    l.join(r, Seq("tbl", "key"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"), hamming(col("ha"), col("hb")).as("hamming"))
   }
 }

@@ -131,6 +131,76 @@ class CurationSpec extends AnyFunSuite {
     assert(a == b, s"partitioning changed the kept set: ${(a -- b) ++ (b -- a)}")
   }
 
+  // ---- SimHash multi-table candidate generation -----------------------------
+
+  /** Synthetic signature corpus: `clusters` planted near-dup groups of 3
+    * (base, base⊕1bit, base⊕3bits) in a sea of `background` uniform random
+    * 64-bit signatures. Seeded — identical across runs. */
+  private def simhashFixture(clusters: Int, background: Int, seed: Int) = {
+    val rng = new scala.util.Random(seed)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var id = 0L
+    (0 until clusters).foreach { _ =>
+      val base = rng.nextLong()
+      val oneBit = base ^ (1L << rng.nextInt(64))
+      var threeBits = base
+      (0 until 3).foreach(_ => threeBits ^= (1L << rng.nextInt(64)))
+      Seq(base, oneBit, threeBits).foreach { s => rows += ((id, s)); id += 1 }
+    }
+    (0 until background).foreach { _ => rows += ((id, rng.nextLong())); id += 1 }
+    rows.toSeq.toDF("doc_id", "simhash")
+  }
+
+  private def bruteHamming3(rows: Seq[(Long, Long)], maxH: Int): Set[(Long, Long)] =
+    (for {
+      (ia, sa) <- rows; (ib, sb) <- rows
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= maxH
+    } yield (ia, ib)).toSet
+
+  test("simHashCandidates (multi-table) is exhaustive: equals brute force at Hamming <= 3") {
+    val df = simhashFixture(clusters = 25, background = 400, seed = 91)
+    val local = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val got = graft.text.Dedup.simHashCandidates(df, "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = bruteHamming3(local, 3)
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    assert(want.size >= 25, "fixture must actually plant near-dup pairs")
+  }
+
+  test("simHashCandidates raw join volume stays ~linear where the 4x16 pigeonhole is quadratic") {
+    // uniform random sigs: true pairs ~0, so every raw candidate is spurious
+    // join work. The old 4-block/match-1 construction (blocks = 4 here) hits
+    // ~4*N^2/2^17 spurious pairs; the 6-choose-3 tables (~32-bit keys) stay
+    // near zero. This is the corpus-scale property: candidate volume must
+    // track true near-dups, not N^2.
+    def raw(df: org.apache.spark.sql.DataFrame, blocks: Int): Long =
+      graft.text.Dedup.simHashCandidatesRaw(df, "doc_id", 3, "simhash", 64, blocks,
+        0L, new graft.runtime.CacheHandle).count()
+    val n = 20000
+    val big = simhashFixture(clusters = 0, background = n, seed = 7)
+    val oldShape = raw(big, 4)   // expected ≈ 4 * n²/2 / 2^16 ≈ 12k at n=20k
+    val newShape = raw(big, 6)   // expected ≈ 20 * n²/2 / 2^32 ≈ 0
+    assert(oldShape > 1000, s"old pigeonhole should blow up on uniform sigs: $oldShape")
+    assert(newShape < oldShape / 50,
+      s"multi-table must cut spurious candidates >50x: old=$oldShape new=$newShape")
+    // and it scales: 4x the corpus, candidates grow far slower than 16x
+    val small = simhashFixture(clusters = 0, background = n / 4, seed = 7)
+    val newSmall = raw(small, 6)
+    assert(newShape <= 16 * newSmall + 50,
+      s"new construction must not scale quadratically: n/4 -> $newSmall, n -> $newShape")
+  }
+
+  test("simHashCandidates maxBucket guard bounds degenerate signature cliques") {
+    // 500 docs sharing ONE signature: an O(m^2) clique no key width shrinks
+    // (exact dedup's job upstream); the guard drops the bucket entirely
+    val clique = (0L until 500L).map(i => (i, 0x0123456789abcdefL)).toDF("doc_id", "simhash")
+    val unguarded = graft.text.Dedup.simHashCandidates(clique, "doc_id", maxHamming = 3)
+    assert(unguarded.count() == 500L * 499 / 2)
+    val guarded = graft.text.Dedup.simHashCandidates(clique, "doc_id", maxHamming = 3,
+      maxBucket = 10L)
+    assert(guarded.count() == 0, "over-cap buckets must be dropped before the self-join")
+  }
+
   test("repetitionMetrics: hand-computed fractions, deterministic top-gram tiebreak") {
     val df = Seq(
       (1L, "b a a b a"),   // words 5, distinct 2; 2-grams: "b a"x2,"a a","a b"; 3-grams all distinct

@@ -104,6 +104,33 @@ class RuntimeSpec extends AnyFunSuite {
     Lineage.requireNoHotKeys(pages, "url", maxRows = 500) // must not throw
   }
 
+  test("CacheHandle: repeated dedup/similarity calls leave no persistent RDDs behind") {
+    import graft.runtime.CacheHandle
+    import graft.text.Dedup
+    import graft.sim.Similarity
+    val docs = (0L until 200L).map(i => (i, s"alpha beta w${i % 40} gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val rng = new scala.util.Random(3)
+    val vecs = (0L until 100L).map(i => (i, Array.fill(16)(rng.nextFloat())))
+      .toDF("vec_id", "embedding")
+    val planes = Similarity.hyperplanes(16, 16)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    (0 until 2).foreach { _ =>
+      val h = new CacheHandle
+      try {
+        Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5, handle = h).count()
+        Dedup.minHashCandidates(
+          Dedup.minHashSignatures(docs, "doc_id", "text", 3, 8), "doc_id", 4, 2, h).count()
+        Dedup.simHashCandidates(
+          Dedup.simHash(docs, "doc_id", "text"), "doc_id", handle = h).count()
+        Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", planes, 0.9,
+          bands = 4, handle = h).count()
+      } finally h.release()
+    }
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"released handles must unpersist every tracked cache: $leaked")
+  }
+
   test("media decode plumbing: magic-byte sniffing + stable stub features") {
     import graft.multimodal.BinaryFeatures
     val jpeg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte, 1, 2, 3)
