@@ -80,6 +80,44 @@ object Checkpoints {
     Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Checkpoint-store GC: under `<root>/<pipelineId>` each fit owns one
+    * subdirectory of step JSONs (the layout fitOrResume is pointed at, one
+    * dir per fit). Keeps the `keepLatest` most-recent fits (directory mtime,
+    * name tiebreak) and deletes the rest — a multi-day run re-fitting on a
+    * schedule otherwise accumulates unbounded (if individually tiny) JSON.
+    * Returns the deleted fit directories. A fit currently being written is
+    * safe: it is the newest mtime, so it is never in the evicted suffix.
+    */
+  def gc(root: String, pipelineId: String, keepLatest: Int): Seq[String] = {
+    require(keepLatest >= 1, "keepLatest must be >= 1")
+    val base = Paths.get(root, pipelineId)
+    if (!Files.isDirectory(base)) return Nil
+    val children = {
+      val s = Files.list(base)
+      try {
+        val it = s.iterator()
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Path]
+        while (it.hasNext) buf += it.next()
+        buf.toSeq
+      } finally s.close()
+    }
+    val fits = children.filter(Files.isDirectory(_))
+      .sortBy(p => (Files.getLastModifiedTime(p).toMillis, p.getFileName.toString))
+    val evict = fits.dropRight(keepLatest)
+    evict.foreach { d =>
+      val w = Files.walk(d)
+      try {
+        val all = {
+          val it = w.iterator(); val buf = scala.collection.mutable.ArrayBuffer.empty[Path]
+          while (it.hasNext) buf += it.next()
+          buf.toSeq
+        }
+        all.sortBy(-_.getNameCount).foreach(Files.delete)
+      } finally w.close()
+    }
+    evict.map(_.toString)
+  }
+
   /** Fit a pipeline with per-step checkpointing; completed steps are loaded
     * from `dir` instead of recomputed. */
   def fitOrResume(

@@ -170,6 +170,46 @@ final case class FittedSelector(
     import spark.implicits._
     excluded.toDF("terms")
   }
+
+  /** One-line console summary — the trained form of the reference's
+    * print.step_select_* methods (NAMESPACE print registrations; e.g.
+    * print.step_select_infgain, step_select_infgain.R:191–203 emits
+    * "Information Gain feature selection (n excluded)"). A FittedSelector is
+    * by construction trained, so the exclusion count always prints. FCBF
+    * prints retained/removed term lists instead
+    * (print.step_select_fcbf, step_select_fcbf.R:220–236). */
+  def summary: String = step match {
+    case "step_select_fcbf" =>
+      val retained = scores.map(_._1).filterNot(excluded.contains)
+      s"FCBF retained : ${retained.mkString(", ")}\n" +
+        s"FCBF removed: ${excluded.mkString(", ")}"
+    case other =>
+      val label = FittedSelector.printLabels.getOrElse(other, other)
+      s"$label feature selection (${excluded.length} excluded)"
+  }
+}
+
+object FittedSelector {
+  /** The verbatim print labels of the reference's step classes (each
+    * print.step_select_* method's cat() title). Model-importance steps all
+    * share one label (step_select_linear.R:210, _tree.R:197, _forests.R:212,
+    * _vip.R:167); the corr steps are the reference's carscore
+    * (diagonal path), so they print its label. */
+  private[select] val printLabels: Map[String, String] = Map(
+    "step_select_infgain" -> "Information Gain",
+    "step_select_mrmr" -> "mRMR",
+    "step_select_roc" -> "ROC curve",
+    "step_select_xtab" -> "Association test",
+    "step_select_aov" -> "ANOVA F-test",
+    "step_select_boruta" -> "Boruta",
+    "step_select_relief" -> "Relief",
+    "step_select_linear" -> "Variable importance",
+    "step_select_tree" -> "Variable importance",
+    "step_select_forests" -> "Variable importance",
+    "step_select_vip" -> "Variable importance",
+    "step_select_carscore" -> "Carscore",
+    "step_select_corr_pearson" -> "Carscore",
+    "step_select_corr_spearman" -> "Carscore")
 }
 
 /** Tuning-parameter metadata — the reference's `tunable()` surface
@@ -368,18 +408,24 @@ final case class RocStep(
 }
 
 /** step_select_fcbf — Fast Correlation-Based Filter (Yu & Liu 2003;
-  * step_select_fcbf.R:144–205): median-split numeric features, keep those
+  * step_select_fcbf.R:144–205): quantile-split numeric features at
+  * `cutpoint` (default 0.5 = median; step_select_fcbf.R:76, threaded to
+  * discretize_var's `stats::quantile(x, cutpoint)` :256–270), keep those
   * with SU(X;Y) >= threshold, then greedily remove features redundant to a
   * better-ranked one (SU(X_i;X_j) >= SU(X_j;Y)). Threshold-only — no
-  * dual_filter. */
-final case class FcbfStep(minimumSu: Double = 0.025) extends SelectorStep {
+  * dual_filter. A cutpoint outside (0, 1) — or NaN — aborts with the
+  * reference's message (step_select_fcbf.R:87–92). */
+final case class FcbfStep(minimumSu: Double = 0.025, cutpoint: Double = 0.5)
+    extends SelectorStep {
+  require(!cutpoint.isNaN && cutpoint > 0 && cutpoint < 1,
+    "`cutpoint` must be a number between 0-1")
   val name = "step_select_fcbf"
   def fit(df: DataFrame, outcome: String, predictors: Seq[String]): FittedSelector = {
     val preds = StepCommon.resolvePredictors(df, outcome, predictors)
     val numeric = StepCommon.numericPredictors(df, preds)
     // all-NULL numeric columns are dropped with a warning (step_select_fcbf.R:296–309)
-    val split = Binning.medianSplit(
-      df.select((preds :+ outcome).distinct.map(col): _*), numeric
+    val split = Binning.quantileSplit(
+      df.select((preds :+ outcome).distinct.map(col): _*), numeric, cutpoint
     )
     val nonNullCounts = split
       .select(preds.map(p => count(col(p)).as(p)): _*)

@@ -109,23 +109,35 @@ object Binning {
     if (r.isNullAt(0)) Double.NaN else r.getDouble(0)
   }
 
-  /** discretize_var: 'l' iff value <= median(col), 'h' above, NULL stays. */
+  /** discretize_var: 'l' iff value <= cut, 'h' above, NULL stays. */
   def medianSplitCol(c: Column, median: Double): Column =
     when(c.isNull, lit(null: String))
       .otherwise(when(c <= median, lit("l")).otherwise(lit("h")))
 
-  /** Median-split each numeric column to 'l'/'h' string columns in place
-    * (FCBF preprocessing, step_select_fcbf.R:256–270). All medians in one
-    * distributed pass. All-NULL columns yield all-NULL output (all-NaN median).
+  /** Quantile-split each numeric column to 'l'/'h' string columns in place:
+    * the reference's discretize_var at an arbitrary `cutpoint` quantile
+    * (step_select_fcbf.R:256–270 — `stats::quantile(x, cutpoint)` is R
+    * type-7, which Spark's `percentile` matches exactly). Same rules as the
+    * median case: values <= cut go 'l' (ties low), NULL stays NULL, NAs are
+    * ignored when computing the cut. All cuts in ONE distributed pass;
+    * all-NULL columns yield all-NULL output (null percentile).
     */
-  def medianSplit(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def quantileSplit(df: DataFrame, cols: Seq[String], cutpoint: Double): DataFrame = {
+    require(cutpoint > 0 && cutpoint < 1, s"cutpoint must be in (0, 1), got $cutpoint")
     if (cols.isEmpty) return df
-    val meds = df
-      .select(cols.map(c => expr(s"percentile(`$c`, 0.5)").as(c)): _*)
+    val cuts = df
+      .select(cols.map(c => expr(s"percentile(`$c`, $cutpoint)").as(c)): _*)
       .head()
     cols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
-      if (meds.isNullAt(i)) d.withColumn(c, lit(null: String))
-      else d.withColumn(c, medianSplitCol(col(c), meds.getDouble(i)))
+      if (cuts.isNullAt(i)) d.withColumn(c, lit(null: String))
+      else d.withColumn(c, medianSplitCol(col(c), cuts.getDouble(i)))
     }
   }
+
+  /** Median-split each numeric column to 'l'/'h' string columns in place
+    * (FCBF preprocessing at the default cutpoint = 0.5,
+    * step_select_fcbf.R:256–270).
+    */
+  def medianSplit(df: DataFrame, cols: Seq[String]): DataFrame =
+    quantileSplit(df, cols, 0.5)
 }

@@ -70,6 +70,15 @@ class ContractSpec extends AnyFunSuite {
     assert(fitted.excluded.length == 1)
   }
 
+  test("FCBF cutpoint outside (0,1) or NaN aborts with the reference message (step_select_fcbf.R:87-92)") {
+    Seq(0.0, 1.0, 1.5, -0.25, Double.NaN).foreach { bad =>
+      val e = intercept[IllegalArgumentException](FcbfStep(cutpoint = bad))
+      assert(e.getMessage.contains("`cutpoint` must be a number between 0-1"), s"cutpoint=$bad")
+    }
+    // boundary-exclusive: 0.5 and other interior values construct fine
+    FcbfStep(cutpoint = 0.5); FcbfStep(cutpoint = 0.25); FcbfStep(cutpoint = 0.999)
+  }
+
   test("FCBF drops all-null columns with a warning (step_select_fcbf.R:296-309)") {
     val d = Seq(
       (1.0, null.asInstanceOf[java.lang.Double], "a"),

@@ -69,6 +69,31 @@ class RuntimeSpec extends AnyFunSuite {
     assert(java.nio.file.Files.exists(f0))
   }
 
+  test("checkpoint gc keeps the newest N fits per pipeline id, returns evictions") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val root = Files.createTempDirectory("gctest").toString
+    val fits = (0 until 5).map { i =>
+      val d = Paths.get(root, "pipe_a", f"fit_$i%02d")
+      Files.createDirectories(d)
+      Files.writeString(d.resolve("step_000_x.json"), "{}")
+      Files.setLastModifiedTime(d, FileTime.fromMillis(1000000L + i * 60000))
+      d
+    }
+    // an unrelated pipeline must be untouched
+    val other = Paths.get(root, "pipe_b", "fit_00")
+    Files.createDirectories(other)
+    val deleted = Checkpoints.gc(root, "pipe_a", keepLatest = 2)
+    assert(deleted.toSet == fits.take(3).map(_.toString).toSet, s"got $deleted")
+    assert(fits.drop(3).forall(Files.isDirectory(_)), "newest 2 must survive")
+    assert(fits.take(3).forall(!Files.exists(_)))
+    assert(Files.isDirectory(other))
+    // idempotent; missing pipeline id is a no-op
+    assert(Checkpoints.gc(root, "pipe_a", 2).isEmpty)
+    assert(Checkpoints.gc(root, "nope", 1).isEmpty)
+    intercept[IllegalArgumentException](Checkpoints.gc(root, "pipe_a", 0))
+  }
+
   test("partition metrics: digests are order-insensitive and detect change") {
     val df = spark.range(1000).select(col("id"), (col("id") % 7).as("v"))
     val d1 = Lineage.contentDigest(df)

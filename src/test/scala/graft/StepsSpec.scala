@@ -69,6 +69,70 @@ class StepsSpec extends AnyFunSuite {
     assert(fitted.excluded.contains("f3"), "noise below SU threshold or redundant")
   }
 
+  test("quantileSplit at cutpoint 0.25 == naive R type-7 quantile split (ties low, NULL stays)") {
+    // naive oracle: R type-7 quantile h = (n-1)p; q = x_(h) + frac * (x_(h+1) - x_(h))
+    def type7(xs: Seq[Double], p: Double): Double = {
+      val s = xs.sorted
+      val h = (s.length - 1) * p
+      val lo = h.toInt
+      if (lo + 1 >= s.length) s(lo) else s(lo) + (h - lo) * (s(lo + 1) - s(lo))
+    }
+    val vals = (0 until 97).map(i => ((i * 37) % 101).toDouble)
+    val d = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "x")
+      .withColumn("x", when(col("id") === 7, lit(null)).otherwise(col("x")))
+    val nonNull = vals.zipWithIndex.filterNot(_._2 == 7).map(_._1)
+    val cut = type7(nonNull, 0.25)
+    val got = Binning.quantileSplit(d, Seq("x"), 0.25)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    vals.zipWithIndex.foreach { case (v, i) =>
+      val want = if (i == 7) None else Some(if (v <= cut) "l" else "h")
+      assert(got(i.toLong) == want, s"id=$i v=$v cut=$cut")
+    }
+    // and the default is the median: quantileSplit(0.5) == medianSplit
+    val viaHalf = Binning.quantileSplit(d, Seq("x"), 0.5).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    val viaMedian = Binning.medianSplit(d, Seq("x")).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(viaHalf == viaMedian)
+  }
+
+  test("FcbfStep(cutpoint = 0.25) discretizes at the quartile and changes selections accordingly") {
+    // y correlates with whether f_skew exceeds its 25% quantile — a median
+    // split destroys that signal (both halves mixed), the quartile split
+    // preserves it; porting step_select_fcbf(cutpoint = 0.25) must follow
+    // the reference's discretization, not silently use the median
+    val r2 = new scala.util.Random(11)
+    val skewRows = (0 until 400).map { _ =>
+      val x = r2.nextDouble()
+      val y = if ((x > 0.25) ^ (r2.nextDouble() < 0.05)) "pos" else "neg"
+      (x, r2.nextGaussian(), y)
+    }
+    val d = skewRows.toDF("f_skew", "f_noise", "y")
+    val atQuartile = FcbfStep(minimumSu = 0.05, cutpoint = 0.25)
+      .fit(d, "y", Seq("f_skew", "f_noise"))
+    assert(!atQuartile.excluded.contains("f_skew"),
+      s"quartile split must keep the quartile-aligned feature: ${atQuartile.scores}")
+    val atMedian = FcbfStep(minimumSu = 0.05).fit(d, "y", Seq("f_skew", "f_noise"))
+    val suQ = atQuartile.scores.toMap.apply("f_skew").get
+    val suM = atMedian.scores.toMap.apply("f_skew").getOrElse(0.0)
+    assert(suQ > suM + 0.1,
+      s"SU at the aligned cutpoint must dominate the median's: $suQ vs $suM")
+  }
+
+  test("summary mirrors the reference print.step_select_* lines") {
+    val ig = InfoGainStep(topP = Some(2)).fit(df, "species", Seq("f1", "f2", "f3"))
+    assert(ig.summary == "Information Gain feature selection (1 excluded)")
+    val roc = RocStep(topP = Some(1)).fit(df, "species", Seq("f1", "f3"))
+    assert(roc.summary == "ROC curve feature selection (1 excluded)")
+    val fcbf = FcbfStep(minimumSu = 0.01).fit(df, "species", Seq("f1", "f2", "f3"))
+    val retained = Seq("f1", "f2", "f3").filterNot(fcbf.excluded.contains)
+    assert(fcbf.summary ==
+      s"FCBF retained : ${retained.mkString(", ")}\nFCBF removed: ${fcbf.excluded.mkString(", ")}")
+    val corr = CorrStep(topP = Some(1))
+      .fit(df.withColumn("yy", col("f1") + col("f2")), "yy", Seq("f1", "f2"))
+    assert(corr.summary == "Carscore feature selection (1 excluded)")
+  }
+
   test("XtabStep: minimize semantics with BH-adjusted p-values") {
     val cat = df.select(
       when(col("f1") > 2, "hi").otherwise("lo").as("x_informative"),
