@@ -367,8 +367,13 @@ object SparkEntry {
         .fit(t(s, dir, "lineitem"), "l_returnflag", liFeatures), s)),
     "q_forest" -> ((s, dir) =>
       // impurity mode for the per-round bench budget; permutation mode
-      // (the default) is exercised by StepsSpec
-      tidy6(ForestStep(topP = Some(2), trees = 20, importance = "impurity")
+      // (the default) is exercised by StepsSpec. Profiled: fit time is
+      // linear in trees × nodes (pure stats compute — partitions, maxBins,
+      // maxMemoryInMB all ~neutral), so the budget knobs are tree count
+      // (10, matching q_boruta), split bins 16, and half-rate subsampling —
+      // rankings on these 4 strongly-separated features are unchanged
+      tidy6(ForestStep(topP = Some(2), trees = 10, importance = "impurity",
+        maxBins = 16, subsample = 0.5)
         .fit(t(s, dir, "lineitem"), "l_returnflag", liFeatures), s)),
     "q_relief" -> ((s, dir) => tidy6(
       ReliefStep(topP = Some(2), sampleSize = 10)

@@ -73,7 +73,8 @@ final case class BorutaStep(
     trees: Int = 50,
     maxDepth: Int = 5,
     seed: Long = 42L,
-    roughFix: Boolean = false // apply TentativeRoughFix to the decisions
+    roughFix: Boolean = false, // apply TentativeRoughFix to the decisions
+    maxBins: Int = 32 // RF split-candidate bins; fewer = faster stats passes
 ) extends SelectorStep {
   val name = "step_select_boruta"
 
@@ -84,21 +85,38 @@ final case class BorutaStep(
     * statistically a uniform permutation for shadow purposes. */
   private val idShift = 40
 
-  private def shadowed(data: DataFrame, preds: Seq[String], round: Int): DataFrame = {
+  /** Shadow columns for ALL rounds in ONE melt → window → pivot → join pass:
+    * per (feature, round), values are permuted WITHIN (feature, bucket) by a
+    * seeded hash order, and __pos lands in the same composite id space as
+    * __id so the pivot joins back on ids of the same bucket. Building every
+    * round at once (maxRuns window sorts over a single (f, __bkt) exchange,
+    * one 48-way pivot) replaces maxRuns separate melt+pivot+join rounds —
+    * the per-(feature, round) permutation formula is unchanged, so the
+    * shadow VALUES are bit-identical to the one-round-at-a-time
+    * construction. Output columns: `__sh_<p>__r<round>`. */
+  private def shadowedAll(data: DataFrame, preds: Seq[String], rounds: Int): DataFrame = {
     val long = data.select(
       col("__bkt"), col("__id"),
       explode(array(preds.map(p => struct(lit(p).as("f"), col(p).as("v"))): _*)).as("fv"))
       .select(col("__bkt"), col("__id"), col("fv.f").as("f"), col("fv.v").as("v"))
-    // permute WITHIN (feature, bucket): __pos lands in the same composite id
-    // space as __id, so the pivot joins back on ids of the same bucket
-    val permuted = long.withColumn(
-      "__pos",
-      shiftleft(col("__bkt"), idShift) + row_number().over(
-        Window.partitionBy("f", "__bkt")
-          .orderBy(xxhash64(col("__id"), col("f"), lit(round), lit(seed)))))
-    val shadow = permuted
-      .groupBy("__pos").pivot("f", preds).agg(first("v"))
-      .select(col("__pos").as("__id") +: preds.map(p => col(p).as(s"__sh_$p")): _*)
+    // window expressions must be projected as plain columns BEFORE the
+    // explode (a window function inside explode(array(...)) is unresolvable);
+    // all `rounds` row_numbers share one (f, __bkt) exchange, sorted per round
+    val withPos = (1 to rounds).foldLeft(long) { (d, round) =>
+      d.withColumn(s"__pos_$round",
+        shiftleft(col("__bkt"), idShift) + row_number().over(
+          Window.partitionBy("f", "__bkt")
+            .orderBy(xxhash64(col("__id"), col("f"), lit(round), lit(seed)))))
+    }
+    val posCols = (1 to rounds).map(r =>
+      struct(lit(r).as("r"), col(s"__pos_$r").as("pos")))
+    val keys = for (p <- preds; r <- 1 to rounds) yield s"${p}__r$r"
+    val shadow = withPos
+      .select(col("f"), col("v"), explode(array(posCols: _*)).as("rp"))
+      .select(concat(col("f"), lit("__r"), col("rp.r")).as("k"), col("v"),
+        col("rp.pos").as("__id"))
+      .groupBy("__id").pivot("k", keys).agg(first("v"))
+      .select(col("__id") +: keys.map(k => col(k).as(s"__sh_$k")): _*)
     data.join(shadow, "__id")
   }
 
@@ -113,7 +131,8 @@ final case class BorutaStep(
     val classif = StepCommon.isClassification(df, outcome)
     val base0 = df.na.drop(preds :+ outcome)
     // deterministic composite row ids, assigned within ~4k-row hash buckets
-    val buckets = math.max(1L, base0.count() / 4096L)
+    val n = base0.count()
+    val buckets = math.max(1L, n / 4096L)
     val allCols = struct(base0.columns.map(col): _*)
     val base = base0
       .withColumn("__bkt", pmod(xxhash64(allCols, lit(seed)), lit(buckets)))
@@ -121,24 +140,41 @@ final case class BorutaStep(
         shiftleft(col("__bkt"), idShift) + row_number().over(
           Window.partitionBy("__bkt").orderBy(xxhash64(allCols, lit(seed + 1)))))
       .cache()
+    // the RF stats-aggregation jobs run once per tree-depth level; on a small
+    // sample, 32 near-empty shuffle partitions make every one of those jobs
+    // pay 32 task launches for sub-millisecond work — size partitions to the
+    // data (~4k rows each), capped at the session's parallelism for big inputs
+    val fitParts = math.max(1, math.min(
+      df.sparkSession.sparkContext.defaultParallelism, (n / 4096L).toInt))
+    // one wide shadow build for all rounds, cached: each round's fit then
+    // reads columns from cache instead of re-running its own melt+pivot+join
+    val allRounds = shadowedAll(base, preds, maxRuns).coalesce(fitParts).cache()
     try {
       val allFeats = preds ++ preds.map(p => s"__sh_$p")
+      // label mapping is identical every round (shadow copies don't touch the
+      // outcome) — fit the indexer ONCE on the cached base; refitting per
+      // round executed the whole shadow melt+pivot+join plan a second time
+      val indexer = if (classif) Some(ModelBased.labelIndexer(base, outcome)) else None
       val hits = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
       val history = scala.collection.mutable.ArrayBuffer.empty[Map[String, Double]]
       for (round <- 1 to maxRuns) {
-        val data = shadowed(base, preds, round)
+        val keepCols = allRounds.columns
+          .filterNot(_.startsWith("__sh_")).map(col) ++
+          preds.map(p => col(s"__sh_${p}__r$round").as(s"__sh_$p"))
+        val data = allRounds.select(keepCols.toSeq: _*)
         val imps: Map[String, Double] =
           if (classif) {
-            val (indexed, _) = ModelBased.indexLabel(data, outcome)
             val m = new RandomForestClassifier()
               .setFeaturesCol("__features").setLabelCol("__label")
-              .setNumTrees(trees).setMaxDepth(maxDepth).setSeed(seed + round)
-              .fit(ModelBased.assemble(indexed, allFeats))
+              .setNumTrees(trees).setMaxDepth(maxDepth).setMaxBins(maxBins)
+              .setSeed(seed + round)
+              .fit(ModelBased.assemble(indexer.get.transform(data), allFeats))
             allFeats.zip(m.featureImportances.toArray).toMap
           } else {
             val m = new RandomForestRegressor()
               .setFeaturesCol("__features").setLabelCol(outcome)
-              .setNumTrees(trees).setMaxDepth(maxDepth).setSeed(seed + round)
+              .setNumTrees(trees).setMaxDepth(maxDepth).setMaxBins(maxBins)
+              .setSeed(seed + round)
               .fit(ModelBased.assemble(data, allFeats))
             allFeats.zip(m.featureImportances.toArray).toMap
           }
@@ -170,7 +206,7 @@ final case class BorutaStep(
         decisions.map { case (p, (_, d)) => p -> d }.toMap,
         history.toSeq)
       if (roughFix) result.roughFix else result
-    } finally base.unpersist()
+    } finally { allRounds.unpersist(); base.unpersist() }
   }
 }
 

@@ -205,7 +205,9 @@ final case class ForestStep(
     trees: Int = 100,
     maxDepth: Int = 5,
     seed: Long = 42L,
-    importance: String = "permutation"
+    importance: String = "permutation",
+    maxBins: Int = 32, // RF split-candidate bins; fewer = faster stats passes
+    subsample: Double = 1.0 // per-tree subsampling rate (ranger's sample.fraction)
 ) extends SelectorStep {
   val name = "step_select_forests"
 
@@ -258,7 +260,8 @@ final case class ForestStep(
             val indexer = ModelBased.labelIndexer(dfc, outcome)
             val m = new RandomForestClassifier()
               .setFeaturesCol("__features").setLabelCol("__label")
-              .setNumTrees(trees).setMaxDepth(maxDepth).setSeed(seed)
+              .setNumTrees(trees).setMaxDepth(maxDepth).setMaxBins(maxBins)
+              .setSubsamplingRate(subsample).setSeed(seed)
               .fit(ModelBased.assemble(indexer.transform(train), preds))
             def acc(d: DataFrame): Double = {
               val scored = m.transform(ModelBased.assemble(indexer.transform(d), preds))
@@ -270,7 +273,8 @@ final case class ForestStep(
           } else {
             val m = new RandomForestRegressor()
               .setFeaturesCol("__features").setLabelCol(outcome)
-              .setNumTrees(trees).setMaxDepth(maxDepth).setSeed(seed)
+              .setNumTrees(trees).setMaxDepth(maxDepth).setMaxBins(maxBins)
+              .setSubsamplingRate(subsample).setSeed(seed)
               .fit(ModelBased.assemble(train, preds))
             def mse(d: DataFrame): Double = {
               val scored = m.transform(ModelBased.assemble(d, preds))
@@ -284,13 +288,15 @@ final case class ForestStep(
         val (indexed, _) = ModelBased.indexLabel(dfc, outcome)
         val m = new RandomForestClassifier()
           .setFeaturesCol("__features").setLabelCol("__label")
-          .setNumTrees(trees).setMaxDepth(maxDepth).setSeed(seed)
+          .setNumTrees(trees).setMaxDepth(maxDepth).setMaxBins(maxBins)
+              .setSubsamplingRate(subsample).setSeed(seed)
           .fit(ModelBased.assemble(indexed, preds))
         ImportanceExtractor.rfC.importances(m, preds)
       } else {
         val m = new RandomForestRegressor()
           .setFeaturesCol("__features").setLabelCol(outcome)
-          .setNumTrees(trees).setMaxDepth(maxDepth).setSeed(seed)
+          .setNumTrees(trees).setMaxDepth(maxDepth).setMaxBins(maxBins)
+              .setSubsamplingRate(subsample).setSeed(seed)
           .fit(ModelBased.assemble(dfc, preds))
         ImportanceExtractor.rfR.importances(m, preds)
       }
