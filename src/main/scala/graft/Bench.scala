@@ -35,13 +35,23 @@ object Bench {
       graft.core.Types.labels(spark, nLabels, nUrls = nPages / 10)
     ).toDF()
 
-  private def timeScaling(cores: Int, nPages: Long, nLabels: Long): (Long, Double) = {
+  /** Times the probe pipeline at `cores`, plus the same pipeline at 1/256
+    * scale as the FIXED-OVERHEAD estimate: the tiny run schedules the same
+    * stages/exchanges/codegen with negligible data, so its wall-clock is the
+    * per-job cost (job submission, stage scheduling, task launch) that does
+    * NOT shrink with more threads and therefore caps measurable speedup on a
+    * 12 M-row probe regardless of how well the engine scales. Returns
+    * (rows, sec, fixedSec). */
+  private def timeScaling(cores: Int, nPages: Long, nLabels: Long): (Long, Double, Double) = {
     val spark = GraftSession.get(cores)
     try {
       featurePipeline(spark, nPages / 16, nLabels / 16).count() // JIT/codegen warm-up
+      val tf0 = System.nanoTime()
+      featurePipeline(spark, nPages / 256, nLabels / 256).count()
+      val fixed = (System.nanoTime() - tf0) / 1e9
       val t0 = System.nanoTime()
       val rows = featurePipeline(spark, nPages, nLabels).count()
-      (rows, (System.nanoTime() - t0) / 1e9)
+      (rows, (System.nanoTime() - t0) / 1e9, fixed)
     } finally spark.stop()
   }
 
@@ -67,6 +77,31 @@ object Bench {
     }
     ts.foreach(_.start()); ts.foreach(_.join())
     counter.get().toDouble / ((System.nanoTime() - t0) / 1e9)
+  }
+
+  /** DRAM-bandwidth ceiling: each thread streams a private 32 MB array
+    * (far beyond L2, forcing memory traffic). Shuffle- and scan-heavy
+    * stages track THIS ceiling, not the ALU one — on this class of shared
+    * host 4× threads buy only ~2× bandwidth, so a pipeline that is partly
+    * memory-bound cannot measure 4× even when perfectly parallel; real
+    * 4×-executor clusters bring 4× memory channels with them. Returns
+    * aggregate GB/s. */
+  private def memThroughput(threads: Int): Double = {
+    val words = 4 * 1024 * 1024
+    val arrays = (0 until threads).map(_ => Array.tabulate(words)(_.toLong))
+    val passes = 24
+    val sink = new java.util.concurrent.atomic.AtomicLong()
+    val t0 = System.nanoTime()
+    val ts = arrays.map { a =>
+      new Thread(() => {
+        var p = 0; var s = 0L
+        while (p < passes) { var i = 0; while (i < words) { s += a(i); i += 1 }; p += 1 }
+        sink.addAndGet(s)
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    if (sink.get() == 42) println("") // defeat dead-code elimination
+    threads.toDouble * passes * words * 8 / ((System.nanoTime() - t0) / 1e9) / 1e9
   }
 
   def main(args: Array[String]): Unit = {
@@ -113,6 +148,10 @@ object Bench {
     val hw8 = Seq(hwThroughput(8), hwThroughput(8)).max
     val hw32 = Seq(hwThroughput(32), hwThroughput(32)).max
     val hwSpeedup = math.min(4.0, hw32 / hw8)
+    memThroughput(4) // JIT warm-up
+    val mem8 = Seq(memThroughput(8), memThroughput(8)).max
+    val mem32 = Seq(memThroughput(32), memThroughput(32)).max
+    val hwMemSpeedup = math.min(4.0, mem32 / mem8)
     // ADAPTIVE reps: a steal burst can hit every rep of one level in a
     // 3-pair window (observed: all three 32-thread reps 1.5-2x slow while
     // the 8-thread reps ran clean). Keep sampling interleaved pairs until
@@ -120,6 +159,8 @@ object Bench {
     // capped at 7 pairs.
     val t8s = scala.collection.mutable.ArrayBuffer.empty[Double]
     val t32s = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val f8s = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val f32s = scala.collection.mutable.ArrayBuffer.empty[Double]
     var rows32 = 0L
     def confirmed(ts: Seq[Double]) = ts.count(_ <= ts.min * 1.2) >= 2
     while (t8s.size < 7 && (t8s.size < 3 || !(confirmed(t8s.toSeq) && confirmed(t32s.toSeq)))) {
@@ -128,6 +169,7 @@ object Bench {
       require(a._1 == b._1, s"scaling probe rows diverged: ${a._1} vs ${b._1}")
       rows32 = b._1
       t8s += a._2; t32s += b._2
+      f8s += a._3; f32s += b._3
     }
     val sec8 = t8s.min
     val sec32 = t32s.min
@@ -136,6 +178,20 @@ object Bench {
     val speedup = math.min(4.0, rps32 / rps8) // physically bounded by thread ratio
     val eff = speedup / 4.0
     val effVsHw = math.min(1.0, speedup / hwSpeedup)
+    // Fixed-overhead decomposition: the 1/256-scale run schedules the same
+    // stage DAG with ~no data, so fixed8/fixed32 are the per-job scheduling
+    // floor at each level (they do NOT shrink with threads — on a 12 M-row
+    // probe a ~1 s floor against a ~3 s 32-thread run caps raw measurable
+    // speedup well below the silicon's). efficiencyCorrected divides the
+    // DATA-PROPORTIONAL times (total − fixed): the engine's scaling with the
+    // scheduling floor removed. The raw figures stay, uncorrected.
+    val fixed8 = f8s.min
+    val fixed32 = f32s.min
+    val corr =
+      if (sec8 > fixed8 && sec32 > fixed32)
+        math.min(4.0, (sec8 - fixed8) / (sec32 - fixed32))
+      else speedup
+    val effCorr = corr / 4.0
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     // ANY failed query poisons the headline total to -1: summing only the
@@ -145,7 +201,10 @@ object Bench {
     val total = if (failed.nonEmpty) -1.0 else results.map(_._2).sum
     val scaling =
       f"""{"rows":$rows32,"sec8":$sec8%.2f,"rps8":$rps8%.0f,"sec32":$sec32%.2f,"rps32":$rps32%.0f,""" +
-        f""""speedup":$speedup%.2f,"efficiency":$eff%.3f,"hwSpeedup":$hwSpeedup%.2f,"effVsHw":$effVsHw%.3f}"""
+        f""""speedup":$speedup%.2f,"efficiency":$eff%.3f,"hwSpeedup":$hwSpeedup%.2f,"effVsHw":$effVsHw%.3f,""" +
+        f""""fixed8":$fixed8%.2f,"fixed32":$fixed32%.2f,"speedupCorrected":$corr%.2f,""" +
+        f""""efficiencyCorrected":$effCorr%.3f,"hwMemSpeedup":$hwMemSpeedup%.2f,""" +
+        f""""memGBs8":$mem8%.1f,"memGBs32":$mem32%.1f}"""
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}""")
   }
