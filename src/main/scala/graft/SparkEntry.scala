@@ -9,7 +9,7 @@ import graft.select._
 import graft.sim.Similarity
 import graft.stats.{Anova, Auc, Binning, ChiSq, Correlation, Entropy}
 import graft.temporal.{AsOf, Salting, Windows}
-import graft.text.{Dedup, Repetition, Sampling, TextFeatures}
+import graft.text.{Dedup, LmScore, Repetition, Sampling, TextFeatures}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -198,6 +198,49 @@ object SparkEntry {
       Sampling.domainQuota(d, col("source"), 3, Seq(col("quality").desc, col("doc_id")))
         .select("doc_id", "source", "quality").orderBy("doc_id")
     }),
+    // deterministic per-stratum downsampling: md5-portable variant, exact
+    // membership replayed by DuckDB; fractions 0.25/0.5/0.75 by source id
+    // (binary-exact doubles, so the < comparison agrees cross-engine)
+    "q_stratified_sample" -> ((s, dir) => {
+      val fr = (0 until 20).map(i => s"src$i" -> ((i % 3) + 1) * 0.25).toMap
+      t(s, dir, "documents")
+        .where(Sampling.stratifiedSampleMd5(col("doc_id"), col("source"), fr))
+        .select("doc_id", "source").orderBy("doc_id")
+    }),
+    // PII redaction mechanism check: the corpus has no PII, so the query
+    // plants deterministic synthetic PII (email + IPv4 + phone derived from
+    // doc_id) and both engines must redact the SAME bytes
+    "q_redact_pii" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextFeatures.redactPii(concat(
+          col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com via 10.2."),
+          pmod(col("doc_id"), lit(256)).cast("string"),
+          lit(".9 or 555-010-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))).as("redacted"))
+        .orderBy("doc_id")),
+    // C4-style corpus-level line dedup: the corpus text is single-line, so
+    // the query synthesizes deterministic 4-token lines per doc (replayed
+    // relationally in DuckDB), then drops every line occurring more than
+    // once corpus-wide and rebuilds the documents
+    "q_line_dedup" -> ((s, dir) => {
+      val toks = TextFeatures.tokens(col("text"))
+      val nLines = ceil(size(toks) / lit(4.0)).cast("int")
+      val synth = t(s, dir, "documents").select(
+        col("doc_id"),
+        when(nLines > 0,
+          array_join(transform(sequence(lit(0), nLines - 1),
+            j => concat_ws(" ", slice(toks, j * 4 + 1, lit(4)))), "\n"))
+          .otherwise(lit("")).as("line_text"))
+      Dedup.dedupLines(synth, "doc_id", "line_text", maxCount = 1).orderBy("doc_id")
+    }),
+    // CCNet-style LM quality score: mean bits per char transition under the
+    // corpus's own add-one char-bigram model — fully replayed in DuckDB
+    "q_lm_score" -> ((s, dir) =>
+      LmScore.charBigramScore(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), round(col("lm_bits"), 6).as("lm_bits"))
+        .orderBy("doc_id")),
     // ---- similarity search ----
     "q_cosine_sims" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -732,6 +775,61 @@ object SparkEntry {
         |            * pow(16, 12 - k))) AS BIGINT) % 1000000) / 1000000.0 AS b
         |  FROM documents) t
         |ORDER BY doc_id""".stripMargin,
+    // per-stratum hash sampling: same md5 bucket as q_hash_split, fraction
+    // (src_index % 3 + 1) * 0.25 — binary-exact doubles both engines
+    "q_stratified_sample" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    (CAST(list_sum(list_transform(range(1, 13),
+        |       k -> (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), CAST(k AS INT), 1)) - 1)
+        |            * pow(16, 12 - k))) AS BIGINT) % 1000000) / 1000000.0 AS b,
+        |    (CAST(substr(source, 4) AS INT) % 3 + 1) * 0.25 AS f
+        |  FROM documents) t
+        |WHERE b < f ORDER BY doc_id""".stripMargin,
+    // same synthetic-PII injection, same three RE2-subset patterns ('g' =
+    // replace all, Spark's default); byte-identical redacted strings
+    "q_redact_pii" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+        |           '@mail.example.com via 10.2.', CAST(doc_id % 256 AS VARCHAR),
+        |           '.9 or 555-010-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // 4-token line synthesis (relational replay of the Spark HOF chunking),
+    // corpus-wide line counts, keep lines with count <= 1, ordered rebuild
+    "q_line_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
+        |         generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
+        |  FROM documents),
+        |l AS MATERIALIZED (
+        |  SELECT doc_id, (pos - 1) // 4 AS line_no,
+        |         string_agg(tok, ' ' ORDER BY pos) AS line
+        |  FROM w GROUP BY 1, 2),
+        |c AS MATERIALIZED (SELECT line, count(*) AS lc FROM l GROUP BY line),
+        |k AS (SELECT l.doc_id, l.line_no, l.line, c.lc <= 1 AS keep
+        |      FROM l JOIN c USING (line))
+        |SELECT d.doc_id,
+        |  coalesce(string_agg(CASE WHEN k.keep THEN k.line END, chr(10) ORDER BY k.line_no), '') AS clean_text,
+        |  CAST(coalesce(sum(CASE WHEN NOT k.keep THEN 1 ELSE 0 END), 0) AS BIGINT) AS removed_lines
+        |FROM documents d LEFT JOIN k ON d.doc_id = k.doc_id
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+    // add-one char-bigram model over the corpus itself, mean bits/transition
+    "q_lm_score" ->
+      """WITH bg AS MATERIALIZED (
+        |  SELECT doc_id, substr(text, CAST(i AS INT), 2) AS bg
+        |  FROM (SELECT doc_id, text, unnest(range(1, len(text))) AS i FROM documents) t),
+        |m2 AS MATERIALIZED (SELECT bg, count(*) AS c2 FROM bg GROUP BY bg),
+        |m1 AS MATERIALIZED (SELECT substr(bg, 1, 1) AS c1, sum(c2) AS n1 FROM m2 GROUP BY 1),
+        |v AS MATERIALIZED (SELECT count(DISTINCT substr(bg, 2, 1)) AS v FROM m2)
+        |SELECT doc_id, round(avg(-log2((c2 + 1.0) / (n1 + v))), 6) AS lm_bits
+        |FROM bg JOIN m2 USING (bg)
+        |JOIN m1 ON substr(bg.bg, 1, 1) = m1.c1
+        |CROSS JOIN v
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // quality replay (same chain as q_quality) -> row_number per source over
     // (quality DESC, doc_id) -> keep rn <= 3
     "q_domain_quota" ->

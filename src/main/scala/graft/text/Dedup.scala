@@ -238,6 +238,46 @@ object Dedup {
           .otherwise(col("contaminated_ngrams") / col("total_ngrams")))
   }
 
+  /** C4-style corpus-level LINE dedup: any line whose exact text occurs more
+    * than `maxCount` times ACROSS THE CORPUS is removed from every document
+    * (the standard boilerplate filter — nav bars, cookie banners, footers
+    * repeat across pages while real content doesn't), and each document is
+    * rebuilt from its kept lines in original order.
+    *
+    * Scale shape: one explode (linear), one count aggregation keyed on the
+    * 64-bit line hash (map-side combinable; the raw line string never enters
+    * the aggregation state), one equi join of lines to counts (a hot
+    * boilerplate line is ONE row on the build side — many probe rows per key
+    * is the normal hash-join case, no blowup), and one per-document rebuild
+    * agg. Line order is restored by sorting the collected (pos, line)
+    * structs — no window, no global sort.
+    *
+    * Returns (id, clean_text, removed_lines); documents whose every line is
+    * removed keep an empty clean_text, and null-text documents pass through
+    * with clean_text null / removed_lines 0.
+    */
+  def dedupLines(df: DataFrame, id: String, text: String, maxCount: Long = 1L): DataFrame = {
+    require(maxCount >= 1, "maxCount must be >= 1 (1 = keep only corpus-unique lines)")
+    val lines = df
+      .select(col(id), posexplode(split(col(text), "\n")).as(Seq("pos", "line")))
+      .withColumn("__lh", xxhash64(col("line")))
+    val counts = lines.groupBy("__lh").agg(count(lit(1)).as("__lc"))
+    val rebuilt = lines
+      .join(counts, "__lh")
+      .withColumn("__keep", col("__lc") <= maxCount)
+      .groupBy(col(id))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("__keep"), struct(col("pos"), col("line"))))),
+            s => s.getField("line")),
+          "\n").as("clean_text"),
+        sum(when(col("__keep"), 0L).otherwise(1L)).as("removed_lines"))
+    df.select(col(id))
+      .join(rebuilt, Seq(id), "left")
+      .na.fill(0L, Seq("removed_lines"))
+  }
+
   /** 64-bit SimHash over tokens: bit j of the result is 1 iff the sum of
     * (+1/−1) contributions of token-hash bit j is positive. Expressed as 64
     * per-bit sums in one aggregation (map-side combine). Returns (id, simhash).

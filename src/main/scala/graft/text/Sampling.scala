@@ -32,14 +32,52 @@ object Sampling {
   def splitByHash(key: Column, fractions: Seq[(String, Double)], seed: Long = 42L): Column =
     assign(pmod(xxhash64(key, lit(seed)), lit(1000000L)) / lit(1e6), fractions)
 
-  /** Portable variant: 48-bit md5-prefix bucket — bit-identical in any
-    * engine with md5 (the repo's standard cross-engine hash), so an
-    * external system can reproduce the exact membership of every split. */
+  /** 48-bit md5-prefix [0,1) bucket — bit-identical in any engine with md5
+    * (the repo's standard cross-engine hash). */
+  private def md5Bucket(key: Column): Column =
+    pmod(conv(substring(md5(key.cast("string")), 1, 12), 16, 10).cast("long"),
+      lit(1000000L)) / lit(1e6)
+
+  /** Portable variant: md5 bucket, so an external system can reproduce the
+    * exact membership of every split. */
   def splitByHashMd5(key: Column, fractions: Seq[(String, Double)]): Column =
-    assign(
-      pmod(conv(substring(md5(key.cast("string")), 1, 12), 16, 10).cast("long"),
-        lit(1000000L)) / lit(1e6),
-      fractions)
+    assign(md5Bucket(key), fractions)
+
+  private def stratumFraction(stratum: Column, fractions: Map[String, Double], default: Double): Column = {
+    require((fractions.values ++ Seq(default)).forall(f => f >= 0 && f <= 1),
+      "sampling fractions must be in [0, 1]")
+    fractions.toSeq.sortBy(_._1).foldLeft(lit(default): Column) {
+      case (acc, (s, f)) => when(stratum === s, lit(f)).otherwise(acc)
+    }
+  }
+
+  /** Deterministic stratified downsampling predicate: keep a row iff its
+    * seeded key-hash bucket falls below its stratum's fraction — the
+    * standard rebalancing filter (downsample over-represented languages /
+    * domains / sources to target proportions). Pure map-side column logic:
+    * no RNG state, no count pass, membership independent of parallelism and
+    * stable across reruns (a kept document never flickers out when the
+    * cluster is resized — same property as [[splitByHash]]). Strata absent
+    * from `fractions` keep `default`. */
+  def stratifiedSampleByHash(
+      key: Column,
+      stratum: Column,
+      fractions: Map[String, Double],
+      default: Double = 1.0,
+      seed: Long = 42L
+  ): Column =
+    (pmod(xxhash64(key, lit(seed)), lit(1000000L)) / lit(1e6)) <
+      stratumFraction(stratum, fractions, default)
+
+  /** Portable variant of [[stratifiedSampleByHash]] on the md5 bucket —
+    * exact membership reproducible in any engine (the DuckDB oracle). */
+  def stratifiedSampleMd5(
+      key: Column,
+      stratum: Column,
+      fractions: Map[String, Double],
+      default: Double = 1.0
+  ): Column =
+    md5Bucket(key) < stratumFraction(stratum, fractions, default)
 
   /** Per-domain quota: keep at most `k` rows per `domain`, preferring the
     * `precedence` ordering (e.g. quality desc with a deterministic id

@@ -75,6 +75,23 @@ object TextFeatures {
       .otherwise(lit("und"))
   }
 
+  /** PII redaction: emails → `<EMAIL>`, IPv4 addresses → `<IP>`,
+    * phone-shaped digit groups → `<PHONE>`. A chain of three
+    * `regexp_replace` calls — codegen'd, single pass over the text, no UDF.
+    * Patterns stay inside the RE2-compatible subset (no backreferences, no
+    * lookaround) so RE2-based engines replay them byte-for-byte (the DuckDB
+    * oracle does, with its explicit 'g' flag). Order matters: emails first
+    * (their local part may contain digits that the phone pattern would
+    * otherwise split). */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>")
+    regexp_replace(ip,
+      "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b", "<PHONE>")
+  }
+
   /** Content fingerprint: md5 of the exact bytes (portable across engines —
     * used for exact dedup and the byte-identity-per-url invariant). */
   def fingerprintMd5(text: Column): Column = md5(encode(text, "UTF-8"))

@@ -131,6 +131,95 @@ class CurationSpec extends AnyFunSuite {
     assert(a == b, s"partitioning changed the kept set: ${(a -- b) ++ (b -- a)}")
   }
 
+  // ---- round-4 curation operators -------------------------------------------
+
+  test("redactPii: emails, IPv4s, phones replaced; clean text untouched") {
+    import graft.text.TextFeatures
+    val cases = Seq(
+      ("write to jane.doe+tag@sub.example.co.uk today", "write to <EMAIL> today"),
+      ("host 192.168.001.7 and 10.0.0.255 up", "host <IP> and <IP> up"),
+      ("call 555-010-1234 or 555 010 9999 now", "call <PHONE> or <PHONE> now"),
+      ("all three a@b.io 1.2.3.4 555-123-4567", "all three <EMAIL> <IP> <PHONE>"),
+      ("no pii here just words and 42 numbers", "no pii here just words and 42 numbers"),
+      ("version 1.2 and 1.2.3 are not ips", "version 1.2 and 1.2.3 are not ips"))
+    val got = cases.map(_._1).toDF("t")
+      .select(TextFeatures.redactPii(col("t"))).collect().map(_.getString(0))
+    cases.map(_._2).zip(got).foreach { case (want, g) => assert(g == want) }
+  }
+
+  test("dedupLines: corpus-frequent lines removed, order kept, edge docs handled") {
+    import graft.text.Dedup
+    val docs = Seq(
+      (1L, "unique alpha\nCOOKIE BANNER\nunique beta"),
+      (2L, "COOKIE BANNER\nunique gamma"),
+      (3L, "COOKIE BANNER"),                      // all lines removed
+      (4L, "only once here"),
+      (5L, null.asInstanceOf[String])             // null text passes through
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupLines(docs, "doc_id", "text", maxCount = 1)
+      .collect().map(r => r.getLong(0) -> (Option(r.getString(1)), r.getLong(2))).toMap
+    assert(got(1L) == ((Some("unique alpha\nunique beta"), 1L)), "order preserved")
+    assert(got(2L) == ((Some("unique gamma"), 1L)))
+    assert(got(3L) == ((Some(""), 1L)), "fully-boilerplate doc becomes empty, not missing")
+    assert(got(4L) == ((Some("only once here"), 0L)))
+    assert(got(5L) == ((None, 0L)), "null text stays null with zero removals")
+    // the banner occurs 3x corpus-wide: still dropped at maxCount = 2,
+    // kept at maxCount = 3
+    val got2 = Dedup.dedupLines(docs, "doc_id", "text", maxCount = 2)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got2(1L).contains("unique alpha\nunique beta"))
+    val got3 = Dedup.dedupLines(docs, "doc_id", "text", maxCount = 3)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got3(1L).contains("unique alpha\nCOOKIE BANNER\nunique beta"))
+  }
+
+  test("charBigramScore matches a hand-computed add-one bigram model") {
+    import graft.text.LmScore
+    val docs = Seq((1L, "abab"), (2L, "abba"), (3L, "x")).toDF("doc_id", "text")
+    // bigrams: doc1 ab,ba,ab; doc2 ab,bb,ba  => c2: ab=3, ba=2, bb=1
+    // c1: a->3, b->3 ; V = distinct second chars {a,b} = 2
+    val pAb = (3 + 1.0) / (3 + 2) // 0.8
+    val pBa = (2 + 1.0) / (3 + 2) // 0.6
+    val pBb = (1 + 1.0) / (3 + 2) // 0.4
+    def bits(p: Double) = -math.log(p) / math.log(2)
+    val want1 = (bits(pAb) + bits(pBa) + bits(pAb)) / 3
+    val want2 = (bits(pAb) + bits(pBb) + bits(pBa)) / 3
+    val got = LmScore.charBigramScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got(1L) - want1) < 1e-12)
+    assert(math.abs(got(2L) - want2) < 1e-12)
+    assert(!got.contains(3L), "single-char doc has no transitions, no row")
+  }
+
+  test("charBigramScore against a FIXED model: unseen bigrams and chars fall back") {
+    import graft.text.LmScore
+    val modelCorpus = Seq((0L, "abab")).toDF("doc_id", "text") // ab=2, ba=1; a->2, b->1; V=2
+    val model = LmScore.charBigramModel(modelCorpus, "text")
+    val scored = LmScore.charBigramScore(
+      Seq((7L, "aa"), (8L, "zz")).toDF("doc_id", "text"), "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def bits(p: Double) = -math.log(p) / math.log(2)
+    assert(math.abs(scored(7L) - bits((0 + 1.0) / (2 + 2))) < 1e-12, "unseen bigram, seen c1")
+    assert(math.abs(scored(8L) - bits(1.0 / 2)) < 1e-12, "unseen first char -> 1/V")
+  }
+
+  test("stratifiedSample: per-stratum fractions honored, deterministic, parallelism-invariant") {
+    val d = (0L until 6000L).map(i => (i, s"s${i % 3}")).toDF("id", "stratum")
+    val fr = Map("s0" -> 0.25, "s1" -> 0.75)
+    def kept(parts: Int): Set[Long] =
+      d.repartition(parts)
+        .where(Sampling.stratifiedSampleByHash(col("id"), col("stratum"), fr, default = 1.0))
+        .collect().map(_.getLong(0)).toSet
+    val a = kept(3)
+    assert(kept(11) == a, "membership must not depend on partitioning")
+    val byStratum = a.groupBy(i => (i % 3).toInt).view.mapValues(_.size).toMap
+    assert(math.abs(byStratum(0) / 2000.0 - 0.25) < 0.05, s"s0: $byStratum")
+    assert(math.abs(byStratum(1) / 2000.0 - 0.75) < 0.05, s"s1: $byStratum")
+    assert(byStratum(2) == 2000, "absent stratum keeps the default fraction 1.0")
+    intercept[IllegalArgumentException](
+      Sampling.stratifiedSampleByHash(col("id"), col("stratum"), Map("s0" -> 1.5)))
+  }
+
   // ---- SimHash multi-table candidate generation -----------------------------
 
   /** Synthetic signature corpus: `clusters` planted near-dup groups of 3
