@@ -203,6 +203,24 @@ class CurationSpec extends AnyFunSuite {
     assert(math.abs(scored(8L) - bits(1.0 / 2)) < 1e-12, "unseen first char -> 1/V")
   }
 
+  test("native CharNgrams == built-in transform/substr chain, element-for-element") {
+    import graft.text.LmScore
+    val texts = Seq("abab", "a", "", "hello world", "ψαβγδ mixed ascii ü", "xy")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val native = texts.select(col("id"), LmScore.charBigrams(col("t")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val builtin = texts.select(col("id"), LmScore.charBigramsBuiltin(col("t")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(native == builtin)
+    assert(native(0L) == Seq("ab", "ba", "ab"))
+    assert(native(1L).isEmpty && native(2L).isEmpty)
+    assert(native(4L).take(2) == Seq("ψα", "αβ"), "positions count characters, not bytes")
+    // trigram variant sanity
+    val tri = texts.where(col("id") === 0)
+      .select(graft.functions.CharNgrams.ngrams(col("t"), 3)).head().getSeq[String](0)
+    assert(tri == Seq("aba", "bab"))
+  }
+
   test("stratifiedSample: per-stratum fractions honored, deterministic, parallelism-invariant") {
     val d = (0L until 6000L).map(i => (i, s"s${i % 3}")).toDF("id", "stratum")
     val fr = Map("s0" -> 0.25, "s1" -> 0.75)

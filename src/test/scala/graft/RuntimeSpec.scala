@@ -150,6 +150,7 @@ class RuntimeSpec extends AnyFunSuite {
           Dedup.simHash(docs, "doc_id", "text"), "doc_id", handle = h).count()
         Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", planes, 0.9,
           bands = 4, handle = h).count()
+        graft.text.LmScore.charBigramScore(docs, "doc_id", "text", h).count()
       } finally h.release()
     }
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
