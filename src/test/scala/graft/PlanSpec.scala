@@ -92,6 +92,39 @@ class PlanSpec extends AnyFunSuite {
     assert(ex == 1, s"expected exactly 1 exchange, got $ex")
   }
 
+  test("stratified sampling is pure map-side: zero exchanges, filter reaches the scan stage") {
+    // the operator's whole point is a count-free, shuffle-free membership
+    // predicate — any exchange appearing here means someone broke that
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val kept = docs.where(graft.text.Sampling.stratifiedSampleByHash(
+      col("doc_id"), col("source"), Map("src0" -> 0.5), default = 0.25))
+    val p = plan(kept)
+    assert(!p.contains("Exchange"), s"stratified sample must not shuffle:\n$p")
+  }
+
+  test("LM scoring joins the model by BROADCAST (the corpus side never shuffles)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val h = new graft.runtime.CacheHandle
+    try {
+      val scored = graft.text.LmScore.charBigramScore(docs, "doc_id", "text", h)
+      val p = plan(scored)
+      val bcasts = "BroadcastHashJoin".r.findAllIn(p).length
+      assert(bcasts == 2, s"model (m2) and prefix (m1) joins must broadcast, got $bcasts:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"the exploded corpus side must never sort-merge against the model:\n$p")
+    } finally h.release()
+  }
+
+  test("line dedup joins line counts without shuffling full strings as keys") {
+    // the join key is the 64-bit line hash — the raw line travels only as
+    // payload; assert the join keys are the hash column, not the string
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val p = plan(graft.text.Dedup.dedupLines(docs, "doc_id", "text", 1))
+    assert(p.contains("__lh"), s"count join must key on the line hash:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("no registered query plans a CartesianProduct") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
