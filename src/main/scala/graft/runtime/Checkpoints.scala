@@ -85,11 +85,24 @@ object Checkpoints {
     * dir per fit). Keeps the `keepLatest` most-recent fits (directory mtime,
     * name tiebreak) and deletes the rest — a multi-day run re-fitting on a
     * schedule otherwise accumulates unbounded (if individually tiny) JSON.
-    * Returns the deleted fit directories. A fit currently being written is
-    * safe: it is the newest mtime, so it is never in the evicted suffix.
+    * Returns the deleted fit directories.
+    *
+    * `graceMillis` protects in-flight fits: a directory modified within the
+    * grace window is never evicted regardless of rank. A SLOW fit can look
+    * stale (its mtime is its last step-file write while a long step
+    * computes), so when scheduled fits may overlap, set the grace above the
+    * longest plausible single-step duration; mtime order alone cannot
+    * distinguish "slow and running" from "old and dead".
     */
-  def gc(root: String, pipelineId: String, keepLatest: Int): Seq[String] = {
+  def gc(
+      root: String,
+      pipelineId: String,
+      keepLatest: Int,
+      graceMillis: Long = 3600L * 1000
+  ): Seq[String] = {
     require(keepLatest >= 1, "keepLatest must be >= 1")
+    require(graceMillis >= 0, "graceMillis must be >= 0")
+    val cutoff = System.currentTimeMillis() - graceMillis
     val base = Paths.get(root, pipelineId)
     if (!Files.isDirectory(base)) return Nil
     val children = {
@@ -104,6 +117,7 @@ object Checkpoints {
     val fits = children.filter(Files.isDirectory(_))
       .sortBy(p => (Files.getLastModifiedTime(p).toMillis, p.getFileName.toString))
     val evict = fits.dropRight(keepLatest)
+      .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
     evict.foreach { d =>
       val w = Files.walk(d)
       try {

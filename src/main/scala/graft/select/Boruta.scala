@@ -141,14 +141,22 @@ final case class BorutaStep(
           Window.partitionBy("__bkt").orderBy(xxhash64(allCols, lit(seed + 1)))))
       .cache()
     // the RF stats-aggregation jobs run once per tree-depth level; on a small
-    // sample, 32 near-empty shuffle partitions make every one of those jobs
-    // pay 32 task launches for sub-millisecond work — size partitions to the
-    // data (~4k rows each), capped at the session's parallelism for big inputs
-    val fitParts = math.max(1, math.min(
-      df.sparkSession.sparkContext.defaultParallelism, (n / 4096L).toInt))
+    // sample, near-empty shuffle partitions make every one of those jobs pay
+    // a task launch for sub-millisecond work — size partitions to the DATA
+    // (~4k rows each, constant cap), never to the session: MLlib's bootstrap
+    // RNG is seeded per PARTITION INDEX, so a core-count-derived partition
+    // count would make importances (hence decisions) vary with cluster size
+    val fitParts = math.max(1, math.min(256, (n / 4096L).toInt))
     // one wide shadow build for all rounds, cached: each round's fit then
-    // reads columns from cache instead of re-running its own melt+pivot+join
-    val allRounds = shadowedAll(base, preds, maxRuns).coalesce(fitParts).cache()
+    // reads columns from cache instead of re-running its own melt+pivot+join.
+    // Hash-repartition on the deterministic __id + in-partition sort pins the
+    // exact (partition, order) layout the RF bagging RNG consumes — results
+    // are identical at any parallelism and across reruns (coalesce would
+    // inherit the session-sized, fetch-order-dependent shuffle layout)
+    val allRounds = shadowedAll(base, preds, maxRuns)
+      .repartition(fitParts, col("__id"))
+      .sortWithinPartitions("__id")
+      .cache()
     try {
       val allFeats = preds ++ preds.map(p => s"__sh_$p")
       // label mapping is identical every round (shadow copies don't touch the

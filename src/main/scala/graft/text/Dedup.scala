@@ -395,6 +395,18 @@ object Dedup {
     // block s covers signature bits [bounds(s), bounds(s+1)) — widths differ
     // by at most one when blocks does not divide bits
     val bounds = (0 to blocks).map(s => s * bits / blocks)
+    // the shift-accumulated key must fit a signed long: the m WIDEST blocks
+    // bound every table's key width. At >= 64 bits the accumulation either
+    // overflows (ANSI throws) or the (1L << 64) mask wraps to 0 and every
+    // signature lands in ONE bucket (an O(N²) self-join) — e.g.
+    // maxHamming = 0 with the defaults concatenates all 64 bits. Exact-
+    // duplicate signatures are [[exact]] dedup's job (group directly on the
+    // signature), not a pigeonhole's.
+    val widths = (0 until blocks).map(s => bounds(s + 1) - bounds(s))
+    val maxKeyBits = widths.sorted.takeRight(m).sum
+    require(maxKeyBits <= 63,
+      s"key width $maxKeyBits bits (the $m widest of blocks $widths) must be <= 63; " +
+        "raise `blocks`, or use Dedup.exact on the signature for maxHamming = 0")
     def blockVal(s: Int): Column = {
       val lo = bounds(s)
       val w = bounds(s + 1) - lo

@@ -31,10 +31,14 @@ object LmScore {
     graft.functions.CharNgrams.ngrams(text, 2)
 
   /** Reference formulation of [[charBigrams]] in built-in expressions only —
-    * retained for the bit-equality spec, not used on any production path. */
+    * retained for the bit-equality spec, not used on any production path.
+    * Null text propagates null (a bare `otherwise(array())` would turn null
+    * into an empty array and diverge from the native expression's
+    * null-propagation — the WordShingles convention). */
   def charBigramsBuiltin(text: Column): Column =
-    when(length(text) >= 2,
-      transform(sequence(lit(1), length(text) - 1), i => text.substr(i, lit(2))))
+    when(text.isNull, lit(null).cast("array<string>"))
+      .when(length(text) >= 2,
+        transform(sequence(lit(1), length(text) - 1), i => text.substr(i, lit(2))))
       .otherwise(array().cast("array<string>"))
 
   /** Corpus-level model tables: (bigram, c2) counts and the derived

@@ -205,16 +205,19 @@ class CurationSpec extends AnyFunSuite {
 
   test("native CharNgrams == built-in transform/substr chain, element-for-element") {
     import graft.text.LmScore
-    val texts = Seq("abab", "a", "", "hello world", "ψαβγδ mixed ascii ü", "xy")
+    val texts = Seq("abab", "a", "", "hello world", "ψαβγδ mixed ascii ü", "xy",
+      null.asInstanceOf[String])
       .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
     val native = texts.select(col("id"), LmScore.charBigrams(col("t")))
-      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[String](1))).toMap
     val builtin = texts.select(col("id"), LmScore.charBigramsBuiltin(col("t")))
-      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[String](1))).toMap
     assert(native == builtin)
-    assert(native(0L) == Seq("ab", "ba", "ab"))
-    assert(native(1L).isEmpty && native(2L).isEmpty)
-    assert(native(4L).take(2) == Seq("ψα", "αβ"), "positions count characters, not bytes")
+    assert(native(6L).isEmpty, "null text propagates null, not an empty array")
+    val vals = native.collect { case (k, Some(v)) => k -> v }
+    assert(vals(0L) == Seq("ab", "ba", "ab"))
+    assert(vals(1L).isEmpty && vals(2L).isEmpty)
+    assert(vals(4L).take(2) == Seq("ψα", "αβ"), "positions count characters, not bytes")
     // trigram variant sanity
     val tri = texts.where(col("id") === 0)
       .select(graft.functions.CharNgrams.ngrams(col("t"), 3)).head().getSeq[String](0)

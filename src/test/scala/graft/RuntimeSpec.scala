@@ -92,6 +92,18 @@ class RuntimeSpec extends AnyFunSuite {
     assert(Checkpoints.gc(root, "pipe_a", 2).isEmpty)
     assert(Checkpoints.gc(root, "nope", 1).isEmpty)
     intercept[IllegalArgumentException](Checkpoints.gc(root, "pipe_a", 0))
+    // grace window: a recently-touched fit is never evicted even when it
+    // ranks beyond keepLatest (a slow in-flight fit must not be deleted)
+    val recent = Paths.get(root, "pipe_a", "fit_recent_but_lowrank")
+    Files.createDirectories(recent)
+    // rank it OLDEST by name... mtime is now, so rank is newest by mtime;
+    // instead make the surviving fits even newer so recent ranks beyond keep
+    Seq(fits(3), fits(4)).foreach(d =>
+      Files.setLastModifiedTime(d, FileTime.fromMillis(System.currentTimeMillis() + 60000)))
+    assert(Checkpoints.gc(root, "pipe_a", 2).isEmpty,
+      "within-grace fit must survive despite ranking beyond keepLatest")
+    assert(Checkpoints.gc(root, "pipe_a", 2, graceMillis = 0L) == Seq(recent.toString),
+      "grace 0 evicts it")
   }
 
   test("partition metrics: digests are order-insensitive and detect change") {
