@@ -9,7 +9,7 @@ import graft.select._
 import graft.sim.Similarity
 import graft.stats.{Anova, Auc, Binning, ChiSq, Correlation, Entropy}
 import graft.temporal.{AsOf, Salting, Windows}
-import graft.text.{Dedup, LmScore, Repetition, Sampling, TextFeatures}
+import graft.text.{Dedup, LmScore, Packing, Repetition, Sampling, TextFeatures}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -234,6 +234,15 @@ object SparkEntry {
             j => concat_ws(" ", slice(toks, j * 4 + 1, lit(4)))), "\n"))
           .otherwise(lit("")).as("line_text"))
       Dedup.dedupLines(synth, "doc_id", "line_text", maxCount = 1).orderBy("doc_id")
+    }),
+    // sequence packing (concat-and-chunk): exact global token offsets via
+    // the two-phase bucketed prefix sum; DuckDB replays with one window
+    "q_pack_sequences" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        TextFeatures.tokenCount(col("text")).cast("long").as("n_toks"))
+      Packing.packSequences(d, "doc_id", "n_toks", budget = 512)
+        .select("doc_id", "n_toks", "global_start", "first_seq", "last_seq")
+        .orderBy("doc_id")
     }),
     // CCNet-style LM quality score: mean bits per char transition under the
     // corpus's own add-one char-bigram model — fully replayed in DuckDB
@@ -817,6 +826,22 @@ object SparkEntry {
         |  CAST(coalesce(sum(CASE WHEN NOT k.keep THEN 1 ELSE 0 END), 0) AS BIGINT) AS removed_lines
         |FROM documents d LEFT JOIN k ON d.doc_id = k.doc_id
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+    // GLOBAL-WINDOW-OK (oracle SQL, small scale): one cumulative window
+    // replays the engine's two-phase bucketed prefix sum exactly
+    "q_pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_toks
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_toks,
+        |        CAST(coalesce(sum(n_toks) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS global_start
+        |      FROM d)
+        |SELECT doc_id, n_toks, global_start,
+        |  CASE WHEN n_toks > 0 THEN global_start // 512 END AS first_seq,
+        |  CASE WHEN n_toks > 0 THEN (global_start + n_toks - 1) // 512 END AS last_seq
+        |FROM c ORDER BY doc_id""".stripMargin,
     // add-one char-bigram model over the corpus itself, mean bits/transition
     "q_lm_score" ->
       """WITH bg AS MATERIALIZED (

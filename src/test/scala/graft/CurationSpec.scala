@@ -241,6 +241,32 @@ class CurationSpec extends AnyFunSuite {
       Sampling.stratifiedSampleByHash(col("id"), col("stratum"), Map("s0" -> 1.5)))
   }
 
+  test("packSequences: exact offsets, straddling docs, zero-token docs, bucket invariance") {
+    import graft.text.Packing
+    val docs = Seq((0L, 300L), (1L, 300L), (2L, 0L), (3L, 500L), (5L, 124L), (10L, 1L))
+      .toDF("id", "toks")
+    def run(bucketSize: Long) =
+      Packing.packSequences(docs, "id", "toks", budget = 512, bucketSize = bucketSize)
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(2), Option(r.get(3)).map(_.toString.toLong), Option(r.get(4)).map(_.toString.toLong)))
+        .toMap
+    val got = run(4096)
+    // stream: 0:[0,300) 1:[300,600) 2:- 3:[600,1100) 5:[1100,1224) 10:[1224,1225)
+    assert(got(0L) == ((0L, Some(0L), Some(0L))))
+    assert(got(1L) == ((300L, Some(0L), Some(1L))), "doc 1 straddles chunks 0/1")
+    assert(got(2L) == ((600L, None, None)), "zero-token doc occupies no chunk")
+    assert(got(3L) == ((600L, Some(1L), Some(2L))))
+    assert(got(5L) == ((1100L, Some(2L), Some(2L))))
+    assert(got(10L) == ((1224L, Some(2L), Some(2L))))
+    // bucket size is an execution detail, never a semantics knob
+    assert(run(2) == got && run(1) == got)
+    // totals: every token is packed exactly once
+    val totalToks = 300 + 300 + 500 + 124 + 1
+    assert(got.values.map(_._1).max + 1 <= totalToks)
+    intercept[IllegalArgumentException](Packing.packSequences(docs, "id", "toks", 0))
+  }
+
   // ---- SimHash multi-table candidate generation -----------------------------
 
   /** Synthetic signature corpus: `clusters` planted near-dup groups of 3

@@ -82,4 +82,56 @@ class PropertySpec extends AnyFunSuite {
       kept.toSet == keys.toSet && kept.size == keys.distinct.size
     })
   }
+
+  test("line dedup model: kept+removed partition the lines; kept order preserved; frequent lines gone") {
+    val lineGen = Gen.listOf(Gen.choose(0, 8)) // small alphabet forces collisions
+    check(Prop.forAll(Gen.listOf(lineGen), Gen.choose(1, 3)) { (docs, maxCount) =>
+      // model of Dedup.dedupLines without Spark
+      val freq = docs.flatten.groupBy(identity).view.mapValues(_.size).toMap
+      docs.forall { doc =>
+        val kept = doc.filter(l => freq(l) <= maxCount)
+        val removed = doc.filterNot(l => freq(l) <= maxCount)
+        kept.size + removed.size == doc.size &&
+          kept == doc.filter(kept.contains) && // subsequence: order preserved
+          removed.forall(l => freq(l) > maxCount)
+      }
+    })
+  }
+
+  test("packing model: chunks never exceed budget, every token packed exactly once") {
+    check(Prop.forAll(
+      Gen.nonEmptyListOf(Gen.choose(0L, 50L)), Gen.choose(1L, 40L)) { (toks, budget) =>
+      // model of Packing.packSequences: global offsets by running sum
+      val starts = toks.scanLeft(0L)(_ + _)
+      val spans = toks.zip(starts).filter(_._1 > 0).map { case (n, s) =>
+        (s / budget, (s + n - 1) / budget, s, n)
+      }
+      val total = toks.sum
+      // offsets tile [0, total) with no gaps or overlaps
+      val tiles = toks.zip(starts).map { case (n, s) => (s, s + n) }
+      val contiguous = tiles.sliding(2).forall {
+        case Seq((_, e), (s, _)) => e == s
+        case _                   => true
+      }
+      contiguous && (tiles.isEmpty || tiles.last._2 == total) &&
+        // a doc's span covers ceil over the right chunk ids
+        spans.forall { case (first, last, s, n) =>
+          first <= last && first == s / budget && last == (s + n - 1) / budget
+        }
+    })
+  }
+
+  test("stratified sampling model: kept set is the per-stratum hash-threshold set, nested in fractions") {
+    check(Prop.forAll(Gen.listOf(Gen.choose(0L, 100000L)),
+      Gen.choose(0.0, 1.0), Gen.choose(0.0, 1.0)) { (keys, f1, f2) =>
+      val (lo, hi) = (math.min(f1, f2), math.max(f1, f2))
+      def bucket(k: Long) = (k * 2654435761L % 1000003L).abs / 1000003.0
+      val keptLo = keys.filter(bucket(_) < lo).toSet
+      val keptHi = keys.filter(bucket(_) < hi).toSet
+      // monotone nesting: raising a stratum's fraction only ADDS documents —
+      // the property that makes hash sampling reproducible across config
+      // changes (unlike RNG sampling, which reshuffles membership)
+      keptLo.subsetOf(keptHi)
+    })
+  }
 }
