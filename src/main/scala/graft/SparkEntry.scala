@@ -235,6 +235,24 @@ object SparkEntry {
           .otherwise(lit("")).as("line_text"))
       Dedup.dedupLines(synth, "doc_id", "line_text", maxCount = 1).orderBy("doc_id")
     }),
+    // the one-call CURATION CHAIN, end to end: quality gate -> language
+    // gate -> exact dedup (min doc_id per content md5) -> per-source quota
+    // (top-5 by quality) -> deterministic split assignment. Each stage is
+    // an operator oracled on its own; this query pins their COMPOSITION
+    // (the filter->dedup->quota->split order a real corpus build runs)
+    "q_curation_pipeline" -> ((s, dir) => {
+      val gated = t(s, dir, "documents")
+        .withColumn("quality", round(TextFeatures.qualityScore(col("text")), 6))
+        .withColumn("lang_pred", TextFeatures.langId(col("text")))
+        .where(col("quality") >= 0.5 && col("lang_pred") === "en")
+      val deduped = Dedup.exact(gated, TextFeatures.fingerprintMd5(col("text")), col("doc_id"))
+      Sampling.domainQuota(deduped, col("source"), 5,
+        Seq(col("quality").desc, col("doc_id")))
+        .select(col("doc_id"), col("source"), col("quality"),
+          Sampling.splitByHashMd5(col("doc_id"),
+            Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)).as("split"))
+        .orderBy("doc_id")
+    }),
     // sequence packing (concat-and-chunk): exact global token offsets via
     // the two-phase bucketed prefix sum; DuckDB replays with one window
     "q_pack_sequences" -> ((s, dir) => {
@@ -826,6 +844,53 @@ object SparkEntry {
         |  CAST(coalesce(sum(CASE WHEN NOT k.keep THEN 1 ELSE 0 END), 0) AS BIGINT) AS removed_lines
         |FROM documents d LEFT JOIN k ON d.doc_id = k.doc_id
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+    // full replay of the curation chain: quality + langid (the q_quality /
+    // q_langid fragments), filter, md5-dedup row_number, per-source quota
+    // row_number, md5-bucket split — every stage deterministic, one pass
+    "q_curation_pipeline" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, text,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, source, text, n,
+        |    CASE WHEN n = 0 THEN 0.0
+        |         ELSE CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], t))) AS DOUBLE) / n END AS sr,
+        |    CASE WHEN len(text) = 0 THEN 0.0
+        |         ELSE CAST(len(text) - len(regexp_replace(text, '[.,;:!?()]', '', 'g')) AS DOUBLE) / len(text) END AS pr,
+        |    len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], t))) AS en,
+        |    len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht','ein','zu','mit','von'], t))) AS de,
+        |    len(list_filter(toks, t -> list_contains(['le','la','les','et','est','un','une','des','que','pour'], t))) AS fr
+        |  FROM base),
+        |q AS (
+        |  SELECT doc_id, source, text,
+        |    round((CASE WHEN n >= 20 AND n <= 100000 THEN 1.0 WHEN n >= 5 THEN 0.5 ELSE 0.0 END) * 0.4
+        |        + (CASE WHEN sr >= 0.05 THEN 1.0 ELSE 0.0 END) * 0.4
+        |        + (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END) * 0.2, 6) AS quality,
+        |    CASE WHEN greatest(en, de, fr) = 0 THEN 'und'
+        |         WHEN en = greatest(en, de, fr) AND de < en AND fr < en THEN 'en'
+        |         WHEN de = greatest(en, de, fr) AND en < de AND fr < de THEN 'de'
+        |         WHEN fr = greatest(en, de, fr) AND en < fr AND de < fr THEN 'fr'
+        |         ELSE 'und' END AS lang_pred
+        |  FROM m),
+        |f AS (SELECT doc_id, source, text, quality FROM q
+        |      WHERE quality >= 0.5 AND lang_pred = 'en'),
+        |d AS (SELECT doc_id, source, quality,
+        |        row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn1 FROM f),
+        |u AS (SELECT doc_id, source, quality FROM d WHERE rn1 = 1),
+        |kq AS (SELECT doc_id, source, quality,
+        |         row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rn2
+        |       FROM u)
+        |SELECT doc_id, source, quality,
+        |  CASE WHEN b < 0.8 THEN 'train' WHEN b < 0.9 THEN 'valid' ELSE 'test' END AS split
+        |FROM (SELECT doc_id, source, quality,
+        |        (CAST(list_sum(list_transform(range(1, 13),
+        |           j -> (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), CAST(j AS INT), 1)) - 1)
+        |                * pow(16, 12 - j))) AS BIGINT) % 1000000) / 1000000.0 AS b
+        |      FROM kq WHERE rn2 <= 5) t
+        |ORDER BY doc_id""".stripMargin,
     // GLOBAL-WINDOW-OK (oracle SQL, small scale): one cumulative window
     // replays the engine's two-phase bucketed prefix sum exactly
     "q_pack_sequences" ->
