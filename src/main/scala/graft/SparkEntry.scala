@@ -433,7 +433,7 @@ object SparkEntry {
         .fit(t(s, dir, "lineitem"), "l_extendedprice", liFeatures)
         .scoresDF(s).select(col("variable"), round(col("score"), 4).as("score"))),
     "q_tree" -> ((s, dir) => tidy6(
-      TreeStep(topP = Some(2))
+      TreeStep(topP = Some(2), maxBins = 16)
         .fit(t(s, dir, "lineitem"), "l_returnflag", liFeatures), s)),
     "q_forest" -> ((s, dir) =>
       // impurity mode for the per-round bench budget; permutation mode

@@ -160,7 +160,8 @@ final case class TreeStep(
     threshold: Option[Double] = None,
     cutoff: Option[Double] = None,
     maxDepth: Int = 5,
-    seed: Long = 42L
+    seed: Long = 42L,
+    maxBins: Int = 32 // split-candidate bins; fewer = faster stats passes
 ) extends SelectorStep {
   val name = "step_select_tree"
   def fit(df: DataFrame, outcome: String, predictors: Seq[String]): FittedSelector = {
@@ -173,13 +174,13 @@ final case class TreeStep(
         val (indexed, _) = ModelBased.indexLabel(dfc, outcome)
         val m = new DecisionTreeClassifier()
           .setFeaturesCol("__features").setLabelCol("__label")
-          .setMaxDepth(maxDepth).setSeed(seed)
+          .setMaxDepth(maxDepth).setMaxBins(maxBins).setSeed(seed)
           .fit(ModelBased.assemble(indexed, preds))
         ImportanceExtractor.dtC.importances(m, preds)
       } else {
         val m = new DecisionTreeRegressor()
           .setFeaturesCol("__features").setLabelCol(outcome)
-          .setMaxDepth(maxDepth).setSeed(seed)
+          .setMaxDepth(maxDepth).setMaxBins(maxBins).setSeed(seed)
           .fit(ModelBased.assemble(dfc, preds))
         ImportanceExtractor.dtR.importances(m, preds)
       }
