@@ -235,6 +235,11 @@ object SparkEntry {
           .otherwise(lit("")).as("line_text"))
       Dedup.dedupLines(synth, "doc_id", "line_text", maxCount = 1).orderBy("doc_id")
     }),
+    // deterministic corpus shuffle: the md5-portable global shuffle order,
+    // exact rank replayed by DuckDB's row_number over the same hash
+    "q_shuffle_rank" -> ((s, dir) =>
+      Sampling.shuffleRankMd5(t(s, dir, "documents").select("doc_id"), col("doc_id"))
+        .select("doc_id", "shuffle_rank").orderBy("doc_id")),
     // the one-call CURATION CHAIN, end to end: quality gate -> language
     // gate -> exact dedup (min doc_id per content md5) -> per-source quota
     // (top-5 by quality) -> deterministic split assignment. Each stage is
@@ -844,6 +849,17 @@ object SparkEntry {
         |  CAST(coalesce(sum(CASE WHEN NOT k.keep THEN 1 ELSE 0 END), 0) AS BIGINT) AS removed_lines
         |FROM documents d LEFT JOIN k ON d.doc_id = k.doc_id
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+    // GLOBAL-WINDOW-OK (oracle SQL, small scale): one global row_number
+    // replays the engine's two-phase bucketed ranking exactly
+    "q_shuffle_rank" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS shuffle_rank
+        |FROM (SELECT doc_id,
+        |        CAST(list_sum(list_transform(range(1, 13),
+        |          j -> (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), CAST(j AS INT), 1)) - 1)
+        |               * pow(16, 12 - j))) AS BIGINT) AS h
+        |      FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
     // full replay of the curation chain: quality + langid (the q_quality /
     // q_langid fragments), filter, md5-dedup row_number, per-source quota
     // row_number, md5-bucket split — every stage deterministic, one pass

@@ -79,6 +79,56 @@ object Sampling {
   ): Column =
     md5Bucket(key) < stratumFraction(stratum, fractions, default)
 
+  /** Deterministic corpus shuffle: a pseudo-random but fully reproducible
+    * GLOBAL ordering (`shuffle_rank` ∈ [0, n)) following the seeded
+    * key-hash order — the standard shuffle-before-packing step that breaks
+    * crawl/source locality in training order. No RNG state; identical at
+    * any parallelism; and NO global sort: the hash's top bits range-bucket
+    * the rows (bucket order IS hash order), per-bucket counts are cumulated
+    * driver-side into base offsets (one tiny row per bucket), and ranks are
+    * a parallel within-bucket row_number plus the broadcast base — the same
+    * two-phase prefix-sum shape as [[graft.text.Packing]]. Ties on the hash
+    * break by the key itself, so ranks are a total order for unique keys. */
+  def shuffleRank(df: DataFrame, key: Column, seed: Long = 42L, bucketBits: Int = 12): DataFrame =
+    rankByHashOrder(df, xxhash64(key, lit(seed)), key, hashBits = 64, bucketBits)
+
+  /** Portable variant of [[shuffleRank]] on the 48-bit md5 hash — the exact
+    * shuffle order is reproducible in any engine (the DuckDB oracle). */
+  def shuffleRankMd5(df: DataFrame, key: Column, bucketBits: Int = 12): DataFrame =
+    rankByHashOrder(df,
+      conv(substring(md5(key.cast("string")), 1, 12), 16, 10).cast("long"),
+      key, hashBits = 48, bucketBits)
+
+  private def rankByHashOrder(
+      df: DataFrame,
+      hash: Column,
+      tiebreak: Column,
+      hashBits: Int,
+      bucketBits: Int
+  ): DataFrame = {
+    require(bucketBits >= 1 && bucketBits < hashBits, "bucketBits must be in [1, hashBits)")
+    val spark = df.sparkSession
+    // arithmetic (sign-preserving) shift: bucket order equals hash order for
+    // both the signed 64-bit and the non-negative 48-bit hash
+    val withH = df
+      .withColumn("__sh", hash)
+      .withColumn("__sb", shiftright(col("__sh"), hashBits - bucketBits))
+    val counts = withH.groupBy("__sb").agg(count(lit(1)).as("__c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val bases = counts.map { case (b, c) => val r = (b, acc); acc += c; r }
+    val baseDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(bases.map(t => org.apache.spark.sql.Row(t._1, t._2)).toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__sb", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("__base", org.apache.spark.sql.types.LongType))))
+    val w = Window.partitionBy("__sb").orderBy(col("__sh"), tiebreak)
+    withH
+      .join(broadcast(baseDf), "__sb")
+      .withColumn("shuffle_rank", col("__base") + row_number().over(w) - 1)
+      .drop("__sb", "__sh", "__base")
+  }
+
   /** Per-domain quota: keep at most `k` rows per `domain`, preferring the
     * `precedence` ordering (e.g. quality desc with a deterministic id
     * tiebreak) — the standard domain-balance filter that stops one giant

@@ -241,6 +241,23 @@ class CurationSpec extends AnyFunSuite {
       Sampling.stratifiedSampleByHash(col("id"), col("stratum"), Map("s0" -> 1.5)))
   }
 
+  test("shuffleRank: bijective 0..n-1, equals naive hash-order rank, parallelism-invariant") {
+    val d = (0L until 3000L).map(i => (i, s"p$i")).toDF("id", "payload")
+    def ranks(parts: Int, seed: Long): Map[Long, Long] =
+      Sampling.shuffleRank(d.repartition(parts), col("id"), seed)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val got = ranks(4, 42L)
+    assert(got.values.toSeq.sorted == (0L until 3000L), "ranks must be a bijection onto 0..n-1")
+    assert(ranks(13, 42L) == got, "rank must not depend on partitioning")
+    assert(ranks(4, 7L) != got, "a different seed must give a different order")
+    // GLOBAL-WINDOW-OK: test-only naive reference on a tiny fixture
+    val naive = d.withColumn("__h", xxhash64(col("id"), lit(42L)))
+      .withColumn("__r", org.apache.spark.sql.functions.row_number()
+        .over(org.apache.spark.sql.expressions.Window.orderBy(col("__h"), col("id"))) - 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(3).toLong).toMap
+    assert(got.view.mapValues(_.toLong).toMap == naive, "two-phase rank == naive global rank")
+  }
+
   test("packSequences: exact offsets, straddling docs, zero-token docs, bucket invariance") {
     import graft.text.Packing
     val docs = Seq((0L, 300L), (1L, 300L), (2L, 0L), (3L, 500L), (5L, 124L), (10L, 1L))
