@@ -38,12 +38,24 @@ object Packing {
     require(bucketSize >= 1, "bucketSize must be >= 1")
     val spark = df.sparkSession
     val bucketed = df.withColumn("__pbkt", floor(col(id) / bucketSize))
-    // phase 1: one tiny row per bucket -> exact driver-side prefix sum
+    // phase 1: one tiny row per bucket -> exact driver-side prefix sum.
+    // The driver holds one row per OCCUPIED bucket: with dense ids that is
+    // ~n/bucketSize; with SPARSE ids (random 64-bit keys) it degenerates
+    // toward one bucket per row and the collect becomes the corpus — guard
+    // it. Densify sparse keys first (Sampling.shuffleRank emits exactly the
+    // dense, shuffled ordering a packing pass wants) or raise bucketSize.
+    val maxBuckets = 1 << 22
+    // limit bounds the driver transfer itself (<= ~64 MB) before the check;
+    // when the true bucket count is within the limit, limit() returns ALL
     val sums = bucketed.groupBy("__pbkt")
       .agg(sum(col(tokensCol)).as("__btoks"))
+      .limit(maxBuckets + 1)
       .collect()
       .map(r => r.getLong(0) -> r.getLong(1))
       .sortBy(_._1)
+    require(sums.length <= maxBuckets,
+      s"over $maxBuckets occupied id-buckets would be cumulated on the driver — " +
+        "ids look sparse; densify them first (e.g. Sampling.shuffleRank) or raise bucketSize")
     var acc = 0L
     val bases = sums.map { case (b, t) => val base = (b, acc); acc += t; base }
     val baseDf = spark.createDataFrame(
