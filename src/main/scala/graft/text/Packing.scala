@@ -36,45 +36,26 @@ object Packing {
   ): DataFrame = {
     require(budget >= 1, "budget must be >= 1 token")
     require(bucketSize >= 1, "bucketSize must be >= 1")
-    val spark = df.sparkSession
     val bucketed = df.withColumn("__pbkt", floor(col(id) / bucketSize))
-    // phase 1: one tiny row per bucket -> exact driver-side prefix sum.
-    // The driver holds one row per OCCUPIED bucket: with dense ids that is
-    // ~n/bucketSize; with SPARSE ids (random 64-bit keys) it degenerates
-    // toward one bucket per row and the collect becomes the corpus — guard
-    // it. Densify sparse keys first (Sampling.shuffleRank emits exactly the
-    // dense, shuffled ordering a packing pass wants) or raise bucketSize.
-    val maxBuckets = 1 << 22
-    // limit bounds the driver transfer itself (<= ~64 MB) before the check;
-    // when the true bucket count is within the limit, limit() returns ALL
-    val sums = bucketed.groupBy("__pbkt")
-      .agg(sum(col(tokensCol)).as("__btoks"))
-      .limit(maxBuckets + 1)
-      .collect()
-      .map(r => r.getLong(0) -> r.getLong(1))
-      .sortBy(_._1)
-    require(sums.length <= maxBuckets,
-      s"over $maxBuckets occupied id-buckets would be cumulated on the driver — " +
-        "ids look sparse; densify them first (e.g. Sampling.shuffleRank) or raise bucketSize")
-    var acc = 0L
-    val bases = sums.map { case (b, t) => val base = (b, acc); acc += t; base }
-    val baseDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(bases.map(t => org.apache.spark.sql.Row(t._1, t._2)).toSeq, 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("__pbkt", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("__base", org.apache.spark.sql.types.LongType))))
+    // phase 1: exact driver-side prefix sum over one row per OCCUPIED
+    // bucket (TwoPhase bounds the driver transfer and aborts on sparse or
+    // null ids; null token counts weigh 0 — such docs occupy no chunk and
+    // keep null first/last_seq)
+    val baseDf = TwoPhase
+      .prefixBases(bucketed, col("__pbkt"), col(tokensCol), maxBuckets = 1 << 22)
+      .withColumnRenamed("__tp_bkt", "__pbkt")
     // phase 2: parallel within-bucket cumsum + broadcast base offset
     val w = Window.partitionBy("__pbkt").orderBy(col(id))
       .rowsBetween(Window.unboundedPreceding, -1)
     bucketed
       .join(broadcast(baseDf), "__pbkt")
       .withColumn("global_start",
-        col("__base") + coalesce(sum(col(tokensCol)).over(w), lit(0L)))
+        col("__tp_base") + coalesce(sum(coalesce(col(tokensCol), lit(0L))).over(w), lit(0L)))
       .withColumn("first_seq",
         when(col(tokensCol) > 0, floor(col("global_start") / budget)))
       .withColumn("last_seq",
         when(col(tokensCol) > 0,
           floor((col("global_start") + col(tokensCol) - 1) / budget)))
-      .drop("__pbkt", "__base")
+      .drop("__pbkt", "__tp_base")
   }
 }

@@ -32,11 +32,15 @@ object Sampling {
   def splitByHash(key: Column, fractions: Seq[(String, Double)], seed: Long = 42L): Column =
     assign(pmod(xxhash64(key, lit(seed)), lit(1000000L)) / lit(1e6), fractions)
 
-  /** 48-bit md5-prefix [0,1) bucket — bit-identical in any engine with md5
-    * (the repo's standard cross-engine hash). */
+  /** 48-bit md5-prefix integer hash of the key — the repo's standard
+    * cross-engine hash, shared by every md5-portable sampler/ranker here so
+    * the split membership and the shuffle order can never drift apart. */
+  private def md5Hash48(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 12), 16, 10).cast("long")
+
+  /** [0,1) bucket derived from [[md5Hash48]]. */
   private def md5Bucket(key: Column): Column =
-    pmod(conv(substring(md5(key.cast("string")), 1, 12), 16, 10).cast("long"),
-      lit(1000000L)) / lit(1e6)
+    pmod(md5Hash48(key), lit(1000000L)) / lit(1e6)
 
   /** Portable variant: md5 bucket, so an external system can reproduce the
     * exact membership of every split. */
@@ -95,9 +99,7 @@ object Sampling {
   /** Portable variant of [[shuffleRank]] on the 48-bit md5 hash — the exact
     * shuffle order is reproducible in any engine (the DuckDB oracle). */
   def shuffleRankMd5(df: DataFrame, key: Column, bucketBits: Int = 12): DataFrame =
-    rankByHashOrder(df,
-      conv(substring(md5(key.cast("string")), 1, 12), 16, 10).cast("long"),
-      key, hashBits = 48, bucketBits)
+    rankByHashOrder(df, md5Hash48(key), key, hashBits = 48, bucketBits)
 
   private def rankByHashOrder(
       df: DataFrame,
@@ -106,27 +108,24 @@ object Sampling {
       hashBits: Int,
       bucketBits: Int
   ): DataFrame = {
-    require(bucketBits >= 1 && bucketBits < hashBits, "bucketBits must be in [1, hashBits)")
-    val spark = df.sparkSession
+    // bucketBits <= 22 bounds the driver-side prefix table at 4M rows (the
+    // same cap TwoPhase enforces); the bucket count here is 2^bucketBits by
+    // construction, never data-dependent
+    require(bucketBits >= 1 && bucketBits <= 22 && bucketBits < hashBits,
+      "bucketBits must be in [1, min(22, hashBits - 1)]")
     // arithmetic (sign-preserving) shift: bucket order equals hash order for
     // both the signed 64-bit and the non-negative 48-bit hash
     val withH = df
       .withColumn("__sh", hash)
       .withColumn("__sb", shiftright(col("__sh"), hashBits - bucketBits))
-    val counts = withH.groupBy("__sb").agg(count(lit(1)).as("__c"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    var acc = 0L
-    val bases = counts.map { case (b, c) => val r = (b, acc); acc += c; r }
-    val baseDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(bases.map(t => org.apache.spark.sql.Row(t._1, t._2)).toSeq, 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("__sb", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("__base", org.apache.spark.sql.types.LongType))))
+    val baseDf = TwoPhase
+      .prefixBases(withH, col("__sb"), lit(1L), maxBuckets = 1 << bucketBits)
+      .withColumnRenamed("__tp_bkt", "__sb")
     val w = Window.partitionBy("__sb").orderBy(col("__sh"), tiebreak)
     withH
       .join(broadcast(baseDf), "__sb")
-      .withColumn("shuffle_rank", col("__base") + row_number().over(w) - 1)
-      .drop("__sb", "__sh", "__base")
+      .withColumn("shuffle_rank", col("__tp_base") + row_number().over(w) - 1)
+      .drop("__sb", "__sh", "__tp_base")
   }
 
   /** Per-domain quota: keep at most `k` rows per `domain`, preferring the

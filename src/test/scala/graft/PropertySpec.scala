@@ -83,55 +83,69 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
-  test("line dedup model: kept+removed partition the lines; kept order preserved; frequent lines gone") {
-    val lineGen = Gen.listOf(Gen.choose(0, 8)) // small alphabet forces collisions
-    check(Prop.forAll(Gen.listOf(lineGen), Gen.choose(1, 3)) { (docs, maxCount) =>
-      // model of Dedup.dedupLines without Spark
-      val freq = docs.flatten.groupBy(identity).view.mapValues(_.size).toMap
-      docs.forall { doc =>
-        val kept = doc.filter(l => freq(l) <= maxCount)
-        val removed = doc.filterNot(l => freq(l) <= maxCount)
-        kept.size + removed.size == doc.size &&
-          kept == doc.filter(kept.contains) && // subsequence: order preserved
-          removed.forall(l => freq(l) > maxCount)
+  // ---- operator-vs-model checks (real Spark operators against local
+  // Scala models, over seeded random fixtures — a scalacheck forAll would
+  // spin hundreds of Spark jobs, so a few generated cases stand in) -------
+
+  lazy val spark = TestSpark.spark
+
+  test("Dedup.dedupLines == local model on seeded random corpora") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    for (seed <- Seq(1, 2, 3)) {
+      val rng = new scala.util.Random(seed)
+      val docs = (0L until 40L).map { i =>
+        (i, Seq.fill(1 + rng.nextInt(6))(s"line ${rng.nextInt(9)}").mkString("\n"))
       }
-    })
+      val maxCount = 1 + rng.nextInt(3)
+      val freq = docs.flatMap(_._2.split("\n", -1)).groupBy(identity).view.mapValues(_.size).toMap
+      val model = docs.map { case (id, text) =>
+        val lines = text.split("\n", -1).toSeq
+        val kept = lines.filter(l => freq(l) <= maxCount)
+        id -> ((kept.mkString("\n"), (lines.size - kept.size).toLong))
+      }.toMap
+      val got = graft.text.Dedup
+        .dedupLines(docs.toDF("doc_id", "text"), "doc_id", "text", maxCount)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      assert(got == model, s"seed=$seed maxCount=$maxCount")
+    }
   }
 
-  test("packing model: chunks never exceed budget, every token packed exactly once") {
-    check(Prop.forAll(
-      Gen.nonEmptyListOf(Gen.choose(0L, 50L)), Gen.choose(1L, 40L)) { (toks, budget) =>
-      // model of Packing.packSequences: global offsets by running sum
-      val starts = toks.scanLeft(0L)(_ + _)
-      val spans = toks.zip(starts).filter(_._1 > 0).map { case (n, s) =>
-        (s / budget, (s + n - 1) / budget, s, n)
-      }
-      val total = toks.sum
-      // offsets tile [0, total) with no gaps or overlaps
-      val tiles = toks.zip(starts).map { case (n, s) => (s, s + n) }
-      val contiguous = tiles.sliding(2).forall {
-        case Seq((_, e), (s, _)) => e == s
-        case _                   => true
-      }
-      contiguous && (tiles.isEmpty || tiles.last._2 == total) &&
-        // a doc's span covers ceil over the right chunk ids
-        spans.forall { case (first, last, s, n) =>
-          first <= last && first == s / budget && last == (s + n - 1) / budget
-        }
-    })
+  test("Packing.packSequences == local running-sum model on seeded random fixtures") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    for (seed <- Seq(5, 6)) {
+      val rng = new scala.util.Random(seed)
+      val docs = (0L until 200L).filter(_ => rng.nextInt(4) > 0) // id gaps
+        .map(i => (i, rng.nextInt(60).toLong))
+      val budget = 1L + rng.nextInt(100)
+      var acc = 0L
+      val model = docs.sortBy(_._1).map { case (id, n) =>
+        val s = acc; acc += n
+        id -> ((s,
+          if (n > 0) Some(s / budget) else None,
+          if (n > 0) Some((s + n - 1) / budget) else None))
+      }.toMap
+      val got = graft.text.Packing
+        .packSequences(docs.toDF("id", "toks"), "id", "toks", budget, bucketSize = 16)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(2), Option(r.get(3)).map(_.toString.toLong),
+            Option(r.get(4)).map(_.toString.toLong)))).toMap
+      assert(got == model, s"seed=$seed budget=$budget")
+    }
   }
 
-  test("stratified sampling model: kept set is the per-stratum hash-threshold set, nested in fractions") {
-    check(Prop.forAll(Gen.listOf(Gen.choose(0L, 100000L)),
-      Gen.choose(0.0, 1.0), Gen.choose(0.0, 1.0)) { (keys, f1, f2) =>
-      val (lo, hi) = (math.min(f1, f2), math.max(f1, f2))
-      def bucket(k: Long) = (k * 2654435761L % 1000003L).abs / 1000003.0
-      val keptLo = keys.filter(bucket(_) < lo).toSet
-      val keptHi = keys.filter(bucket(_) < hi).toSet
-      // monotone nesting: raising a stratum's fraction only ADDS documents —
-      // the property that makes hash sampling reproducible across config
-      // changes (unlike RNG sampling, which reshuffles membership)
-      keptLo.subsetOf(keptHi)
-    })
+  test("stratifiedSampleByHash: raising a fraction only ADDS documents (real operator nesting)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val d = (0L until 4000L).map(i => (i, s"s${i % 2}")).toDF("id", "stratum")
+    def kept(f: Double): Set[Long] = d
+      .where(graft.text.Sampling.stratifiedSampleByHash(col("id"), col("stratum"), Map("s0" -> f), default = 0.3))
+      .collect().map(_.getLong(0)).toSet
+    val fracs = Seq(0.1, 0.3, 0.6, 0.9)
+    fracs.sliding(2).foreach { case Seq(lo, hi) =>
+      assert(kept(lo).subsetOf(kept(hi)),
+        s"membership must nest monotonically in the fraction: $lo vs $hi")
+    }
   }
 }
