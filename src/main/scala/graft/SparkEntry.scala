@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.{Melt, PagesGen}
 import graft.multimodal.BinaryFeatures
 import graft.select._
-import graft.sim.Similarity
+import graft.sim.{Quantize, Similarity}
 import graft.stats.{Anova, Auc, Binning, ChiSq, Correlation, Entropy}
 import graft.temporal.{AsOf, Salting, Windows}
 import graft.text.{Dedup, LmScore, Packing, Repetition, Sampling, TextFeatures}
@@ -273,6 +273,15 @@ object SparkEntry {
       LmScore.charBigramScore(t(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_id"), round(col("lm_bits"), 6).as("lm_bits"))
         .orderBy("doc_id")),
+    // int8 embedding quantization: exact closed-form rounding replayed by
+    // DuckDB element-for-element (codes comma-joined — the hash comparator
+    // handles scalar columns only; element order is preserved in the string)
+    "q_quantize" -> ((s, dir) =>
+      t(s, dir, "embeddings").select(
+        col("vec_id"),
+        round(Quantize.scale(col("embedding")), 6).as("scale"),
+        concat_ws(",", Quantize.quantize(col("embedding"))).as("codes"))
+        .orderBy("vec_id")),
     // ---- similarity search ----
     "q_cosine_sims" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -753,6 +762,19 @@ object SparkEntry {
         |FROM s ORDER BY doc_id""".stripMargin,
     "q_fingerprint" ->
       "SELECT doc_id, md5(text) AS md5 FROM documents ORDER BY doc_id",
+    "q_quantize" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  round(ma / 127.0, 6) AS scale,
+        |  array_to_string(
+        |    CASE WHEN ma = 0 THEN list_transform(embedding, x -> 0)
+        |         ELSE list_transform(embedding,
+        |                x -> CAST(floor(CAST(x AS DOUBLE) / ma * 127.0 + 0.5) AS INT)) END,
+        |    ',') AS codes
+        |FROM m ORDER BY vec_id""".stripMargin,
     "q_cosine_sims" ->
       """WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0)
         |SELECT v.vec_id AS vec_id, round(

@@ -113,6 +113,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(banded > single, s"banded=$banded single=$single")
   }
 
+  test("int8 quantization: codes in range, error bound scale/2, cosine preserved, zero/negative edges") {
+    import graft.sim.Quantize
+    // include negative components and an exact-zero vector
+    val mixed = ((0 until 100).map { i =>
+      (i.toLong, Array.fill(32)(rng.nextFloat() * 2f - 1f))
+    } :+ (100L, Array.fill(32)(0f))).toDF("id", "v")
+    val got = mixed.select(col("id"), col("v"),
+      Quantize.scale(col("v")).as("s"), Quantize.quantize(col("v")).as("q"),
+      Quantize.dequantize(Quantize.quantize(col("v")), Quantize.scale(col("v"))).as("d"))
+      .collect()
+    got.foreach { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble)
+      val s = r.getDouble(2)
+      val q = r.getSeq[Int](3)
+      val d = r.getSeq[Double](4)
+      assert(q.forall(c => c >= -127 && c <= 127), s"id=${r.getLong(0)} codes out of range")
+      v.zip(d).foreach { case (x, xh) =>
+        assert(math.abs(x - xh) <= s / 2 + 1e-12, s"id=${r.getLong(0)}: |$x - $xh| > $s/2")
+      }
+      if (v.exists(_ != 0.0)) {
+        def cos(a: Seq[Double], b: Seq[Double]) = {
+          val dot = a.zip(b).map(t => t._1 * t._2).sum
+          dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+        }
+        assert(cos(v, d) > 0.999, s"id=${r.getLong(0)}: cosine degraded to ${cos(v, d)}")
+        assert(q.map(math.abs).max == 127, "max-magnitude component must hit full scale")
+      } else {
+        assert(s == 0.0 && q.forall(_ == 0), "zero vector -> scale 0, all-zero codes")
+      }
+    }
+  }
+
   test("IVF assignment puts each vector in its nearest centroid cell") {
     val centroids = vecs.take(3).map(_._2.map(_.toDouble).toSeq)
     val assigned = Similarity.ivfAssign(df, "v", centroids).collect()
