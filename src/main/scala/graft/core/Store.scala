@@ -48,6 +48,59 @@ object Store {
       graft.runtime.Lineage.partitionMetrics(withDt, Seq(labelTs)), path + "_metrics")
   }
 
+  /** One compaction result row. */
+  final case class CompactionResult(partition: String, filesBefore: Int, filesAfter: Int, rows: Long)
+
+  /** Small-files compaction for a day-partitioned parquet store: an
+    * incremental writer (hourly crawl drops, streaming sinks) accumulates
+    * many tiny files per `dt=` partition, and at corpus scale file-open
+    * overhead plus driver file listing dominate scans long before data
+    * volume does. Each targeted partition is rewritten into
+    * ceil(rows / rowsPerFile) files — written to a temp directory first,
+    * then swapped in, so a reader never sees a half-compacted partition
+    * (local-filesystem rename here; the same read→write-temp→swap protocol
+    * maps to the FileSystem API or an Iceberg rewrite_data_files action on
+    * a real deployment). Partitions already at or under the target file
+    * count are left untouched. */
+  def compact(
+      spark: SparkSession,
+      path: String,
+      rowsPerFile: Long = 1000000L,
+      partitions: Seq[String] = Nil
+  ): Seq[CompactionResult] = {
+    require(rowsPerFile >= 1, "rowsPerFile must be >= 1")
+    val root = new java.io.File(path)
+    val targets =
+      if (partitions.nonEmpty) partitions
+      else root.listFiles().toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("dt="))
+        .map(_.getName).sorted
+    targets.flatMap { part =>
+      val dir = new java.io.File(root, part)
+      val dataFiles = dir.listFiles().toSeq.filter(_.getName.endsWith(".parquet"))
+      val df = spark.read.parquet(dir.getPath)
+      val rows = df.count()
+      val want = math.max(1L, (rows + rowsPerFile - 1) / rowsPerFile).toInt
+      if (dataFiles.size <= want) None
+      else {
+        val tmp = new java.io.File(root, s".compact_tmp/$part")
+        df.repartition(want).write.mode(SaveMode.Overwrite).parquet(tmp.getPath)
+        val trash = new java.io.File(root, s".compact_trash/$part")
+        trash.getParentFile.mkdirs()
+        java.nio.file.Files.move(dir.toPath, trash.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        java.nio.file.Files.move(tmp.toPath, dir.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        def rmRec(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rmRec)); f.delete()
+        }
+        rmRec(trash)
+        val after = dir.listFiles().count(_.getName.endsWith(".parquet"))
+        Some(CompactionResult(part, dataFiles.size, after, rows))
+      }
+    }
+  }
+
   /** The pages schema for schema-on-read sources. */
   val pagesSchema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(Seq(

@@ -42,6 +42,35 @@ class StoreSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters") && plan.contains("dt"), plan)
   }
 
+  test("compaction merges small files per partition, preserves content, skips compact partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("pages-compact").toString + "/pages"
+    val pages = PagesGen.pages(spark, 2000, 200, days = 4)
+    // simulate an incremental writer: many tiny files per day partition
+    Store.writePages(pages.repartition(16), dir)
+    val before = Store.readPages(spark, dir)
+      .select("url", "warc_ts", "text").collect().sortBy(r => (r.getString(0), r.getTimestamp(1).getTime))
+    def fileCount(part: String) =
+      new java.io.File(dir, part).listFiles().count(_.getName.endsWith(".parquet"))
+    val parts = new java.io.File(dir).listFiles().filter(_.getName.startsWith("dt=")).map(_.getName).sorted
+    assert(parts.forall(fileCount(_) > 1), "fixture must start fragmented")
+
+    val results = Store.compact(spark, dir, rowsPerFile = 1000000L)
+    assert(results.map(_.partition).sorted.toSeq == parts.toSeq, "every fragmented partition compacts")
+    results.foreach { r =>
+      assert(r.filesAfter == 1 && r.filesBefore > 1, r.toString)
+      assert(fileCount(r.partition) == 1)
+    }
+    // content byte-identical after the swap
+    val after = Store.readPages(spark, dir)
+      .select("url", "warc_ts", "text").collect().sortBy(r => (r.getString(0), r.getTimestamp(1).getTime))
+    assert(after.map(_.toString).toSeq == before.map(_.toString).toSeq)
+    // second pass: nothing to do (all partitions already at target)
+    assert(Store.compact(spark, dir, rowsPerFile = 1000000L).isEmpty)
+    // no temp/trash residue
+    assert(!new java.io.File(dir, ".compact_tmp").exists() || new java.io.File(dir, ".compact_tmp").listFiles().isEmpty)
+    assert(!new java.io.File(dir, ".compact_trash").exists() || new java.io.File(dir, ".compact_trash").listFiles().isEmpty)
+  }
+
   test("feature sink writes metrics alongside the data") {
     val dir = java.nio.file.Files.createTempDirectory("feat-store").toString + "/features"
     val labels = PagesGen.labels(spark, 1000, 100)
