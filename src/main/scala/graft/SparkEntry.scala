@@ -277,10 +277,14 @@ object SparkEntry {
     // DuckDB element-for-element (codes comma-joined — the hash comparator
     // handles scalar columns only; element order is preserved in the string)
     "q_quantize" -> ((s, dir) =>
+      // null embeddings (none in the fixture, but aligned anyway): null
+      // scale and null codes on BOTH sides — concat_ws would otherwise fold
+      // Spark's null array to '' while array_to_string keeps NULL
       t(s, dir, "embeddings").select(
         col("vec_id"),
         round(Quantize.scale(col("embedding")), 6).as("scale"),
-        concat_ws(",", Quantize.quantize(col("embedding"))).as("codes"))
+        when(col("embedding").isNull, lit(null))
+          .otherwise(concat_ws(",", Quantize.quantize(col("embedding")))).as("codes"))
         .orderBy("vec_id")),
     // ---- similarity search ----
     "q_cosine_sims" -> ((s, dir) => {
@@ -769,11 +773,12 @@ object SparkEntry {
         |  FROM embeddings)
         |SELECT vec_id,
         |  round(ma / 127.0, 6) AS scale,
-        |  array_to_string(
-        |    CASE WHEN ma = 0 THEN list_transform(embedding, x -> 0)
-        |         ELSE list_transform(embedding,
-        |                x -> CAST(floor(CAST(x AS DOUBLE) / ma * 127.0 + 0.5) AS INT)) END,
-        |    ',') AS codes
+        |  CASE WHEN embedding IS NULL THEN NULL
+        |       ELSE array_to_string(
+        |         CASE WHEN ma = 0 THEN list_transform(embedding, x -> 0)
+        |              ELSE list_transform(embedding,
+        |                     x -> CAST(floor(CAST(x AS DOUBLE) / ma * 127.0 + 0.5) AS INT)) END,
+        |         ',') END AS codes
         |FROM m ORDER BY vec_id""".stripMargin,
     "q_cosine_sims" ->
       """WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0)

@@ -48,20 +48,43 @@ object Store {
       graft.runtime.Lineage.partitionMetrics(withDt, Seq(labelTs)), path + "_metrics")
   }
 
-  /** One compaction result row. */
+  /** One compaction result row. `partition` is the path relative to the
+    * store root (e.g. `dt=2024-01-01` or `dt=2024-01-01/ub=3`). */
   final case class CompactionResult(partition: String, filesBefore: Int, filesAfter: Int, rows: Long)
 
-  /** Small-files compaction for a day-partitioned parquet store: an
+  private def rmRec(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmRec)); f.delete()
+  }
+
+  /** The directories that directly hold parquet files — one per LEAF
+    * partition, so the `dt=`-only and the `dt=`/`ub=` bucketed layouts both
+    * compact correctly (rewriting a leaf in place never folds inferred
+    * partition columns into the data files). */
+  private def leafDirs(d: java.io.File): Seq[java.io.File] = {
+    val children = Option(d.listFiles()).map(_.toSeq).getOrElse(Nil)
+    val subs = children.filter(c => c.isDirectory && !c.getName.startsWith("."))
+    if (subs.isEmpty) Seq(d) else subs.flatMap(leafDirs)
+  }
+
+  /** Small-files compaction for the partitioned parquet store: an
     * incremental writer (hourly crawl drops, streaming sinks) accumulates
-    * many tiny files per `dt=` partition, and at corpus scale file-open
-    * overhead plus driver file listing dominate scans long before data
-    * volume does. Each targeted partition is rewritten into
-    * ceil(rows / rowsPerFile) files — written to a temp directory first,
-    * then swapped in, so a reader never sees a half-compacted partition
-    * (local-filesystem rename here; the same read→write-temp→swap protocol
-    * maps to the FileSystem API or an Iceberg rewrite_data_files action on
-    * a real deployment). Partitions already at or under the target file
-    * count are left untouched. */
+    * many tiny files per partition, and at corpus scale file-open overhead
+    * plus driver file listing dominate scans long before data volume does.
+    * Each fragmented LEAF partition (dt= or dt=/ub=) is rewritten into
+    * ceil(rows / rowsPerFile) files.
+    *
+    * Protocol per partition: rewrite into `.compact_tmp`, VALIDATE the
+    * rewrite's row count against the source before anything is touched,
+    * rename the original into `.compact_trash`, rename the rewrite in, then
+    * drop the trash. The original is therefore never deleted until a
+    * verified replacement is in place, and a crash between the two renames
+    * is repaired by the recovery sweep at the START of the next compact()
+    * (any trash entry whose live partition is missing is moved back; stale
+    * tmp/trash from completed swaps is cleared). Honest caveat: between the
+    * two renames the partition is briefly ABSENT — a concurrent reader doing
+    * partition discovery in that window misses that day, so schedule
+    * compaction off-peak; a catalog-backed table (Iceberg
+    * rewrite_data_files) swaps atomically and removes the window. */
   def compact(
       spark: SparkSession,
       path: String,
@@ -70,14 +93,34 @@ object Store {
   ): Seq[CompactionResult] = {
     require(rowsPerFile >= 1, "rowsPerFile must be >= 1")
     val root = new java.io.File(path)
-    val targets =
-      if (partitions.nonEmpty) partitions
-      else root.listFiles().toSeq
-        .filter(f => f.isDirectory && f.getName.startsWith("dt="))
-        .map(_.getName).sorted
+    require(root.isDirectory, s"store path does not exist: $path")
+    // recovery sweep: repair any interrupted swap before doing new work
+    val trashRoot = new java.io.File(root, ".compact_trash")
+    leafDirs(trashRoot).filter(_ != trashRoot).foreach { t =>
+      val rel = trashRoot.toPath.relativize(t.toPath).toString
+      val live = new java.io.File(root, rel)
+      if (!live.exists()) {
+        live.getParentFile.mkdirs()
+        java.nio.file.Files.move(t.toPath, live.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+    }
+    rmRec(trashRoot)
+    rmRec(new java.io.File(root, ".compact_tmp"))
+
+    val targets: Seq[String] =
+      if (partitions.nonEmpty) {
+        partitions.foreach(p => require(new java.io.File(root, p).isDirectory,
+          s"no such partition under $path: $p"))
+        partitions.flatMap(p => leafDirs(new java.io.File(root, p)))
+          .map(d => root.toPath.relativize(d.toPath).toString).sorted
+      } else
+        leafDirs(root).filter(_ != root)
+          .map(d => root.toPath.relativize(d.toPath).toString).sorted
     targets.flatMap { part =>
       val dir = new java.io.File(root, part)
-      val dataFiles = dir.listFiles().toSeq.filter(_.getName.endsWith(".parquet"))
+      val dataFiles = Option(dir.listFiles()).map(_.toSeq).getOrElse(Nil)
+        .filter(_.getName.endsWith(".parquet"))
       val df = spark.read.parquet(dir.getPath)
       val rows = df.count()
       val want = math.max(1L, (rows + rowsPerFile - 1) / rowsPerFile).toInt
@@ -85,15 +128,16 @@ object Store {
       else {
         val tmp = new java.io.File(root, s".compact_tmp/$part")
         df.repartition(want).write.mode(SaveMode.Overwrite).parquet(tmp.getPath)
+        val rewritten = spark.read.parquet(tmp.getPath).count()
+        require(rewritten == rows,
+          s"compaction of $part rewrote $rewritten rows, expected $rows — original left untouched")
         val trash = new java.io.File(root, s".compact_trash/$part")
+        rmRec(trash) // stale entry from a completed historical swap
         trash.getParentFile.mkdirs()
         java.nio.file.Files.move(dir.toPath, trash.toPath,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         java.nio.file.Files.move(tmp.toPath, dir.toPath,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        def rmRec(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rmRec)); f.delete()
-        }
         rmRec(trash)
         val after = dir.listFiles().count(_.getName.endsWith(".parquet"))
         Some(CompactionResult(part, dataFiles.size, after, rows))

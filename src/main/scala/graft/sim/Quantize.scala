@@ -22,19 +22,28 @@ object Quantize {
     array_max(transform(vec, x => abs(x.cast("double"))))
 
   /** int8 codes as array<int> (int keeps the cross-engine comparison free
-    * of TINYINT width quirks; values are in [−127, 127]). */
+    * of TINYINT width quirks; values are in [−127, 127]).
+    *
+    * The divisor must NOT sit inside the per-element lambda: HOF lambdas
+    * run interpreted and re-evaluate their whole body per element, so an
+    * embedded maxAbs subtree costs O(d²) per row (the nested-HOF trap).
+    * `array_repeat(m, size)` evaluates m ONCE and hands each lambda call a
+    * plain element — total work stays O(d). */
   def quantize(vec: Column): Column = {
     val m = maxAbs(vec)
     when(m.isNull, lit(null))
       .when(m === 0.0, transform(vec, _ => lit(0)))
-      .otherwise(transform(vec,
-        x => floor(x.cast("double") / m * 127.0 + 0.5).cast("int")))
+      .otherwise(zip_with(vec, array_repeat(m, size(vec)),
+        (x, mm) => floor(x.cast("double") / mm * 127.0 + 0.5).cast("int")))
   }
 
   /** Reconstruction: x̂ᵢ = qᵢ · scale, scale = maxAbs/127. The error bound
-    * |xᵢ − x̂ᵢ| ≤ scale/2 is pinned in SimilaritySpec. */
+    * |xᵢ − x̂ᵢ| ≤ scale/2 is pinned in SimilaritySpec. Same hoisting rule
+    * as [[quantize]]: `scale` may be an arbitrary expression and must be
+    * evaluated once per row, not once per element. */
   def dequantize(codes: Column, scale: Column): Column =
-    transform(codes, q => q.cast("double") * scale)
+    zip_with(codes, array_repeat(scale, size(codes)),
+      (q, s) => q.cast("double") * s)
 
   /** Per-vector quantization scale (maxAbs / 127). */
   def scale(vec: Column): Column = maxAbs(vec) / 127.0

@@ -71,6 +71,38 @@ class StoreSpec extends AnyFunSuite {
     assert(!new java.io.File(dir, ".compact_trash").exists() || new java.io.File(dir, ".compact_trash").listFiles().isEmpty)
   }
 
+  test("compaction: bucketed leaves, interrupted-swap recovery, clean failures") {
+    val dir = java.nio.file.Files.createTempDirectory("pages-compact2").toString + "/pages"
+    val pages = PagesGen.pages(spark, 1200, 120, days = 2)
+    Store.writePages(pages.repartition(8), dir, urlBuckets = 2)
+    val before = Store.readPages(spark, dir)
+      .select("url", "warc_ts", "text").collect()
+      .map(_.toString).sorted.toSeq
+    // bucketed layout: compaction targets the dt=/ub= LEAF dirs
+    val results = Store.compact(spark, dir, rowsPerFile = 1000000L)
+    assert(results.nonEmpty && results.forall(r => r.partition.contains("ub=") && r.filesAfter == 1),
+      s"leaf partitions must compact: $results")
+    val after = Store.readPages(spark, dir)
+      .select("url", "warc_ts", "text").collect().map(_.toString).sorted.toSeq
+    assert(after == before)
+    // interrupted swap: a partition stranded in trash (crash between the two
+    // renames) is restored by the recovery sweep at the next compact()
+    val victim = new java.io.File(dir, results.head.partition)
+    val trash = new java.io.File(dir, ".compact_trash/" + results.head.partition)
+    trash.getParentFile.mkdirs()
+    java.nio.file.Files.move(victim.toPath, trash.toPath)
+    assert(!victim.exists())
+    Store.compact(spark, dir, rowsPerFile = 1000000L)
+    assert(victim.exists(), "recovery sweep must restore the stranded partition")
+    val recovered = Store.readPages(spark, dir)
+      .select("url", "warc_ts", "text").collect().map(_.toString).sorted.toSeq
+    assert(recovered == before, "no data lost across the simulated crash")
+    // clean failures instead of NPEs
+    intercept[IllegalArgumentException](Store.compact(spark, dir + "/nope"))
+    intercept[IllegalArgumentException](
+      Store.compact(spark, dir, partitions = Seq("dt=2099-01-01")))
+  }
+
   test("feature sink writes metrics alongside the data") {
     val dir = java.nio.file.Files.createTempDirectory("feat-store").toString + "/features"
     val labels = PagesGen.labels(spark, 1000, 100)
