@@ -324,6 +324,24 @@ object SparkEntry {
       Similarity.ivfTopK(emb, "vec_id", "embedding", q, 10, centroids, nprobe = 3)
         .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
     }),
+    // search over the COMPRESSED store: brute-force cosine top-k on
+    // dequantized int8 vectors (query quantized driver-side with the same
+    // closed-form rule) — pins that the quantize→search path reproduces
+    // cross-engine, not just the codes themselves
+    "q_knn_quantized" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toSeq
+      val qMaxAbs = q.map(math.abs).max
+      val qDeq =
+        if (qMaxAbs == 0.0) q.map(_ => 0.0)
+        else q.map(x => math.floor(x / qMaxAbs * 127.0 + 0.5) * (qMaxAbs / 127.0))
+      val deq = emb.select(col("vec_id"),
+        Quantize.dequantize(Quantize.quantize(col("embedding")),
+          Quantize.scale(col("embedding"))).as("emb_q"))
+      Similarity.bruteForceTopK(deq, "vec_id", "emb_q", qDeq, 10)
+        .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+    }),
     // ---- filter scores ----
     "q_corr_pearson" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -780,6 +798,28 @@ object SparkEntry {
         |                     x -> CAST(floor(CAST(x AS DOUBLE) / ma * 127.0 + 0.5) AS INT)) END,
         |         ',') END AS codes
         |FROM m ORDER BY vec_id""".stripMargin,
+    // dequantize both sides with the exact closed form, then the standard
+    // cosine top-k (ascending-index sums are bit-identical cross-engine)
+    "q_knn_quantized" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+        |  FROM embeddings),
+        |d AS MATERIALIZED (
+        |  SELECT vec_id,
+        |    CASE WHEN ma = 0 THEN list_transform(embedding, x -> 0.0)
+        |         ELSE list_transform(embedding,
+        |                x -> floor(CAST(x AS DOUBLE) / ma * 127.0 + 0.5) * (ma / 127.0)) END AS e
+        |  FROM m),
+        |q AS (SELECT e FROM d WHERE vec_id = 0),
+        |s AS (
+        |  SELECT d.vec_id,
+        |    list_sum(list_transform(range(1, len(d.e) + 1), i -> d.e[i] * q.e[i]))
+        |    / (sqrt(list_sum(list_transform(d.e, x -> x * x)))
+        |       * sqrt(list_sum(list_transform(q.e, x -> x * x)))) AS c
+        |  FROM d CROSS JOIN q)
+        |SELECT vec_id, round(c, 6) AS cosine FROM s
+        |ORDER BY c DESC, vec_id LIMIT 10""".stripMargin,
     "q_cosine_sims" ->
       """WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0)
         |SELECT v.vec_id AS vec_id, round(
