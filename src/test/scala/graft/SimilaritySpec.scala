@@ -145,6 +145,21 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("quantized KNN: top-k over dequantized int8 vectors ~= float top-k (retrieval preserved)") {
+    import graft.sim.Quantize
+    val deq = df.select(col("id"),
+      Quantize.dequantize(Quantize.quantize(col("v")), Quantize.scale(col("v"))).as("vq"))
+    val qm = query.map(math.abs).max
+    val qDeq = query.map(x => math.floor(x / qm * 127.0 + 0.5) * (qm / 127.0))
+    val qTop = Similarity.bruteForceTopK(deq, "id", "vq", qDeq, 10)
+      .collect().map(_.getLong(0)).toSeq
+    val fTop = Similarity.bruteForceTopK(df, "id", "v", query, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(qTop.head == fTop.head, "the top hit must survive quantization")
+    assert(qTop.toSet.intersect(fTop.toSet).size >= 8,
+      s"int8 quantization must preserve >=8/10 of the float top-k: $qTop vs $fTop")
+  }
+
   test("IVF assignment puts each vector in its nearest centroid cell") {
     val centroids = vecs.take(3).map(_._2.map(_.toDouble).toSeq)
     val assigned = Similarity.ivfAssign(df, "v", centroids).collect()
