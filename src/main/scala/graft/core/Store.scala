@@ -52,18 +52,54 @@ object Store {
     * store root (e.g. `dt=2024-01-01` or `dt=2024-01-01/ub=3`). */
   final case class CompactionResult(partition: String, filesBefore: Int, filesAfter: Int, rows: Long)
 
-  private def rmRec(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(rmRec)); f.delete()
+  import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
+  /** Resolve the store root through the Hadoop FileSystem API so the same
+    * code runs on `file://`, HDFS, S3A, ABFS — wherever a 100-TB store
+    * actually lives. Local paths qualify against the default FS. */
+  private[graft] def storeFs(spark: SparkSession, path: String): (FileSystem, HPath) = {
+    val p = new HPath(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    (fs, fs.makeQualified(p))
   }
+
+  private def exists(fs: FileSystem, p: HPath): Boolean = fs.exists(p)
+  private def rmRec(fs: FileSystem, p: HPath): Unit = if (fs.exists(p)) fs.delete(p, true)
+  private def listDir(fs: FileSystem, p: HPath): Seq[org.apache.hadoop.fs.FileStatus] =
+    if (fs.exists(p)) fs.listStatus(p).toSeq else Nil
 
   /** The directories that directly hold parquet files — one per LEAF
     * partition, so the `dt=`-only and the `dt=`/`ub=` bucketed layouts both
     * compact correctly (rewriting a leaf in place never folds inferred
     * partition columns into the data files). */
-  private def leafDirs(d: java.io.File): Seq[java.io.File] = {
-    val children = Option(d.listFiles()).map(_.toSeq).getOrElse(Nil)
-    val subs = children.filter(c => c.isDirectory && !c.getName.startsWith("."))
-    if (subs.isEmpty) Seq(d) else subs.flatMap(leafDirs)
+  private def leafDirs(fs: FileSystem, d: HPath): Seq[HPath] = {
+    val subs = listDir(fs, d).filter(s => s.isDirectory && !s.getPath.getName.startsWith("."))
+    if (subs.isEmpty) Seq(d) else subs.flatMap(s => leafDirs(fs, s.getPath))
+  }
+
+  private def relTo(root: HPath, p: HPath): String = {
+    val rootStr = root.toUri.getPath.stripSuffix("/")
+    val pStr = p.toUri.getPath
+    require(pStr.startsWith(rootStr + "/"), s"$p not under $root")
+    pStr.stripPrefix(rootStr + "/")
+  }
+
+  /** Mutual exclusion for [[compact]]: an atomic create of `.compact_lock`
+    * (create(overwrite=false) is the portable atomic-claim primitive on
+    * HDFS and object stores with conditional-put). A concurrent compact()
+    * fails fast instead of colliding with an in-flight swap's tmp/trash
+    * cleanup. A crash leaves a stale lock by design — the operator deletes
+    * it once the dead run is confirmed, exactly like a pid file. */
+  private def acquireLock(fs: FileSystem, root: HPath): HPath = {
+    val lock = new HPath(root, ".compact_lock")
+    val out =
+      try fs.create(lock, false)
+      catch {
+        case e: java.io.IOException =>
+          throw new IllegalStateException(
+            s"another compact() appears to hold $lock — if that run is dead, delete the lock file", e)
+      }
+    out.close(); lock
   }
 
   /** Small-files compaction for the partitioned parquet store: an
@@ -73,6 +109,14 @@ object Store {
     * Each fragmented LEAF partition (dt= or dt=/ub=) is rewritten into
     * ceil(rows / rowsPerFile) files.
     *
+    * All filesystem mutation goes through `org.apache.hadoop.fs.FileSystem`
+    * (rename is atomic on HDFS; on `file://` it maps to POSIX rename), so
+    * the same code compacts a local test store and a cluster store.
+    * Independent leaf partitions are rewritten CONCURRENTLY — a bounded
+    * driver thread pool (`maxConcurrent`) submits one Spark job chain per
+    * partition, so thousands of day×bucket partitions don't serialize into
+    * thousands of back-to-back jobs while executors idle.
+    *
     * Protocol per partition: rewrite into `.compact_tmp`, VALIDATE the
     * rewrite's row count against the source before anything is touched,
     * rename the original into `.compact_trash`, rename the rewrite in, then
@@ -80,69 +124,87 @@ object Store {
     * verified replacement is in place, and a crash between the two renames
     * is repaired by the recovery sweep at the START of the next compact()
     * (any trash entry whose live partition is missing is moved back; stale
-    * tmp/trash from completed swaps is cleared). Honest caveat: between the
-    * two renames the partition is briefly ABSENT — a concurrent reader doing
-    * partition discovery in that window misses that day, so schedule
-    * compaction off-peak; a catalog-backed table (Iceberg
-    * rewrite_data_files) swaps atomically and removes the window. */
+    * tmp/trash from completed swaps is cleared). Writers are serialized by
+    * a `.compact_lock` claim. Honest caveat: between the two renames the
+    * partition is briefly ABSENT for a reader doing directory-listing
+    * partition discovery — schedule off-peak, or use the manifest-committed
+    * [[Snapshot]] store whose compaction swaps a single pointer and has no
+    * such window. */
   def compact(
       spark: SparkSession,
       path: String,
       rowsPerFile: Long = 1000000L,
-      partitions: Seq[String] = Nil
+      partitions: Seq[String] = Nil,
+      maxConcurrent: Int = 4
   ): Seq[CompactionResult] = {
     require(rowsPerFile >= 1, "rowsPerFile must be >= 1")
-    val root = new java.io.File(path)
-    require(root.isDirectory, s"store path does not exist: $path")
-    // recovery sweep: repair any interrupted swap before doing new work
-    val trashRoot = new java.io.File(root, ".compact_trash")
-    leafDirs(trashRoot).filter(_ != trashRoot).foreach { t =>
-      val rel = trashRoot.toPath.relativize(t.toPath).toString
-      val live = new java.io.File(root, rel)
-      if (!live.exists()) {
-        live.getParentFile.mkdirs()
-        java.nio.file.Files.move(t.toPath, live.toPath,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      }
-    }
-    rmRec(trashRoot)
-    rmRec(new java.io.File(root, ".compact_tmp"))
+    require(maxConcurrent >= 1, "maxConcurrent must be >= 1")
+    val (fs, root) = storeFs(spark, path)
+    require(fs.exists(root) && fs.getFileStatus(root).isDirectory,
+      s"store path does not exist: $path")
+    val lock = acquireLock(fs, root)
+    try {
+      // recovery sweep: repair any interrupted swap before doing new work
+      val trashRoot = new HPath(root, ".compact_trash")
+      if (exists(fs, trashRoot))
+        leafDirs(fs, trashRoot).filterNot(_ == trashRoot).foreach { t =>
+          val live = new HPath(root, relTo(trashRoot, t))
+          if (!exists(fs, live)) {
+            fs.mkdirs(live.getParent)
+            require(fs.rename(t, live), s"recovery restore failed: $t -> $live")
+          }
+        }
+      rmRec(fs, trashRoot)
+      rmRec(fs, new HPath(root, ".compact_tmp"))
 
-    val targets: Seq[String] =
-      if (partitions.nonEmpty) {
-        partitions.foreach(p => require(new java.io.File(root, p).isDirectory,
-          s"no such partition under $path: $p"))
-        partitions.flatMap(p => leafDirs(new java.io.File(root, p)))
-          .map(d => root.toPath.relativize(d.toPath).toString).sorted
-      } else
-        leafDirs(root).filter(_ != root)
-          .map(d => root.toPath.relativize(d.toPath).toString).sorted
-    targets.flatMap { part =>
-      val dir = new java.io.File(root, part)
-      val dataFiles = Option(dir.listFiles()).map(_.toSeq).getOrElse(Nil)
-        .filter(_.getName.endsWith(".parquet"))
-      val df = spark.read.parquet(dir.getPath)
-      val rows = df.count()
-      val want = math.max(1L, (rows + rowsPerFile - 1) / rowsPerFile).toInt
-      if (dataFiles.size <= want) None
-      else {
-        val tmp = new java.io.File(root, s".compact_tmp/$part")
-        df.repartition(want).write.mode(SaveMode.Overwrite).parquet(tmp.getPath)
-        val rewritten = spark.read.parquet(tmp.getPath).count()
-        require(rewritten == rows,
-          s"compaction of $part rewrote $rewritten rows, expected $rows — original left untouched")
-        val trash = new java.io.File(root, s".compact_trash/$part")
-        rmRec(trash) // stale entry from a completed historical swap
-        trash.getParentFile.mkdirs()
-        java.nio.file.Files.move(dir.toPath, trash.toPath,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        java.nio.file.Files.move(tmp.toPath, dir.toPath,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        rmRec(trash)
-        val after = dir.listFiles().count(_.getName.endsWith(".parquet"))
-        Some(CompactionResult(part, dataFiles.size, after, rows))
+      val targets: Seq[String] =
+        if (partitions.nonEmpty) {
+          partitions.foreach { p =>
+            val hp = new HPath(root, p)
+            require(fs.exists(hp) && fs.getFileStatus(hp).isDirectory,
+              s"no such partition under $path: $p")
+          }
+          partitions.flatMap(p => leafDirs(fs, new HPath(root, p)))
+            .map(relTo(root, _)).sorted
+        } else
+          leafDirs(fs, root).filterNot(_ == root).map(relTo(root, _)).sorted
+
+      def compactOne(part: String): Option[CompactionResult] = {
+        val dir = new HPath(root, part)
+        val dataFiles = listDir(fs, dir).filter(_.getPath.getName.endsWith(".parquet"))
+        val df = spark.read.parquet(dir.toString)
+        val rows = df.count()
+        val want = math.max(1L, (rows + rowsPerFile - 1) / rowsPerFile).toInt
+        if (dataFiles.size <= want) None
+        else {
+          val tmp = new HPath(root, s".compact_tmp/$part")
+          df.repartition(want).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+          val rewritten = spark.read.parquet(tmp.toString).count()
+          require(rewritten == rows,
+            s"compaction of $part rewrote $rewritten rows, expected $rows — original left untouched")
+          val trash = new HPath(root, s".compact_trash/$part")
+          rmRec(fs, trash) // stale entry from a completed historical swap
+          fs.mkdirs(trash.getParent)
+          require(fs.rename(dir, trash), s"swap-out rename failed for $part")
+          require(fs.rename(tmp, dir), s"swap-in rename failed for $part")
+          rmRec(fs, trash)
+          val after = listDir(fs, dir).count(_.getPath.getName.endsWith(".parquet"))
+          Some(CompactionResult(part, dataFiles.size, after, rows))
+        }
       }
-    }
+
+      // bounded parallel rewrites: leaf partitions are disjoint directory
+      // trees, so their rewrite+swap sequences are independent
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(maxConcurrent, math.max(1, targets.size)))
+      try {
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+        val futs = targets.map(part => Future(compactOne(part)))
+        futs.flatMap(f => Await.result(f, Duration.Inf))
+      } finally pool.shutdown()
+    } finally fs.delete(lock, false)
   }
 
   /** The pages schema for schema-on-read sources. */

@@ -103,6 +103,114 @@ class StoreSpec extends AnyFunSuite {
       Store.compact(spark, dir, partitions = Seq("dt=2099-01-01")))
   }
 
+  test("compaction: lock file serializes concurrent writers") {
+    val dir = java.nio.file.Files.createTempDirectory("pages-lock").toString + "/pages"
+    val pages = core.PagesGen.pages(spark, 600, 60, days = 2)
+    Store.writePages(pages.repartition(6), dir)
+    // a held lock makes a second compact fail fast instead of colliding
+    val lock = new java.io.File(dir, ".compact_lock")
+    assert(lock.createNewFile())
+    intercept[IllegalStateException](Store.compact(spark, dir))
+    assert(lock.delete())
+    // and the lock is released on completion (success path)
+    val results = Store.compact(spark, dir, rowsPerFile = 1000000L)
+    assert(results.nonEmpty && !lock.exists())
+    // ... and on the failure path too
+    intercept[IllegalArgumentException](
+      Store.compact(spark, dir, partitions = Seq("dt=2099-01-01")))
+    assert(!lock.exists(), "lock must be released when compact() throws")
+  }
+
+  test("compaction: concurrent partition rewrites preserve content") {
+    val dir = java.nio.file.Files.createTempDirectory("pages-par").toString + "/pages"
+    val pages = core.PagesGen.pages(spark, 4000, 400, days = 8)
+    Store.writePages(pages.repartition(12), dir)
+    val before = Store.readPages(spark, dir)
+      .select("url", "warc_ts", "text").collect().map(_.toString).sorted.toSeq
+    val nParts = new java.io.File(dir).listFiles().count(_.getName.startsWith("dt="))
+    val results = Store.compact(spark, dir, rowsPerFile = 1000000L, maxConcurrent = 8)
+    assert(results.size == nParts, s"all $nParts day partitions compact: $results")
+    assert(results.forall(_.filesAfter == 1))
+    val after = Store.readPages(spark, dir)
+      .select("url", "warc_ts", "text").collect().map(_.toString).sorted.toSeq
+    assert(after == before, "parallel rewrites must not lose or duplicate rows")
+  }
+
+  test("snapshot store: write/read round-trip and manifest shape") {
+    val dir = java.nio.file.Files.createTempDirectory("snap-store").toString + "/pages"
+    val pages = core.PagesGen.pages(spark, 1500, 150, days = 3)
+    core.Snapshot.write(pages.repartition(9), dir)
+    val back = core.Snapshot.read(spark, dir)
+    assert(back.columns.contains("dt"), "partition column recovered via basePath")
+    assert(graft.runtime.Lineage.contentDigest(back.select("url", "warc_ts", "text", "lang")) ==
+      graft.runtime.Lineage.contentDigest(pages.select("url", "warc_ts", "text", "lang")))
+    val m = core.Snapshot.manifest(spark, dir)
+    assert(m.map(_.rows).sum == 1500L)
+    assert(m.forall(e => e.files.nonEmpty && e.files.forall(_.startsWith(e.partition + "/"))))
+    // double-create refused
+    intercept[IllegalArgumentException](core.Snapshot.write(pages, dir))
+  }
+
+  test("snapshot compaction: no reader-visible window, pinned reads survive, orphans expire") {
+    val dir = java.nio.file.Files.createTempDirectory("snap-compact").toString + "/pages"
+    val pages = core.PagesGen.pages(spark, 2000, 200, days = 4)
+    core.Snapshot.write(pages.repartition(16), dir, urlBuckets = 2)
+    val before = core.Snapshot.read(spark, dir)
+      .select("url", "warc_ts", "text").collect().map(_.toString).sorted.toSeq
+    val fragParts = core.Snapshot.manifest(spark, dir).count(_.files.size > 1)
+    assert(fragParts > 0, "fixture must start fragmented")
+
+    // a reader planning against v1 BEFORE compaction...
+    val pinnedReader = core.Snapshot.readVersion(spark, dir, 1)
+      .select("url", "warc_ts", "text")
+
+    val results = core.Snapshot.compact(spark, dir, rowsPerFile = 1000000L, maxConcurrent = 4)
+    assert(results.size == fragParts && results.forall(r => r.filesAfter == 1 && r.filesBefore > 1))
+
+    // ...still executes correctly AFTER the commit (old files retained as orphans)
+    assert(pinnedReader.collect().map(_.toString).sorted.toSeq == before,
+      "in-flight reader of the previous snapshot must not break")
+    // the new snapshot is complete and byte-identical — no absence window at any point
+    val after = core.Snapshot.read(spark, dir)
+      .select("url", "warc_ts", "text").collect().map(_.toString).sorted.toSeq
+    assert(after == before)
+    // second compaction is a no-op
+    assert(core.Snapshot.compact(spark, dir, rowsPerFile = 1000000L).isEmpty)
+
+    // crash-mid-compact simulation: stray files in a partition dir are invisible
+    // to manifest readers and swept by expiry
+    val anyPart = core.Snapshot.manifest(spark, dir).head.partition
+    val stray = new java.io.File(dir, s"data/$anyPart/stray-${java.util.UUID.randomUUID()}.parquet")
+    java.nio.file.Files.copy(
+      new java.io.File(dir, "data/" + core.Snapshot.manifest(spark, dir).head.files.head).toPath,
+      stray.toPath)
+    assert(core.Snapshot.read(spark, dir)
+      .select("url").count() == 2000L, "manifest reader ignores unreferenced files")
+
+    // orphan expiry with zero grace removes v1's superseded files, the stray,
+    // and the old manifest — and the store still reads back identically
+    val removed = core.Snapshot.expireOrphans(spark, dir, graceMillis = 0L)
+    assert(removed.exists(_.endsWith(stray.getName)), s"stray not expired: $removed")
+    assert(removed.contains("_manifests/v00000001.json"))
+    val finalRead = core.Snapshot.read(spark, dir)
+      .select("url", "warc_ts", "text").collect().map(_.toString).sorted.toSeq
+    assert(finalRead == before)
+    // expiry is idempotent once clean
+    assert(core.Snapshot.expireOrphans(spark, dir, graceMillis = 0L).isEmpty)
+  }
+
+  test("snapshot commit: version CAS refuses a concurrent commit") {
+    val dir = java.nio.file.Files.createTempDirectory("snap-cas").toString + "/pages"
+    val pages = core.PagesGen.pages(spark, 800, 80, days = 2)
+    core.Snapshot.write(pages.repartition(8), dir)
+    // a racing committer targeting an already-claimed version loses the CAS
+    val (fs, root) = core.Store.storeFs(spark, dir)
+    intercept[IllegalStateException](core.Snapshot.commit(fs, root, 1, Nil))
+    // the committed snapshot is intact and the loser left no manifest behind
+    assert(core.Snapshot.read(spark, dir).count() == 800L)
+    assert(!new java.io.File(dir, "_manifests").listFiles().exists(_.getName.startsWith(".tmp-")))
+  }
+
   test("feature sink writes metrics alongside the data") {
     val dir = java.nio.file.Files.createTempDirectory("feat-store").toString + "/features"
     val labels = PagesGen.labels(spark, 1000, 100)
