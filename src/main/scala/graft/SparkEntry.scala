@@ -42,6 +42,15 @@ object SparkEntry {
 
   private val liFeatures = Seq("l_quantity", "l_discount", "l_tax")
 
+  /** Driver-side replay of quantize→dequantize (the [[Quantize]] closed
+    * form) for query/centroid vectors, so searches over the compressed
+    * store compare like with like. */
+  private def deqDriver(v: Seq[Double]): Seq[Double] = {
+    val ma = v.map(math.abs).max
+    if (ma == 0.0) v.map(_ => 0.0)
+    else v.map(x => math.floor(x / ma * 127.0 + 0.5) * (ma / 127.0))
+  }
+
   private def eventsWindowed(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     t(s, dir, "events").select(
@@ -332,14 +341,30 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val q = emb.where(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toSeq
-      val qMaxAbs = q.map(math.abs).max
-      val qDeq =
-        if (qMaxAbs == 0.0) q.map(_ => 0.0)
-        else q.map(x => math.floor(x / qMaxAbs * 127.0 + 0.5) * (qMaxAbs / 127.0))
-      val deq = emb.select(col("vec_id"),
-        Quantize.dequantize(Quantize.quantize(col("embedding")),
-          Quantize.scale(col("embedding"))).as("emb_q"))
-      Similarity.bruteForceTopK(deq, "vec_id", "emb_q", qDeq, 10)
+      val store = emb.select(col("vec_id"),
+        Quantize.quantize(col("embedding")).as("codes"),
+        Quantize.scale(col("embedding")).as("scale"))
+      // fused Int8CosineSimilarity: dequantization happens inside the one
+      // codegen loop (bit-equal to the dequantize→cosine chain, spec-pinned)
+      Similarity.bruteForceTopKInt8(store, "vec_id", "codes", "scale", deqDriver(q), 10)
+        .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+    }),
+    // pruned search over the COMPRESSED store: IVF cell assignment AND
+    // scoring both ride the fused int8 expression, so the probe scan reads
+    // 4x fewer bytes than the float path while returning the identical
+    // (dequantized-space) results
+    "q_knn_quantized_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toSeq
+      val centroids = emb.where(col("vec_id") < 8).orderBy("vec_id")
+        .select(col("embedding")).collect()
+        .map(r => deqDriver(r.getSeq[Float](0).map(_.toDouble).toSeq)).toSeq
+      val store = emb.select(col("vec_id"),
+        Quantize.quantize(col("embedding")).as("codes"),
+        Quantize.scale(col("embedding")).as("scale"))
+      Similarity.ivfTopKInt8(store, "vec_id", "codes", "scale", deqDriver(q), 10,
+        centroids, nprobe = 3)
         .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
     }),
     // ---- filter scores ----
@@ -820,6 +845,46 @@ object SparkEntry {
         |  FROM d CROSS JOIN q)
         |SELECT vec_id, round(c, 6) AS cosine FROM s
         |ORDER BY c DESC, vec_id LIMIT 10""".stripMargin,
+    // the q_knn_ivf probe/assign/rerank structure replayed entirely in
+    // DEQUANTIZED space (d = the int8 store's reconstruction; MATERIALIZED —
+    // it feeds four references). Ties in assign/probe break toward the
+    // larger cell id, mirroring ivfAssignInt8's greatest() structs.
+    "q_knn_quantized_ivf" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+        |  FROM embeddings),
+        |d AS MATERIALIZED (
+        |  SELECT vec_id,
+        |    CASE WHEN ma = 0 THEN list_transform(embedding, x -> 0.0)
+        |         ELSE list_transform(embedding,
+        |                x -> floor(CAST(x AS DOUBLE) / ma * 127.0 + 0.5) * (ma / 127.0)) END AS e
+        |  FROM m),
+        |q AS (SELECT e FROM d WHERE vec_id = 0),
+        |c AS MATERIALIZED (SELECT vec_id AS cid, e AS ce FROM d WHERE vec_id < 8),
+        |vc AS (
+        |  SELECT d.vec_id, c.cid,
+        |    list_sum(list_transform(range(1, len(d.e) + 1), i -> d.e[i] * c.ce[i]))
+        |    / (sqrt(list_sum(list_transform(d.e, x -> x * x)))
+        |       * sqrt(list_sum(list_transform(c.ce, x -> x * x)))) AS s
+        |  FROM d CROSS JOIN c),
+        |assign AS (SELECT vec_id, cid FROM (
+        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
+        |  FROM vc) t WHERE rn = 1),
+        |probe AS (SELECT cid FROM (
+        |  SELECT c.cid,
+        |    list_sum(list_transform(range(1, len(c.ce) + 1), i -> c.ce[i] * q.e[i]))
+        |    / (sqrt(list_sum(list_transform(c.ce, x -> x * x)))
+        |       * sqrt(list_sum(list_transform(q.e, x -> x * x)))) AS s
+        |  FROM c CROSS JOIN q) t ORDER BY s DESC, cid DESC LIMIT 3),
+        |scored AS (
+        |  SELECT d.vec_id,
+        |    list_sum(list_transform(range(1, len(d.e) + 1), i -> d.e[i] * q.e[i]))
+        |    / (sqrt(list_sum(list_transform(d.e, x -> x * x)))
+        |       * sqrt(list_sum(list_transform(q.e, x -> x * x)))) AS s
+        |  FROM d JOIN assign USING (vec_id) JOIN probe USING (cid) CROSS JOIN q)
+        |SELECT vec_id, round(s, 6) AS cosine FROM scored
+        |ORDER BY s DESC, vec_id LIMIT 10""".stripMargin,
     "q_cosine_sims" ->
       """WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0)
         |SELECT v.vec_id AS vec_id, round(

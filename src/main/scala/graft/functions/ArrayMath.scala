@@ -93,6 +93,105 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Fused cosine over the COMPRESSED embedding store: cosine(codes · scale,
+  * query) where `codes` is an int8-quantized vector (array<int/smallint/
+  * tinyint>, values in [−127, 127]) and `scale` its per-vector dequantization
+  * factor (see [[graft.sim.Quantize]]).
+  *
+  * The composed formulation `CosineSimilarity(dequantize(codes, scale), q)`
+  * is correct but materializes an interpreted double array per row
+  * (`zip_with` + `array_repeat` run as CodegenFallback — exactly the
+  * per-element-HOF shape the round-3 profiling lesson flags). This
+  * expression reads the code buffer in place and dequantizes inside the one
+  * codegen loop: xᵢ = (double)qᵢ · scale, then the identical ascending-index
+  * dot/norm accumulation as [[CosineSimilarity]] — bit-for-bit equal to the
+  * dequantize→cosine chain (asserted in SimilaritySpec), so the pruned ANN
+  * paths can run directly over int8 storage with no intermediate arrays.
+  *
+  * Null semantics match the chain: any null input (codes, scale, query) →
+  * null; elements are assumed non-null; length mismatch uses the common
+  * prefix (zip_with semantics).
+  */
+case class Int8CosineSimilarity(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val codesOk = first.dataType match {
+      case ArrayType(IntegerType | ShortType | ByteType, _) => true
+      case _                                                => false
+    }
+    val scaleOk = second.dataType == DoubleType
+    val queryOk = third.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _                        => false
+    }
+    if (codesOk && scaleOk && queryOk) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"int8_cosine_sim expects (array<int|smallint|tinyint>, double, array<double>), " +
+        s"got (${first.dataType}, ${second.dataType}, ${third.dataType})")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  private def codeAccessor: String =
+    first.dataType.asInstanceOf[ArrayType].elementType match {
+      case IntegerType => "getInt"
+      case ShortType   => "getShort"
+      case ByteType    => "getByte"
+      case other => throw new IllegalArgumentException(s"unsupported code type $other")
+    }
+
+  override def nullSafeEval(c: Any, s: Any, q: Any): Any = {
+    val codes = c.asInstanceOf[ArrayData]
+    val scale = s.asInstanceOf[Double]
+    val query = q.asInstanceOf[ArrayData]
+    val et = first.dataType.asInstanceOf[ArrayType].elementType
+    val n = math.min(codes.numElements(), query.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val qi = et match {
+        case IntegerType => codes.getInt(i).toDouble
+        case ShortType   => codes.getShort(i).toDouble
+        case _           => codes.getByte(i).toDouble
+      }
+      val xi = qi * scale
+      val yi = query.getDouble(i)
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val acc = codeAccessor
+    nullSafeCodeGen(ctx, ev, (c, s, q) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+         |int $n = java.lang.Math.min($c.numElements(), $q.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = ((double) $c.$acc($i)) * $s;
+         |  double $yi = $q.getDouble($i);
+         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |}
+         |${ev.value} = ($na == 0.0 || $nb == 0.0)
+         |  ? 0.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
 object ArrayMath {
   import org.apache.spark.sql.catalyst.expressions.Literal
   import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -107,8 +206,18 @@ object ArrayMath {
     ColumnBridge.column(CosineSimilarity(ColumnBridge.expression(a),
       Literal.create(query.toArray, ArrayType(DoubleType, containsNull = false))))
 
+  /** fused int8-store cosine against a constant (already-dequantized) query
+    * vector: cosine(codes · scale, query) in one codegen loop. */
+  def int8CosineSimTo(codes: Column, scale: Column, query: Seq[Double]): Column =
+    ColumnBridge.column(Int8CosineSimilarity(
+      ColumnBridge.expression(codes), ColumnBridge.expression(scale),
+      Literal.create(query.toArray, ArrayType(DoubleType, containsNull = false))))
+
   /** SQL registration: SELECT cosine_sim(emb, other) FROM ... */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "int8_cosine_sim", exprs => Int8CosineSimilarity(exprs(0), exprs(1), exprs(2)), "built-in")
+  }
 }

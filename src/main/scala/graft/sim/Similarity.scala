@@ -181,6 +181,60 @@ object Similarity {
       .transform(d => bruteForceTopK(d, idCol, vecCol, query, k))
   }
 
+  // ---- search over the COMPRESSED (int8-quantized) store ----
+  // The store shape is (id, codes: array<int>, scale: double) from
+  // [[Quantize]]; scoring rides the fused Int8CosineSimilarity expression —
+  // dequantization happens inside the one codegen loop, so the pruned paths
+  // read 4× fewer bytes than float storage with no intermediate arrays.
+
+  /** Fused cosine of an int8-quantized vector against an (already
+    * dequantized) query — bit-equal to dequantize→[[cosineBuiltin]]. */
+  def cosineInt8(codes: Column, scale: Column, queryDeq: Seq[Double]): Column =
+    graft.functions.ArrayMath.int8CosineSimTo(codes, scale, queryDeq)
+
+  /** Exact top-k over the compressed store (TakeOrderedAndProject, same
+    * shape as [[bruteForceTopK]]). */
+  def bruteForceTopKInt8(
+      df: DataFrame, idCol: String, codesCol: String, scaleCol: String,
+      queryDeq: Seq[Double], k: Int): DataFrame =
+    df.select(col(idCol), cosineInt8(col(codesCol), col(scaleCol), queryDeq).as("cosine"))
+      .orderBy(desc("cosine"), col(idCol))
+      .limit(k)
+
+  /** IVF coarse assignment over the compressed store: nearest centroid by
+    * fused int8 cosine, ties toward the larger cell index — mirrors
+    * [[ivfAssign]] exactly (centroids live in dequantized space). */
+  def ivfAssignInt8(df: DataFrame, codesCol: String, scaleCol: String,
+      centroids: Seq[Seq[Double]]): DataFrame = {
+    val sims = centroids.zipWithIndex.map { case (c, i) =>
+      struct(cosineInt8(col(codesCol), col(scaleCol), c).as("sim"), lit(i).as("cell"))
+    }
+    df.withColumn("cell", greatest(sims: _*).getField("cell"))
+  }
+
+  /** IVF search over the compressed store: the [[ivfTopK]] probe/rerank
+    * structure with every vector read as int8 codes + scale — cell pruning
+    * AND 4× byte compression compose. */
+  def ivfTopKInt8(
+      df: DataFrame,
+      idCol: String,
+      codesCol: String,
+      scaleCol: String,
+      queryDeq: Seq[Double],
+      k: Int,
+      centroids: Seq[Seq[Double]],
+      nprobe: Int
+  ): DataFrame = {
+    require(nprobe >= 1 && nprobe <= centroids.length, "nprobe must be in [1, #centroids]")
+    val probeCells = centroids.zipWithIndex
+      .map { case (c, i) => (cosLocal(queryDeq, c), i) }
+      .sortBy { case (s, i) => (-s, -i) }
+      .take(nprobe).map(_._2)
+    ivfAssignInt8(df, codesCol, scaleCol, centroids)
+      .where(col("cell").isin(probeCells: _*))
+      .transform(d => bruteForceTopKInt8(d, idCol, codesCol, scaleCol, queryDeq, k))
+  }
+
   /** Embedding-cosine near-duplicate pairs: banded AND-OR sign-LSH candidate
     * generation, then EXACT fused-cosine verification — the embedding
     * analogue of [[graft.text.Dedup.minHashCandidates]] banding.

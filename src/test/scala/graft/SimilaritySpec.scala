@@ -160,6 +160,69 @@ class SimilaritySpec extends AnyFunSuite {
       s"int8 quantization must preserve >=8/10 of the float top-k: $qTop vs $fTop")
   }
 
+  test("fused int8 cosine == dequantize -> builtin chain, bit-for-bit (incl. narrow code types)") {
+    import graft.sim.Quantize
+    val store = df.select(col("id"),
+      Quantize.quantize(col("v")).as("codes"), Quantize.scale(col("v")).as("scale"),
+      Quantize.dequantize(Quantize.quantize(col("v")), Quantize.scale(col("v"))).as("deq"))
+    val qm = query.map(math.abs).max
+    val qDeq = query.map(x => math.floor(x / qm * 127.0 + 0.5) * (qm / 127.0))
+    val rows = store.select(col("id"),
+      Similarity.cosineBuiltin(col("deq"), qDeq).as("chain"),
+      Similarity.cosineInt8(col("codes"), col("scale"), qDeq).as("fusedInt"),
+      Similarity.cosineInt8(col("codes").cast("array<smallint>"), col("scale"), qDeq).as("fusedShort"),
+      Similarity.cosineInt8(col("codes").cast("array<tinyint>"), col("scale"), qDeq).as("fusedByte"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getDouble(1) == r.getDouble(2), s"int codes, id=${r.getLong(0)}")
+      assert(r.getDouble(1) == r.getDouble(3), s"smallint codes, id=${r.getLong(0)}")
+      assert(r.getDouble(1) == r.getDouble(4), s"tinyint codes, id=${r.getLong(0)}")
+    }
+    // null codes -> null; zero vector (scale 0, zero codes) -> 0.0
+    val edge = Seq(
+      (1L, Array(0, 0, 0), 0.0), (2L, null.asInstanceOf[Array[Int]], 1.0)
+    ).toDF("id", "codes", "scale")
+    val got = edge.select(col("id"),
+      Similarity.cosineInt8(col("codes"), col("scale"), Seq(1.0, 1.0, 1.0)).as("c"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got(1L).contains(0.0) && got(2L).isEmpty)
+    // SQL registration
+    ArrayMath.register(spark)
+    store.createOrReplaceTempView("int8_store")
+    val viaSql = spark.sql(
+      s"SELECT id, int8_cosine_sim(codes, scale, CAST(array(${qDeq.mkString(",")}) AS ARRAY<DOUBLE>)) c FROM int8_store")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach(r => assert(viaSql(r.getLong(0)) == r.getDouble(1)))
+  }
+
+  test("quantized IVF search == IVF over dequantized floats exactly; retrieval ~= float top-k") {
+    import graft.sim.Quantize
+    val centroids = vecs.take(6).map { case (_, v) =>
+      val ds = v.map(_.toDouble).toSeq
+      val m = ds.map(math.abs).max
+      ds.map(x => math.floor(x / m * 127.0 + 0.5) * (m / 127.0))
+    }
+    val qm = query.map(math.abs).max
+    val qDeq = query.map(x => math.floor(x / qm * 127.0 + 0.5) * (qm / 127.0))
+    val store = df.select(col("id"),
+      Quantize.quantize(col("v")).as("codes"), Quantize.scale(col("v")).as("scale"))
+    val viaInt8 = Similarity.ivfTopKInt8(store, "id", "codes", "scale", qDeq, 10, centroids, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // the float-machinery path over the reconstructed vectors must agree EXACTLY
+    // (assignment ties and scores are bit-equal by the fused-expression contract)
+    val deq = df.select(col("id"),
+      Quantize.dequantize(Quantize.quantize(col("v")), Quantize.scale(col("v"))).as("vq"))
+    val viaFloat = Similarity.ivfTopK(deq, "id", "vq", qDeq, 10, centroids, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaInt8 == viaFloat)
+    // and the pruned quantized search still retrieves most of the true float top-k
+    val fTop = Similarity.bruteForceTopK(df, "id", "v", query, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaInt8.head._1 == fTop.head, "the top hit survives quantization + pruning")
+    assert(viaInt8.map(_._1).toSet.intersect(fTop.toSet).size >= 6,
+      s"pruned quantized search must keep most of the float top-k: $viaInt8 vs $fTop")
+  }
+
   test("IVF assignment puts each vector in its nearest centroid cell") {
     val centroids = vecs.take(3).map(_._2.map(_.toDouble).toSeq)
     val assigned = Similarity.ivfAssign(df, "v", centroids).collect()
