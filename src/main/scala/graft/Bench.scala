@@ -118,7 +118,11 @@ object Bench {
     // whole query list (rep 1 of everything, then rep 2, ...) so a steal
     // burst degrades one rep of many queries instead of all reps of one.
     val reps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "3").toInt
+    // dev-loop knob: comma-separated substring filter for iterating on a
+    // few queries (unset in driver runs — full list)
+    val nameFilter = sys.env.get("SPARK_GRAFT_QUERY_FILTER").map(_.split(',').toSeq)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => nameFilter.forall(_.exists(n.contains)))
     val best = scala.collection.mutable.Map.empty[String, Double]
     for (_ <- 1 to reps; name <- names) {
       val fn = SparkEntry.queries(name)
@@ -133,6 +137,11 @@ object Bench {
       if (ok) best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
     }
     val results = names.map(n => n -> best.getOrElse(n, -1.0))
+    if (nameFilter.isDefined) { // dev loop: per-query timings only, no probe
+      println(results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}"))
+      spark.stop()
+      return
+    }
     spark.stop()
 
     // scaling probe: same deterministic input, two parallelism levels (N=8,

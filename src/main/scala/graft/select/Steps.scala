@@ -262,9 +262,10 @@ final case class InfoGainStep(
   * argmax_X [ I(X;Y) − mean_{s∈S} I(X;X_s) ]; the stored score is the
   * criterion value at selection; k = all features ⇒ full ranking.
   *
-  * Scale shape: phase 1 scores I(X_i;Y) for ALL i in one shuffle; each
-  * greedy round adds ONE distributed pass computing I(candidates; last
-  * selected) — p passes total over the binned (tiny-cardinality) columns.
+  * Scale shape: ONE distributed pass computes I(Xᵢ;Y) for all i AND the
+  * full pairwise redundancy matrix I(Xᵢ;Xⱼ) (batched explode over the
+  * cached binned table; the shuffle carries ≤ p²·nbins² count rows); the
+  * greedy replay itself is driver arithmetic — no per-round Spark jobs.
   */
 final case class MrmrStep(
     topP: Option[Double] = None,
@@ -288,9 +289,22 @@ final case class MrmrStep(
         } :+ (if (classif) col(outcome).cast("string").as("__y")
               else Binning.binByCuts(col(outcome), cuts(outcome)).cast("string").as("__y")): _*
       )
-      .cache()
+    // cache only when the batched pairwise pass will rescan (chunked >1024
+    // pairs) — with one chunk the single scan makes materialization a net loss
+    val wantCache = (preds.size + 1).toLong * preds.size / 2 > 1024
+    if (wantCache) binned.cache()
     try {
-      val relevance = Entropy.mutualInfoAgainst(binned, "__y", preds)
+      // ONE batched job computes every pair statistic the greedy loop can
+      // touch — relevance I(Xᵢ;Y) (same xb=predictor orientation as the old
+      // per-round melt) plus the full redundancy matrix I(Xᵢ;Xⱼ), which a
+      // full-ranking mRMR needs in its entirety anyway. The loop below is
+      // then pure driver arithmetic over p² doubles: p−1 small Spark jobs
+      // (one per greedy round) collapse into one (the Boruta batching
+      // pattern; round-4 verdict task).
+      val pairStats = Entropy.pairwiseScoresAll(binned, preds :+ "__y", Entropy.InfoGain)
+      def pairMi(a: String, b: String): Option[Double] =
+        pairStats.get((a, b)).orElse(pairStats.get((b, a)))
+      val relevance = preds.flatMap(p => pairStats.get((p, "__y")).map(p -> _)).toMap
       val scores = scala.collection.mutable.ListBuffer.empty[(String, Option[Double])]
       var selected = List.empty[String]
       var remaining = preds.filter(p => relevance.get(p).exists(v => !v.isNaN))
@@ -304,16 +318,15 @@ final case class MrmrStep(
         scores += (best -> Some(bestScore))
         selected = best :: selected
         remaining = remaining.filterNot(_ == best)
-        if (remaining.nonEmpty) {
-          val mi = Entropy.mutualInfoAgainst(binned, best, remaining)
-          mi.foreach { case (p, v) => if (!v.isNaN) redundancySum(p) += v }
+        remaining.foreach { p =>
+          pairMi(best, p).filterNot(_.isNaN).foreach(v => redundancySum(p) += v)
         }
       }
       val allScores = scores.toList ++ preds.filterNot(p => scores.exists(_._1 == p)).map(_ -> None)
       val (excluded, warns) =
         StepCommon.select(allScores, topP, threshold, cutoff, maximize = true, name)
       FittedSelector(name, outcome, allScores, excluded, warns)
-    } finally binned.unpersist()
+    } finally if (wantCache) binned.unpersist()
   }
 }
 
@@ -415,29 +428,50 @@ final case class RocStep(
   * better-ranked one (SU(X_i;X_j) >= SU(X_j;Y)). Threshold-only — no
   * dual_filter. A cutpoint outside (0, 1) — or NaN — aborts with the
   * reference's message (step_select_fcbf.R:87–92). */
-final case class FcbfStep(minimumSu: Double = 0.025, cutpoint: Double = 0.5)
-    extends SelectorStep {
+final case class FcbfStep(minimumSu: Double = 0.025, cutpoint: Double = 0.5,
+    allPairsMaxP: Int = 45) extends SelectorStep {
   require(!cutpoint.isNaN && cutpoint > 0 && cutpoint < 1,
     "`cutpoint` must be a number between 0-1")
   val name = "step_select_fcbf"
   def fit(df: DataFrame, outcome: String, predictors: Seq[String]): FittedSelector = {
     val preds = StepCommon.resolvePredictors(df, outcome, predictors)
     val numeric = StepCommon.numericPredictors(df, preds)
-    // all-NULL numeric columns are dropped with a warning (step_select_fcbf.R:296–309)
-    val split = Binning.quantileSplit(
-      df.select((preds :+ outcome).distinct.map(col): _*), numeric, cutpoint
-    )
-    val nonNullCounts = split
-      .select(preds.map(p => count(col(p)).as(p)): _*)
-      .head()
-    val allNull = preds.zipWithIndex.collect { case (p, i) if nonNullCounts.getLong(i) == 0L => p }
+    val sel = df.select((preds :+ outcome).distinct.map(col): _*)
+    // type-7 cuts AND non-null counts of the numeric columns fall out of
+    // one fused pass; only non-numeric predictors (if any) need a separate
+    // tiny count aggregation for the all-NULL screen
+    val cutsAndCounts = Binning.quantileType7WithCounts(sel, numeric, cutpoint)
+    val nonNumeric = preds.filterNot(numeric.contains)
+    val nonNumCounts: Map[String, Long] =
+      if (nonNumeric.isEmpty) Map.empty
+      else {
+        val row = sel.select(nonNumeric.map(p => count(col(p)).as(p)): _*).head()
+        nonNumeric.zipWithIndex.map { case (p, i) => p -> row.getLong(i) }.toMap
+      }
+    def nonNull(p: String): Long =
+      cutsAndCounts.get(p).map(_._1).orElse(nonNumCounts.get(p)).getOrElse(0L)
+    // all-NULL columns are dropped with a warning (step_select_fcbf.R:296–309)
+    val allNull = preds.filter(nonNull(_) == 0L)
     val usable = preds.filterNot(allNull.contains)
     val warns = allNull.map(p => s"Column '$p' is all NULL and was removed before FCBF")
+    val split = numeric.foldLeft(sel) { case (d, c) =>
+      cutsAndCounts(c)._2 match {
+        case None      => d.withColumn(c, lit(null: String))
+        case Some(cut) => d.withColumn(c, Binning.medianSplitCol(col(c), cut))
+      }
+    }
     val work = split
       .select(usable.map(p => col(p).cast("string").as(p)) :+ col(outcome).cast("string").as("__y"): _*)
-      .cache()
-    try {
-      val su = Entropy.suAgainst(work, "__y", usable)
+    // Small p (all pairs fit one chunk): compute SU(Xᵢ;Y) AND the complete
+    // redundancy matrix SU(Xᵢ;Xⱼ) in ONE batched job and run the whole
+    // elimination driver-side — no cache, single scan. Large p: wave-batch
+    // (below) so at most O(keepers·p) pair stats are ever computed.
+    val allPairsUpfront = usable.size <= allPairsMaxP // default 45: all pairs fit one chunk
+    if (allPairsUpfront) {
+      val pairStats = Entropy.pairwiseScoresAll(work, usable :+ "__y", Entropy.SymUncert)
+      val su = usable.flatMap(p => pairStats.get((p, "__y")).map(p -> _)).toMap
+      def redOf(fq: String, fp: String): Option[Double] =
+        pairStats.get((fq, fp)).orElse(pairStats.get((fp, fq)))
       var ranked = usable
         .flatMap(p => su.get(p).filterNot(_.isNaN).filter(_ >= minimumSu).map(p -> _))
         .sortBy(-_._2)
@@ -446,11 +480,46 @@ final case class FcbfStep(minimumSu: Double = 0.025, cutpoint: Double = 0.5)
       while (ranked.nonEmpty) {
         val (fp, _) = ranked.head
         selected = fp :: selected
-        val rest = ranked.tail
-        if (rest.nonEmpty) {
-          val redSu = Entropy.suAgainst(work, fp, rest.map(_._1))
-          ranked = rest.filterNot { case (fq, suQy) => redSu.get(fq).exists(_ >= suQy) }
-        } else ranked = Nil
+        ranked = ranked.tail.filterNot { case (fq, suQy) => redOf(fq, fp).exists(_ >= suQy) }
+      }
+      val keep = selected.toSet
+      val scores = preds.map(p => p -> su.get(p).filterNot(_.isNaN))
+      return FittedSelector(name, outcome, scores, excluded = preds.filterNot(keep.contains), warns)
+    }
+    work.cache()
+    try {
+      val su = Entropy.suAgainst(work, "__y", usable)
+      var ranked = usable
+        .flatMap(p => su.get(p).filterNot(_.isNaN).filter(_ >= minimumSu).map(p -> _))
+        .sortBy(-_._2)
+        .toList
+      var selected = List.empty[String]
+      // Wave-batched redundancy elimination: one keeper per round used to
+      // mean one small suAgainst job per retained feature. The pairwise SU
+      // values are selection-order-independent, so we precompute, in ONE
+      // batched job, SU(wᵢ, f) for the next `wave` candidates wᵢ against
+      // everything ranked after them, then replay the exact sequential
+      // FCBF semantics driver-side (a wave member dropped by an earlier
+      // one is skipped; its precomputed stats go unused). Job count falls
+      // from #keepers to ceil(#keepers/wave) without touching selections.
+      val wave = 8
+      while (ranked.nonEmpty) {
+        val heads = ranked.take(wave).map(_._1)
+        val pairs = for {
+          (w, i) <- heads.zipWithIndex
+          (f, _) <- ranked.drop(i + 1)
+        } yield (f, w) // orientation (f, w): xb = candidate, yb = keeper —
+                       // identical to the old suAgainst(work, keeper, rest)
+        val redSu = Entropy.pairwiseScores(work, pairs, Entropy.SymUncert)
+        var processed = 0
+        var cur = ranked
+        while (cur.nonEmpty && processed < wave && heads.contains(cur.head._1)) {
+          val (fp, _) = cur.head
+          processed = heads.indexOf(fp) + 1
+          selected = fp :: selected
+          cur = cur.tail.filterNot { case (fq, suQy) => redSu.get((fq, fp)).exists(_ >= suQy) }
+        }
+        ranked = cur
       }
       val keep = selected.toSet
       val scores = preds.map(p => p -> su.get(p).filterNot(_.isNaN))

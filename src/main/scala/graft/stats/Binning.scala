@@ -70,17 +70,179 @@ object Binning {
     withBin.unionByName(nulls)
   }
 
+  /** Exact order statistics for many columns × probabilities at once, by
+    * BRACKET REFINEMENT — replaces approxQuantile(relativeError = 0) and
+    * the percentile() aggregate on the fit hot paths, both of which buffer
+    * EVERY value (per task, then again in a driver-side merge) and were
+    * the dominant cost of the mRMR/FCBF fits under profiling.
+    *
+    * Three cheap, fully-parallel jobs, none of which shuffles data volume:
+    *  1. approxQuantile at err = `bracketErr` brackets each target by value
+    *     ([vLo, vHi] with the Greenwald–Khanna rank guarantee
+    *     rank(v) ∈ (p ± err)·n, probed at p ∓ 2·err);
+    *  2. ONE fused aggregation: per column its non-null count and, per
+    *     bracket, the exact count of values strictly below vLo;
+    *  3. a groupBy over ONLY the in-bracket values (≲ 4·err·n rows before
+    *     tie-collapsing) → (column, value, count), collected small.
+    * The exact rank k = `ranksOf(n, p)` is then picked driver-side by
+    * cumulating from the below-count through the sorted in-bracket values.
+    *
+    * At any n the driver transfer is the bracket's DISTINCT values; the
+    * guard aborts (with a hint) if a pathological value distribution would
+    * exceed `maxCollect` — bounded BEFORE the transfer, TwoPhase-style.
+    * NA handling is PER COLUMN — a null/NaN in one column must not remove
+    * the row from another column's statistics (R quantile(na.rm=TRUE)
+    * semantics; approxQuantile ignores null/NaN the same way).
+    *
+    * `ranksOf(n, p)` must return ranks within the p-bracket, i.e. in
+    * [(p−err)·n − 1, (p+err)·n + 1] — true for quantile_disc's ceil(p·n)
+    * and type-7's floor/ceil(p·(n−1))+1 whenever err·n ≥ 2; tiny n is
+    * covered by the widened clamp in the prob list. */
+  private def orderStatistics(
+      df: DataFrame, cols: Seq[String], probs: Seq[Double],
+      ranksOf: (Long, Double) => Seq[Long],
+      bracketErr: Double = 0.001, maxCollect: Int = 200000
+  ): Map[String, (Long, Map[Long, Double])] = {
+    if (cols.isEmpty) return Map.empty
+    val pr = probs.distinct
+    // widen each probe so the bracket always contains the target ranks,
+    // even at tiny n where ±2·err·n < a whole rank
+    val loHiProbs = pr.flatMap(p =>
+      Seq(math.max(0.0, p - 2 * bracketErr), math.min(1.0, p + 2 * bracketErr)))
+    val br = df.stat.approxQuantile(cols.toArray, loHiProbs.toArray, bracketErr)
+    val bracket: Map[(String, Double), (Double, Double)] = cols.zipWithIndex.flatMap {
+      case (c, ci) =>
+        pr.zipWithIndex.flatMap { case (p, pi) =>
+          if (br(ci).isEmpty) None // all-null column
+          else Some((c, p) -> ((br(ci)(2 * pi), br(ci)(2 * pi + 1))))
+        }
+    }.toMap
+    def notNa(c: String) = col(c).isNotNull && !isnan(col(c).cast("double"))
+    // job 2: counts + below-bracket counts, one fused scan
+    val aggExprs = cols.flatMap { c =>
+      count(when(notNa(c), 1)).as(s"__n_$c") +:
+        pr.map { p =>
+          val lo = bracket.get((c, p)).map(_._1)
+          sum(when(notNa(c) && lit(lo.getOrElse(0.0)) > col(c).cast("double"), 1L)
+            .otherwise(0L)).as(s"__b_${pr.indexOf(p)}_$c")
+        }
+    }
+    val aggRow = df.agg(aggExprs.head, aggExprs.tail: _*).head()
+    val ns = cols.map(c => c -> aggRow.getLong(aggRow.fieldIndex(s"__n_$c"))).toMap
+    val belowOf = (c: String, p: Double) =>
+      aggRow.getLong(aggRow.fieldIndex(s"__b_${pr.indexOf(p)}_$c"))
+    // job 3: in-bracket distinct values with counts (tie-collapsed map-side)
+    val inAny = (c: String) =>
+      bracket.collect { case ((`c`, _), (lo, hi)) =>
+        col(c).cast("double").between(lo, hi)
+      }.reduceOption(_ || _).getOrElse(lit(false))
+    val ranged = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("feature"),
+          when(notNa(c) && inAny(c), col(c).cast("double")).as("v"))): _*)).as("kv"))
+      .select(col("kv.feature").as("feature"), col("kv.v").as("v"))
+      .where(col("v").isNotNull)
+      .groupBy("feature", "v").agg(count(lit(1)).as("c"))
+      .limit(maxCollect + 1)
+      .collect()
+    require(ranged.length <= maxCollect,
+      s"order-statistic brackets hold over $maxCollect distinct values — " +
+        "value ties are pathologically sparse; lower bracketErr")
+    val rangedByF = ranged.groupBy(_.getString(0)).map { case (f, rs) =>
+      f -> rs.map(r => (r.getDouble(1), r.getLong(2))).sortBy(_._1)
+    }
+    cols.map { c =>
+      val n = ns(c)
+      // walk the bracket; a miss (possible at tiny n, where ±2·err spans
+      // less than a whole rank) falls back to the exact per-column path
+      def tryPick(p: Double, k: Long): Option[Double] = {
+        val (lo, _) = bracket((c, p))
+        var cum = belowOf(c, p)
+        if (cum >= k) return None
+        val vals = rangedByF.getOrElse(c, Array.empty[(Double, Long)])
+        var i = 0
+        var out = Double.NaN
+        while (i < vals.length && cum < k) {
+          val (v, cnt) = vals(i)
+          if (v >= lo) { cum += cnt; if (cum >= k) out = v }
+          i += 1
+        }
+        if (cum >= k) Some(out) else None
+      }
+      lazy val exactAll: Array[(Double, Long)] = { // fallback: full sorted counts
+        val rows = df.where(notNa(c)).select(col(c).cast("double").as("v"))
+          .groupBy("v").agg(count(lit(1)).as("c"))
+          .limit(maxCollect + 1).collect()
+        require(rows.length <= maxCollect,
+          s"order-statistic fallback for `$c` exceeds $maxCollect distinct values")
+        rows.map(r => (r.getDouble(0), r.getLong(1))).sortBy(_._1)
+      }
+      def exactPick(k: Long): Double = {
+        var cum = 0L; var i = 0; var out = Double.NaN
+        while (i < exactAll.length && cum < k) {
+          cum += exactAll(i)._2; if (cum >= k) out = exactAll(i)._1; i += 1
+        }
+        require(cum >= k, s"rank $k beyond the ${cum} non-null values of `$c`")
+        out
+      }
+      val picks: Map[Long, Double] =
+        if (n == 0L) Map.empty
+        else pr.flatMap { p =>
+          ranksOf(n, p).distinct.map(k => k -> tryPick(p, k).getOrElse(exactPick(k)))
+        }.toMap
+      c -> ((n, picks))
+    }.toMap
+  }
+
   /** Exact quantile cut points for each column: nbins-1 interior cuts at
-    * probabilities i/nbins. Uses approxQuantile with relativeError 0 (exact,
-    * single distributed pass per call). NA handling is PER COLUMN — a null in
-    * one column must not remove the row from another column's quantile
-    * (R quantile(na.rm=TRUE) / FSelectorRcpp semantics); approxQuantile
-    * already ignores nulls per column, so no row-level dropping happens.
-    */
+    * probabilities i/nbins, with approxQuantile(relativeError = 0)
+    * semantics — the value whose rank is ceil(p·n) (== DuckDB
+    * quantile_disc; equality with the built-in is property-pinned in
+    * PropertySpec). Computed via [[orderStatistics]] in one melted pass
+    * for ALL columns. */
   def exactCuts(df: DataFrame, cols: Seq[String], nbins: Int): Map[String, Array[Double]] = {
-    val probs = (1 until nbins).map(_.toDouble / nbins).toArray
-    val res = df.stat.approxQuantile(cols.toArray, probs, 0.0)
-    cols.zip(res).toMap
+    val probs = (1 until nbins).map(_.toDouble / nbins)
+    def rankDisc(n: Long, p: Double) = math.max(1L, math.ceil(p * n).toLong)
+    val stats = orderStatistics(df, cols, probs, (n, p) => Seq(rankDisc(n, p)))
+    cols.map { c =>
+      val (n, vs) = stats(c)
+      c -> (if (n == 0L) Array.empty[Double]
+            else probs.map(p => vs(rankDisc(n, p))).toArray)
+    }.toMap
+  }
+
+  /** Exact type-7 quantile (R default / Spark `percentile` / DuckDB
+    * quantile_cont) for each column, via the SAME counts pass: position
+    * h = p·(n−1) over the 0-based sorted values, interpolating
+    * (higher−h)·v_lo + (h−lower)·v_hi exactly as Spark's Percentile
+    * aggregate does (bit-equality property-pinned in PropertySpec).
+    * All-null columns → None. */
+  def quantileType7(df: DataFrame, cols: Seq[String], p: Double): Map[String, Option[Double]] =
+    quantileType7WithCounts(df, cols, p).view.mapValues(_._2).toMap
+
+  /** [[quantileType7]] plus each column's non-null count — the count falls
+    * out of the same fused aggregation, saving callers (FCBF's all-NULL
+    * screen) a separate scan. */
+  def quantileType7WithCounts(
+      df: DataFrame, cols: Seq[String], p: Double): Map[String, (Long, Option[Double])] = {
+    def lowHigh(n: Long): (Long, Long) = {
+      val pos = p * (n - 1)
+      (math.floor(pos).toLong + 1, math.ceil(pos).toLong + 1) // 1-based ranks
+    }
+    val stats = orderStatistics(df, cols, Seq(p),
+      (n, _) => { val (l, h) = lowHigh(n); Seq(l, h) })
+    cols.map { c =>
+      val (n, vs) = stats(c)
+      c -> ((n,
+        if (n == 0L) None
+        else {
+          val pos = p * (n - 1)
+          val (l, h) = lowHigh(n)
+          val out =
+            if (l == h) vs(l)
+            else (h - 1 - pos) * vs(l) + (pos - (l - 1)) * vs(h)
+          Some(out)
+        }))
+    }.toMap
   }
 
   /** Bin a numeric column by broadcast cut points: bin i (1-based) iff
@@ -125,12 +287,12 @@ object Binning {
   def quantileSplit(df: DataFrame, cols: Seq[String], cutpoint: Double): DataFrame = {
     require(cutpoint > 0 && cutpoint < 1, s"cutpoint must be in (0, 1), got $cutpoint")
     if (cols.isEmpty) return df
-    val cuts = df
-      .select(cols.map(c => expr(s"percentile(`$c`, $cutpoint)").as(c)): _*)
-      .head()
-    cols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
-      if (cuts.isNullAt(i)) d.withColumn(c, lit(null: String))
-      else d.withColumn(c, medianSplitCol(col(c), cuts.getDouble(i)))
+    val cuts = quantileType7(df, cols, cutpoint)
+    cols.foldLeft(df) { case (d, c) =>
+      cuts(c) match {
+        case None      => d.withColumn(c, lit(null: String))
+        case Some(cut) => d.withColumn(c, medianSplitCol(col(c), cut))
+      }
     }
   }
 

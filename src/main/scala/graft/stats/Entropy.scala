@@ -100,6 +100,47 @@ object Entropy {
     scores(long, InfoGain).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
   }
 
+  /** Scores for an EXPLICIT list of column pairs in ONE distributed pass —
+    * the batching primitive behind mRMR/FCBF (the Boruta round-4 pattern:
+    * one plan computes many rounds' pair statistics instead of one small
+    * Spark job per greedy round). Each row explodes into one (pair, xa, xb)
+    * record; the usual map-side-combined groupBy then shrinks the shuffle
+    * to |pairs|·|binsₐ|·|bins_b| rows regardless of input size.
+    *
+    * Pair orientation follows the argument order ((a, b) ⇒ xb = a, yb = b)
+    * — irrelevant for InfoGain/SymUncert (both symmetric in hx/hy) but kept
+    * deterministic anyway. Pairs whose columns share no complete cases are
+    * absent from the result (same contract as [[mutualInfoAgainst]]).
+    *
+    * The per-row pair array is chunked (1024 pairs) so the generated
+    * projection stays inside JIT/codegen method limits; chunks are unioned
+    * into ONE job (callers pass a cached input, so extra chunk scans hit
+    * the in-memory table). */
+  def pairwiseScores(
+      df: DataFrame, pairs: Seq[(String, String)], kind: Kind): Map[(String, String), Double] = {
+    if (pairs.isEmpty) return Map.empty
+    val sep = 1.toChar.toString // control char, never in column identifiers
+    val longs = pairs.distinct.grouped(1024).map { chunk =>
+      val kvs = chunk.map { case (a, b) =>
+        struct(lit(a + sep + b).as("feature"),
+          col(a).cast("string").as("xb"), col(b).cast("string").as("yb"))
+      }
+      df.select(explode(array(kvs: _*)).as("kv"))
+        .select(col("kv.feature").as("feature"), col("kv.xb").as("xb"), col("kv.yb").as("yb"))
+    }.reduce(_ unionAll _)
+    scores(longs, kind).collect().map { r =>
+      val k = r.getString(0)
+      val i = k.indexOf(sep)
+      (k.substring(0, i), k.substring(i + 1)) -> r.getDouble(1)
+    }.toMap
+  }
+
+  /** Every unordered pair of `cols` in one pass (orientation = column
+    * order: earlier column is xb). */
+  def pairwiseScoresAll(df: DataFrame, cols: Seq[String], kind: Kind): Map[(String, String), Double] =
+    pairwiseScores(df,
+      for { i <- cols.indices; j <- i + 1 until cols.length } yield (cols(i), cols(j)), kind)
+
   /** Per-feature symmetrical uncertainty vs a fixed outcome column. */
   def suAgainst(df: DataFrame, target: String, others: Seq[String]): Map[String, Double] = {
     if (others.isEmpty) return Map.empty

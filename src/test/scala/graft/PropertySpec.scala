@@ -135,6 +135,43 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("counts-based exactCuts == approxQuantile(err=0); quantileType7 == percentile(), bit-for-bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    import graft.stats.Binning
+    val rng = new scala.util.Random(11)
+    // adversarial shapes: heavy ties, negatives, tiny n, exact-integer rank
+    // positions (n a multiple of nbins), nulls, one all-null column
+    val sizes = Seq(1, 2, 3, 5, 10, 40, 1000)
+    for (n <- sizes) {
+      val rows = (0 until n).map { i =>
+        (if (rng.nextDouble() < 0.15 && n > 3) None else Some((rng.nextInt(7) - 3) * 1.5 + (if (rng.nextBoolean()) 0.25 else 0.0)),
+         Some(rng.nextDouble() * 200 - 100),
+         None: Option[Double],
+         Some(rng.nextInt(2).toDouble))
+      }
+      val df = rows.toDF("ties", "dense", "allnull", "binary")
+      val cols = Seq("ties", "dense", "allnull", "binary")
+      for (nbins <- Seq(2, 3, 5)) {
+        val got = Binning.exactCuts(df, cols, nbins)
+        val probs = (1 until nbins).map(_.toDouble / nbins).toArray
+        cols.foreach { c =>
+          val want = df.stat.approxQuantile(c, probs, 0.0)
+          assert(got(c).toSeq == want.toSeq,
+            s"exactCuts mismatch n=$n nbins=$nbins col=$c: ${got(c).toSeq} vs ${want.toSeq}")
+        }
+      }
+      for (p <- Seq(0.25, 0.5, 0.75, 0.1)) {
+        val got = Binning.quantileType7(df, cols, p)
+        val want = df.select(cols.map(c => expr(s"percentile(`$c`, $p)").as(c)): _*).head()
+        cols.zipWithIndex.foreach { case (c, i) =>
+          val w = if (want.isNullAt(i)) None else Some(want.getDouble(i))
+          assert(got(c) == w, s"type7 mismatch n=$n p=$p col=$c: ${got(c)} vs $w")
+        }
+      }
+    }
+  }
+
   test("stratifiedSampleByHash: raising a fraction only ADDS documents (real operator nesting)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -289,6 +289,62 @@ class StepsSpec extends AnyFunSuite {
     assert(fixed.selector.warnings.isEmpty)
   }
 
+  test("batched mRMR and wave-batched FCBF == naive per-round formulations (multi-wave fixture)") {
+    // 12 informative-ish features + 8 NEAR-duplicates (0.02-grid quantized
+    // copies — redundant after binning but never bit-equal criteria, so fp
+    // tie-order between the batched and naive groupings can't flip a
+    // selection): enough keepers to span multiple FCBF waves (wave = 8)
+    // and enough redundancy that drops interleave across wave boundaries.
+    val rng = new scala.util.Random(7)
+    val p = 12
+    val rows = (0 until 3000).map { _ =>
+      val base = Seq.fill(p)(rng.nextDouble())
+      val y = if (base.sum + rng.nextDouble() * 0.5 > 6.25) "a" else "b"
+      (base, y)
+    }
+    val dupes = 8
+    val feats = (0 until p).map(i => s"f$i") ++ (0 until dupes).map(i => s"r$i")
+    val df = rows.toDF("arr", "y").select(
+      (0 until p).map(i => col("arr")(i).as(s"f$i")) ++
+        (0 until dupes).map(i => (floor(col("arr")(i) * 50) / 50).as(s"r$i")) :+ col("y"): _*)
+    df.cache(); df.count()
+
+    // --- mRMR: selection order and criterion values replay exactly ---
+    val mrmrFit = MrmrStep(topP = Some(0.5)).fit(df, "y", feats)
+    val cuts = Binning.exactCuts(df, feats, 5)
+    val binned = df.select(
+      feats.map(f => Binning.binByCuts(col(f), cuts(f)).cast("string").as(f)) :+
+        col("y").cast("string").as("__y"): _*)
+    binned.cache(); binned.count()
+    val naiveMrmr = TestRankRef.mrmrNaive(binned, feats)
+    val gotMrmr = mrmrFit.scores.takeWhile(_._2.isDefined).map { case (k, v) => (k, v.get) }
+    assert(gotMrmr.map(_._1) == naiveMrmr.map(_._1), "mRMR selection order must match naive")
+    gotMrmr.zip(naiveMrmr).foreach { case ((_, a), (_, b)) =>
+      assert(math.abs(a - b) < 1e-9, s"criterion drift: $a vs $b")
+    }
+    binned.unpersist()
+
+    // --- FCBF: keeper sequence replays exactly, via BOTH batched paths
+    // (all-pairs-upfront default, and wave-batching forced with
+    // allPairsMaxP = 0) ---
+    val fcbfFit = FcbfStep(minimumSu = 0.0005).fit(df, "y", feats)
+    val fcbfWaveFit = FcbfStep(minimumSu = 0.0005, allPairsMaxP = 0).fit(df, "y", feats)
+    assert(fcbfWaveFit.excluded == fcbfFit.excluded,
+      "wave-batched and all-pairs paths must select identically")
+    val split = Binning.quantileSplit(df.select(feats.map(col) :+ col("y"): _*), feats, 0.5)
+    val work = split.select(
+      feats.map(f => col(f).cast("string").as(f)) :+ col("y").cast("string").as("__y"): _*)
+    work.cache(); work.count()
+    val naiveKeep = TestRankRef.fcbfNaiveKeepers(work, feats, minimumSu = 0.0005)
+    val gotKeep = feats.filterNot(fcbfFit.excluded.contains)
+    assert(gotKeep.sorted == naiveKeep.sorted,
+      s"FCBF keepers must match naive: $gotKeep vs $naiveKeep")
+    assert(naiveKeep.size > 8,
+      s"fixture must retain > one wave of keepers to exercise multi-wave batching (${naiveKeep.size})")
+    assert(fcbfFit.excluded.nonEmpty, "fixture must also drop redundant features")
+    work.unpersist(); df.unpersist()
+  }
+
   test("pipeline fits steps in order on progressively reduced schema") {
     val reg = df.withColumn("y", col("f1") * 2 + col("f3") * 0.1)
     val pipe = SelectorPipeline(Seq(
