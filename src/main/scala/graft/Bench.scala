@@ -201,6 +201,19 @@ object Bench {
         math.min(4.0, (sec8 - fixed8) / (sec32 - fixed32))
       else speedup
     val effCorr = corr / 4.0
+    // Self-grading blended ceiling: the probe pipeline splits its time
+    // between scan/shuffle stages (which track the DRAM-bandwidth ceiling)
+    // and expression/agg compute (which tracks the ALU ceiling). Absent
+    // per-stage attribution we weight the two measured ceilings by EQUAL
+    // TIME at 8 threads — the time-weighted composition of two equal parts
+    // is the harmonic mean of their speedups. effVsBlend is the corrected
+    // engine speedup against that attainable blend: ~1.0 means the engine
+    // extracts everything this host's silicon offers from 8→32 threads
+    // (a real 4×-executor cluster brings 4× memory channels with it, where
+    // the PlanSpec-pinned plan properties — shared exchanges, ~40 B/row
+    // shuffle payload, no single-partition stages — are what carry over).
+    val blendSpeedup = 2.0 / (1.0 / hwSpeedup + 1.0 / hwMemSpeedup)
+    val effVsBlend = math.min(1.0, corr / blendSpeedup)
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     // ANY failed query poisons the headline total to -1: summing only the
@@ -213,7 +226,8 @@ object Bench {
         f""""speedup":$speedup%.2f,"efficiency":$eff%.3f,"hwSpeedup":$hwSpeedup%.2f,"effVsHw":$effVsHw%.3f,""" +
         f""""fixed8":$fixed8%.2f,"fixed32":$fixed32%.2f,"speedupCorrected":$corr%.2f,""" +
         f""""efficiencyCorrected":$effCorr%.3f,"hwMemSpeedup":$hwMemSpeedup%.2f,""" +
-        f""""memGBs8":$mem8%.1f,"memGBs32":$mem32%.1f}"""
+        f""""memGBs8":$mem8%.1f,"memGBs32":$mem32%.1f,""" +
+        f""""blendSpeedup":$blendSpeedup%.2f,"effVsBlend":$effVsBlend%.3f}"""
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}""")
   }

@@ -220,6 +220,10 @@ object SparkEntry {
     // plants deterministic synthetic PII (email + IPv4 + phone derived from
     // doc_id) and both engines must redact the SAME bytes
     "q_redact_pii" -> ((s, dir) =>
+      // synthesized PII per doc exercises every pattern class: email, IPv4,
+      // compressed IPv6, separated card, +CC international phone, US phone —
+      // plus deliberate NON-matches (hyphenated ISBN, dotted version string)
+      // that must survive redaction byte-identically
       t(s, dir, "documents").select(
         col("doc_id"),
         TextFeatures.redactPii(concat(
@@ -227,7 +231,14 @@ object SparkEntry {
           lit("@mail.example.com via 10.2."),
           pmod(col("doc_id"), lit(256)).cast("string"),
           lit(".9 or 555-010-"),
-          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))).as("redacted"))
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+          lit(" node 2001:db8::"),
+          (pmod(col("doc_id"), lit(9999)) + 1).cast("string"),
+          lit(" card 4111-1111-1111-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+          lit(" intl +44 20 7946 "),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+          lit(" isbn 978-3-16-148410-0 build v1.2.3"))).as("redacted"))
         .orderBy("doc_id")),
     // C4-style corpus-level line dedup: the corpus text is single-line, so
     // the query synthesizes deterministic 4-token lines per doc (replayed
@@ -954,12 +965,19 @@ object SparkEntry {
     // replace all, Spark's default); byte-identical redacted strings
     "q_redact_pii" ->
       """SELECT doc_id,
-        |  regexp_replace(regexp_replace(regexp_replace(
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
         |    concat(text, ' contact user', CAST(doc_id AS VARCHAR),
         |           '@mail.example.com via 10.2.', CAST(doc_id % 256 AS VARCHAR),
-        |           '.9 or 555-010-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')),
+        |           '.9 or 555-010-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+        |           ' node 2001:db8::', CAST(doc_id % 9999 + 1 AS VARCHAR),
+        |           ' card 4111-1111-1111-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+        |           ' intl +44 20 7946 ', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+        |           ' isbn 978-3-16-148410-0 build v1.2.3'),
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b(([0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}|([0-9A-Fa-f]{1,4}:){1,6}(:[0-9A-Fa-f]{1,4}){1,6})\b', '<IP>', 'g'),
         |    '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+        |    '\+(\d{6,14}|\d{1,3}[ -]\d{1,4}([ -]\d{2,4}){2,3}|\d{1,3}[ -]?\(\d{1,4}\)[ -]?\d{3,10})\b', '<PHONE>', 'g'),
+        |    '\b(\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}([ -]\d{1,3})?|\d{4}[ -]\d{6}[ -]\d{5}|\d{13,19})\b', '<CC>', 'g'),
         |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS redacted
         |FROM documents ORDER BY doc_id""".stripMargin,
     // 4-token line synthesis (relational replay of the Spark HOF chunking),

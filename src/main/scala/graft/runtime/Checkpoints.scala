@@ -87,12 +87,16 @@ object Checkpoints {
     * schedule otherwise accumulates unbounded (if individually tiny) JSON.
     * Returns the deleted fit directories.
     *
-    * `graceMillis` protects in-flight fits: a directory modified within the
-    * grace window is never evicted regardless of rank. A SLOW fit can look
-    * stale (its mtime is its last step-file write while a long step
-    * computes), so when scheduled fits may overlap, set the grace above the
-    * longest plausible single-step duration; mtime order alone cannot
-    * distinguish "slow and running" from "old and dead".
+    * `graceMillis` protects in-flight fits: a fit modified within the grace
+    * window is never evicted regardless of rank. "Modified" is the MAX mtime
+    * of the fit directory and its contained step files — overwriting an
+    * existing step JSON updates the file's mtime but not necessarily the
+    * parent directory's, so a long resumed fit that rewrites rather than
+    * creates step files would look stale under the bare directory mtime.
+    * A SLOW fit can still look stale (its max mtime is its last step-file
+    * write while a long step computes), so when scheduled fits may overlap,
+    * set the grace above the longest plausible single-step duration; mtime
+    * order alone cannot distinguish "slow and running" from "old and dead".
     */
   def gc(
       root: String,
@@ -114,10 +118,22 @@ object Checkpoints {
         buf.toSeq
       } finally s.close()
     }
+    // a fit's effective mtime = max over the directory and its step files
+    // (fits hold a handful of JSONs, so the listing is cheap)
+    def fitMtime(p: Path): Long = {
+      var m = Files.getLastModifiedTime(p).toMillis
+      val s = Files.list(p)
+      try {
+        val it = s.iterator()
+        while (it.hasNext) m = math.max(m, Files.getLastModifiedTime(it.next()).toMillis)
+      } finally s.close()
+      m
+    }
     val fits = children.filter(Files.isDirectory(_))
-      .sortBy(p => (Files.getLastModifiedTime(p).toMillis, p.getFileName.toString))
+      .map(p => (p, fitMtime(p)))
+      .sortBy { case (p, m) => (m, p.getFileName.toString) }
     val evict = fits.dropRight(keepLatest)
-      .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+      .collect { case (p, m) if m < cutoff => p }
     evict.foreach { d =>
       val w = Files.walk(d)
       try {

@@ -21,6 +21,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StreamFeatures {
 
   final case class Event(url: String, ts: java.sql.Timestamp, value: Double)
+  final case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   final case class SessionOut(url: String, sessionStart: java.sql.Timestamp,
       sessionEnd: java.sql.Timestamp, nEvents: Long, sumValue: Double)
@@ -45,6 +46,46 @@ object StreamFeatures {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
+
+  /** The STATELESS curation gates of [[graft.SparkEntry]]'s
+    * q_curation_pipeline, applied to a (possibly streaming) DataFrame:
+    * quality score + language-ID filter, PII redaction, deterministic
+    * hash-split assignment, optional stratified downsampling. Every gate is
+    * pure Column logic — the SAME expression trees as the batch operators
+    * ([[graft.text.TextFeatures]], [[graft.text.Sampling]]) — so a document
+    * passes the streaming gate iff it passes the batch gate, by
+    * construction, and the streaming plan stays fully map-side (no state, no
+    * shuffle: a `readStream → curationGates → writeStream` pipeline scales
+    * with source partitions alone). The one STATEFUL curation stage, exact
+    * dedup, composes downstream via [[dedupExactStream]] (watermark-bounded
+    * state); per-domain quotas and corpus shuffle are inherently
+    * batch/global and stay on the batch path.
+    *
+    * Adds `quality`, `lang_pred`, `clean_text` (PII-redacted), `split`;
+    * filters to `quality >= minQuality` and `lang_pred ∈ langs`, then (if
+    * `sampleFractions` is non-empty) applies the per-language deterministic
+    * downsampling filter. */
+  def curationGates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minQuality: Double = 0.5,
+      langs: Seq[String] = Seq("en"),
+      sampleFractions: Map[String, Double] = Map.empty,
+      splits: Seq[(String, Double)] = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
+  ): DataFrame = {
+    import graft.text.{Sampling, TextFeatures}
+    val gated = docs
+      .withColumn("quality", TextFeatures.qualityScore(col(textCol)))
+      .withColumn("lang_pred", TextFeatures.langId(col(textCol)))
+      .where(col("quality") >= minQuality &&
+        col("lang_pred").isin(langs.map(_.asInstanceOf[Any]): _*))
+      .withColumn("clean_text", TextFeatures.redactPii(col(textCol)))
+      .withColumn("split", Sampling.splitByHash(col(idCol), splits))
+    if (sampleFractions.isEmpty) gated
+    else gated.where(
+      Sampling.stratifiedSampleByHash(col(idCol), col("lang_pred"), sampleFractions))
+  }
 
   def sessionize(spark: SparkSession, events: Dataset[Event], gapSeconds: Long): Dataset[SessionOut] = {
     import spark.implicits._

@@ -250,16 +250,32 @@ object Dedup {
     * boilerplate line is ONE row on the build side — many probe rows per key
     * is the normal hash-join case, no blowup), and one per-document rebuild
     * agg. Line order is restored by sorting the collected (pos, line)
-    * structs — no window, no global sort.
+    * structs — no window, no global sort. The exploded `lines` subtree feeds
+    * both the counts aggregation and the join probe side, and Catalyst
+    * shares no re-referenced subtree — so the doc-level split arrays are
+    * cached once (the jaccardPairs pattern: cache at DOC granularity, where
+    * the cache is corpus-sized, not exploded-line-sized) and both sides
+    * explode from the cache; the corpus text is read and split exactly once.
+    * The cache's lifetime follows the repo convention: pass a
+    * [[graft.runtime.CacheHandle]] and `release()` after consuming the
+    * result; the default argument keeps session-LRU behavior.
     *
     * Returns (id, clean_text, removed_lines); documents whose every line is
     * removed keep an empty clean_text, and null-text documents pass through
     * with clean_text null / removed_lines 0.
     */
-  def dedupLines(df: DataFrame, id: String, text: String, maxCount: Long = 1L): DataFrame = {
+  def dedupLines(
+      df: DataFrame,
+      id: String,
+      text: String,
+      maxCount: Long = 1L,
+      handle: graft.runtime.CacheHandle = new graft.runtime.CacheHandle
+  ): DataFrame = {
     require(maxCount >= 1, "maxCount must be >= 1 (1 = keep only corpus-unique lines)")
-    val lines = df
-      .select(col(id), posexplode(split(col(text), "\n")).as(Seq("pos", "line")))
+    val docLines = handle.track(
+      df.select(col(id), split(col(text), "\n").as("__lines")).cache())
+    val lines = docLines
+      .select(col(id), posexplode(col("__lines")).as(Seq("pos", "line")))
       .withColumn("__lh", xxhash64(col("line")))
     val counts = lines.groupBy("__lh").agg(count(lit(1)).as("__lc"))
     val rebuilt = lines
@@ -273,7 +289,7 @@ object Dedup {
             s => s.getField("line")),
           "\n").as("clean_text"),
         sum(when(col("__keep"), 0L).otherwise(1L)).as("removed_lines"))
-    df.select(col(id))
+    docLines.select(col(id))
       .join(rebuilt, Seq(id), "left")
       .na.fill(0L, Seq("removed_lines"))
   }

@@ -36,7 +36,11 @@ object Packing {
   ): DataFrame = {
     require(budget >= 1, "budget must be >= 1 token")
     require(bucketSize >= 1, "bucketSize must be >= 1")
-    val bucketed = df.withColumn("__pbkt", floor(col(id) / bucketSize))
+    // exact integer division (SQL `div`): `floor(col / k)` divides as DOUBLE,
+    // and above 2^53 (reachable with monotonically_increasing_id, which packs
+    // the partition index into the high bits) double rounding can move a
+    // boundary id into the neighboring bucket
+    val bucketed = df.withColumn("__pbkt", expr(s"`$id` div ${bucketSize}L"))
     // phase 1: exact driver-side prefix sum over one row per OCCUPIED
     // bucket (TwoPhase bounds the driver transfer and aborts on sparse or
     // null ids; null token counts weigh 0 — such docs occupy no chunk and

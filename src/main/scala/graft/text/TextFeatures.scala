@@ -75,20 +75,49 @@ object TextFeatures {
       .otherwise(lit("und"))
   }
 
-  /** PII redaction: emails → `<EMAIL>`, IPv4 addresses → `<IP>`,
-    * phone-shaped digit groups → `<PHONE>`. A chain of three
-    * `regexp_replace` calls — codegen'd, single pass over the text, no UDF.
-    * Patterns stay inside the RE2-compatible subset (no backreferences, no
-    * lookaround) so RE2-based engines replay them byte-for-byte (the DuckDB
-    * oracle does, with its explicit 'g' flag). Order matters: emails first
-    * (their local part may contain digits that the phone pattern would
-    * otherwise split). */
+  /** PII redaction: emails → `<EMAIL>`, IPv6 then IPv4 addresses → `<IP>`,
+    * credit-card-shaped digit runs → `<CC>`, international `+CC` then
+    * US-style phone numbers → `<PHONE>`. A chain of `regexp_replace` calls —
+    * codegen'd, single pass over the text each, no UDF. Patterns stay inside
+    * the RE2-compatible subset (no backreferences, no lookaround) so
+    * RE2-based engines replay them byte-for-byte (the DuckDB oracle does,
+    * with its explicit 'g' flag). Order matters: emails first (their local
+    * part may contain digits the later patterns would split); `+CC`
+    * international phones before cards (a contiguous `+4915123456789` is a
+    * phone — the card rule's bare 13–19-digit run would eat it otherwise,
+    * while the `+` anchor keeps the phone rule off every card form); cards
+    * before the bare US phone shape (a 16-digit card must not be half-eaten
+    * as a phone).
+    *
+    * Pattern notes (deliberate, documented misses — no lookaround means no
+    * checksum/prefix logic):
+    *  - IPv6 matches the full 8-group form and `::`-compressed forms with at
+    *    least one group on each side; bare `::1` / `fe80::` are missed. MAC
+    *    addresses (6 groups, no `::`) and clock times (no `::`) do NOT match.
+    *  - Cards match 4-4-4-4(+0–3) and 4-6-5 separator-grouped runs plus
+    *    contiguous 13–19 digit runs. Hyphenated ISBNs (irregular grouping:
+    *    978-3-16-148410-0) and dotted version strings do NOT match; an
+    *    UNhyphenated ISBN-13 is indistinguishable from a 13-digit PAN
+    *    without a Luhn check and is redacted (the conservative side for PII).
+    *  - International phones need a `+1..3`-digit country code followed by
+    *    6–14 contiguous digits, 3–4 separator-delimited groups, or a
+    *    parenthesized area code; arithmetic like `3+4-5` does not match
+    *    (two trailing groups required). */
   def redactPii(text: Column): Column = {
     val email = regexp_replace(text,
       "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
-    val ip = regexp_replace(email,
+    val ip6 = regexp_replace(email,
+      "\\b(([0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}|([0-9A-Fa-f]{1,4}:){1,6}(:[0-9A-Fa-f]{1,4}){1,6})\\b",
+      "<IP>")
+    val ip4 = regexp_replace(ip6,
       "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>")
-    regexp_replace(ip,
+    val intl = regexp_replace(ip4,
+      "\\+(\\d{6,14}|\\d{1,3}[ -]\\d{1,4}([ -]\\d{2,4}){2,3}|\\d{1,3}[ -]?\\(\\d{1,4}\\)[ -]?\\d{3,10})\\b",
+      "<PHONE>")
+    val card = regexp_replace(intl,
+      "\\b(\\d{4}[ -]\\d{4}[ -]\\d{4}[ -]\\d{4}([ -]\\d{1,3})?|\\d{4}[ -]\\d{6}[ -]\\d{5}|\\d{13,19})\\b",
+      "<CC>")
+    regexp_replace(card,
       "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b", "<PHONE>")
   }
 

@@ -147,6 +147,35 @@ class CurationSpec extends AnyFunSuite {
     cases.map(_._2).zip(got).foreach { case (want, g) => assert(g == want) }
   }
 
+  test("redactPii: IPv6, credit cards, international phones; documented non-matches survive") {
+    import graft.text.TextFeatures
+    val cases = Seq(
+      // IPv6: full 8-group and ::-compressed forms
+      ("v6 2001:0db8:85a3:0000:0000:8a2e:0370:7334 up", "v6 <IP> up"),
+      ("gw 2001:db8::1 and fe80:0:0:0:202:b3ff:fe1e:8329", "gw <IP> and <IP>"),
+      // NOT IPv6: MAC address (6 groups, no ::), clock time, C++ scope
+      ("mac 00:1B:44:11:3A:B7 at 12:30:45 std::vector",
+       "mac 00:1B:44:11:3A:B7 at 12:30:45 std::vector"),
+      // cards: 4-4-4-4 separated, Amex 4-6-5, contiguous 16, 19-digit
+      ("pay 4111-1111-1111-1111 or 4111 1111 1111 1111", "pay <CC> or <CC>"),
+      ("amex 3782-822463-10005 plain 4111111111111111", "amex <CC> plain <CC>"),
+      ("long 6221261111111111111 run", "long <CC> run"),
+      // NOT cards: hyphenated ISBN (irregular groups), 12- and 20-digit runs
+      ("isbn 978-3-16-148410-0 ids 123456789012 12345678901234567890",
+       "isbn 978-3-16-148410-0 ids 123456789012 12345678901234567890"),
+      // international phones: separated, contiguous, parenthesized area code
+      ("call +1-555-123-4567 or +44 20 7946 0958", "call <PHONE> or <PHONE>"),
+      ("mob +4915123456789 office +49 (30) 1234567", "mob <PHONE> office <PHONE>"),
+      // NOT phones: arithmetic with a plus, C++ increment
+      ("sum 3+4-5 12 and i++ done", "sum 3+4-5 12 and i++ done"),
+      // ordering: the +CC prefix is consumed by the international pattern,
+      // not left dangling by the US pattern
+      ("us-shaped +1 555-123-4567 tail", "us-shaped <PHONE> tail"))
+    val got = cases.map(_._1).toDF("t")
+      .select(TextFeatures.redactPii(col("t"))).collect().map(_.getString(0))
+    cases.map(_._2).zip(got).foreach { case (want, g) => assert(g == want, s"input: ${cases(got.indexOf(g))._1}") }
+  }
+
   test("dedupLines: corpus-frequent lines removed, order kept, edge docs handled") {
     import graft.text.Dedup
     val docs = Seq(

@@ -77,6 +77,9 @@ class RuntimeSpec extends AnyFunSuite {
       val d = Paths.get(root, "pipe_a", f"fit_$i%02d")
       Files.createDirectories(d)
       Files.writeString(d.resolve("step_000_x.json"), "{}")
+      // a fit's age is max(dir mtime, step-file mtimes) — backdate both
+      Files.setLastModifiedTime(d.resolve("step_000_x.json"),
+        FileTime.fromMillis(1000000L + i * 60000))
       Files.setLastModifiedTime(d, FileTime.fromMillis(1000000L + i * 60000))
       d
     }
@@ -104,6 +107,15 @@ class RuntimeSpec extends AnyFunSuite {
       "within-grace fit must survive despite ranking beyond keepLatest")
     assert(Checkpoints.gc(root, "pipe_a", 2, graceMillis = 0L) == Seq(recent.toString),
       "grace 0 evicts it")
+    // a long in-flight fit that OVERWRITES existing step files bumps only
+    // the files' mtimes, not the directory's (Files.writeString to an
+    // existing name) — the max(dir, files) age must still protect it
+    val inflight = Paths.get(root, "pipe_a", "fit_inflight_overwriter")
+    Files.createDirectories(inflight)
+    Files.writeString(inflight.resolve("step_000_x.json"), "{}")
+    Files.setLastModifiedTime(inflight, FileTime.fromMillis(1000000L)) // dir looks ancient
+    assert(Checkpoints.gc(root, "pipe_a", 2).isEmpty,
+      "fresh step-file mtime must protect a fit whose dir mtime is stale")
   }
 
   test("partition metrics: digests are order-insensitive and detect change") {
@@ -163,6 +175,7 @@ class RuntimeSpec extends AnyFunSuite {
         Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", planes, 0.9,
           bands = 4, handle = h).count()
         graft.text.LmScore.charBigramScore(docs, "doc_id", "text", h).count()
+        Dedup.dedupLines(docs, "doc_id", "text", maxCount = 1, handle = h).count()
       } finally h.release()
     }
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before

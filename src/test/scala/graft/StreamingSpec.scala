@@ -53,6 +53,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming curation gates + watermarked dedup match the batch pipeline's stateless stages") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamFeatures.Doc
+    val en1 = "the quick brown fox jumps over the lazy dog and runs far away today"
+    val pii = "please send the mail to bob@example.com and wait for the reply okay"
+    val de1 = "der hund und die katze ist nicht ein freund von dem haus und der garten"
+    val input = MemoryStream[Doc]
+    val gated = StreamFeatures.curationGates(input.toDF(), "doc_id", "text")
+    val dd = StreamFeatures.dedupExactStream(gated, "ts", "text", "10 minutes")
+    val q = dd.writeStream.outputMode("append").format("memory").queryName("cur").start()
+    try {
+      input.addData(
+        Doc(1L, ts("2024-01-01 00:00:00"), en1),
+        Doc(2L, ts("2024-01-01 00:00:10"), de1),     // language gate drops
+        Doc(3L, ts("2024-01-01 00:00:20"), "xyzzy"), // quality gate drops
+        Doc(4L, ts("2024-01-01 00:00:30"), pii))
+      q.processAllAvailable()
+      input.addData(Doc(5L, ts("2024-01-01 00:01:00"), en1)) // dup of doc 1 within watermark
+      q.processAllAvailable()
+      val got = spark.sql("select * from cur").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Double]("quality"), r.getAs[String]("lang_pred"),
+            r.getAs[String]("clean_text"), r.getAs[String]("split"))).toMap
+      assert(got.keySet == Set(1L, 4L),
+        "gates drop de/low-quality; watermarked dedup suppresses the duplicate")
+      assert(got(4L)._3.contains("<EMAIL>") && !got(4L)._3.contains("bob@example.com"))
+      assert(got(1L)._3 == en1, "clean text untouched by redaction")
+      // parity by construction with the BATCH column gates: same expression
+      // trees, so quality/lang/split agree exactly on the same rows
+      val batch = Seq((1L, en1), (4L, pii)).toDF("doc_id", "text")
+        .select(col("doc_id"),
+          graft.text.TextFeatures.qualityScore(col("text")).as("q"),
+          graft.text.TextFeatures.langId(col("text")).as("l"),
+          graft.text.Sampling.splitByHash(col("doc_id"),
+            Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)).as("s"))
+        .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2), r.getString(3))).toMap
+      Seq(1L, 4L).foreach { id =>
+        assert(got(id)._1 == batch(id)._1 && got(id)._2 == batch(id)._2 &&
+          got(id)._4 == batch(id)._3, s"doc $id streaming/batch gate drift")
+      }
+      // the streaming plan of the gates alone is stateless: no state store
+      // operator — scales with source partitions only
+      val gatesOnlyPlan = gated.queryExecution.analyzed.toString
+      assert(!gatesOnlyPlan.toLowerCase.contains("statestore"))
+    } finally q.stop()
+  }
+
   test("streaming exact dedup suppresses same-fingerprint rows within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
