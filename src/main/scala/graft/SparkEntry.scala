@@ -9,7 +9,7 @@ import graft.select._
 import graft.sim.{Quantize, Similarity}
 import graft.stats.{Anova, Auc, Binning, ChiSq, Correlation, Entropy}
 import graft.temporal.{AsOf, Salting, Windows}
-import graft.text.{Dedup, LmScore, Packing, Repetition, Sampling, TextFeatures}
+import graft.text.{Dedup, HtmlExtract, LmScore, Packing, Repetition, Sampling, TextFeatures, UrlFeatures}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -240,6 +240,51 @@ object SparkEntry {
           lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
           lit(" isbn 978-3-16-148410-0 build v1.2.3"))).as("redacted"))
         .orderBy("doc_id")),
+    // HTML -> text extraction: deterministic per-doc html synthesized from
+    // the corpus text (script/style/comment payloads, entities incl. a
+    // double-encoded one, block boundaries, two links), then the full
+    // extraction chain — replayed step-for-step by DuckDB's RE2
+    "q_html_extract" -> ((s, dir) => {
+      def html = concat(
+        lit("<html><head><title>Doc &amp; "), col("doc_id").cast("string"),
+        lit("</title><style>p{color:red}</style></head><body><script>var x=1;</script><h1>Doc "),
+        col("doc_id").cast("string"),
+        lit("</h1><p>"), col("text"),
+        lit("</p><!-- hidden <p>markup</p> --><p>tail &lt;b&gt;&nbsp;end &amp;lt;lit</p>" +
+          "<a href=\"/a\">x</a><a href=\"/b\">y</a></body></html>"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        HtmlExtract.extractText(html).as("extracted"),
+        HtmlExtract.title(html).as("title"),
+        HtmlExtract.linkCount(html).cast("long").as("n_links"))
+        .orderBy("doc_id")
+    }),
+    // URL parse/normalize: four deterministic url shapes per doc (scheme-less
+    // + co.uk zone, credentialed, IPv4-literal with default port, uppercase
+    // host with :443/params/fragment) through the full feature set
+    "q_url_parse" -> ((s, dir) => {
+      def url = when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(lit("example.co.uk/path"), pmod(col("doc_id"), lit(5)).cast("string"), lit("/")))
+        .when(pmod(col("doc_id"), lit(4)) === 1,
+          concat(lit("https://user@Sub."), col("source"), lit(".Test.ORG/x/y/z?q="),
+            col("doc_id").cast("string"), lit("#f")))
+        .when(pmod(col("doc_id"), lit(4)) === 2,
+          concat(lit("http://192.168.3."), pmod(col("doc_id"), lit(250)).cast("string"), lit(":80/")))
+        .otherwise(
+          concat(lit("HTTPS://WWW."), col("source"), lit(".Example.COM:443/a/b"),
+            pmod(col("doc_id"), lit(3)).cast("string"), lit("/page?id="),
+            col("doc_id").cast("string"), lit("&ref=feed#frag")))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        UrlFeatures.scheme(url).as("scheme"),
+        UrlFeatures.host(url).as("host"),
+        UrlFeatures.registrableDomain(url).as("domain"),
+        UrlFeatures.path(url).as("path"),
+        UrlFeatures.pathDepth(url).cast("long").as("path_depth"),
+        UrlFeatures.queryParamCount(url).cast("long").as("n_params"),
+        UrlFeatures.normalize(url).as("normalized"))
+        .orderBy("doc_id")
+    }),
     // C4-style corpus-level line dedup: the corpus text is single-line, so
     // the query synthesizes deterministic 4-token lines per doc (replayed
     // relationally in DuckDB), then drops every line occurring more than
@@ -980,6 +1025,87 @@ object SparkEntry {
         |    '\b(\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}([ -]\d{1,3})?|\d{4}[ -]\d{6}[ -]\d{5}|\d{13,19})\b', '<CC>', 'g'),
         |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS redacted
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the full extraction chain replayed stage-for-stage (each CTE is
+    // referenced exactly once; all string ops deterministic); chr(10) is the
+    // newline replacement (a DuckDB standard string '\n' stays two chars)
+    "q_html_extract" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    concat('<html><head><title>Doc &amp; ', CAST(doc_id AS VARCHAR),
+        |      '</title><style>p{color:red}</style></head><body><script>var x=1;</script><h1>Doc ',
+        |      CAST(doc_id AS VARCHAR), '</h1><p>', text,
+        |      '</p><!-- hidden <p>markup</p> --><p>tail &lt;b&gt;&nbsp;end &amp;lt;lit</p>',
+        |      '<a href="/a">x</a><a href="/b">y</a></body></html>') AS h
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, h, regexp_replace(regexp_replace(regexp_replace(h,
+        |  '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |  '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |  '(?s)<!--.*?-->', ' ', 'g') AS a FROM base),
+        |s2 AS (SELECT doc_id, h, regexp_replace(regexp_replace(a,
+        |  '(?i)</(p|div|li|h1|h2|h3|h4|h5|h6|tr|table|ul|ol|blockquote)>|<br[^>]*>', chr(10), 'g'),
+        |  '<[^>]+>', ' ', 'g') AS a FROM s1),
+        |s3 AS (SELECT doc_id, h,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(a,
+        |  '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'), '&#39;', '''', 'g'),
+        |  '&nbsp;', ' ', 'g'), '&amp;', '&', 'g') AS a FROM s2),
+        |s4 AS (SELECT doc_id, h,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(a,
+        |  '[ \t\x0B\f\r]+', ' ', 'g'), ' ?\n ?', chr(10), 'g'),
+        |  '\n{2,}', chr(10), 'g'), '^\n|\n$', '', 'g') AS a FROM s3)
+        |SELECT doc_id, trim(a) AS extracted,
+        |  trim(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_extract(h, '(?is)<title[^>]*>(.*?)</title>', 1),
+        |      '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'), '&#39;', '''', 'g'),
+        |      '&nbsp;', ' ', 'g'),
+        |    '&amp;', '&', 'g'), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS title,
+        |  CAST(length(regexp_extract_all(h, '(?i)<a[ \t\n][^>]*href')) AS BIGINT) AS n_links
+        |FROM s4 ORDER BY doc_id""".stripMargin,
+    "q_url_parse" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0 THEN concat('example.co.uk/path', CAST(doc_id % 5 AS VARCHAR), '/')
+        |         WHEN doc_id % 4 = 1 THEN concat('https://user@Sub.', source, '.Test.ORG/x/y/z?q=',
+        |                                         CAST(doc_id AS VARCHAR), '#f')
+        |         WHEN doc_id % 4 = 2 THEN concat('http://192.168.3.', CAST(doc_id % 250 AS VARCHAR), ':80/')
+        |         ELSE concat('HTTPS://WWW.', source, '.Example.COM:443/a/b', CAST(doc_id % 3 AS VARCHAR),
+        |                     '/page?id=', CAST(doc_id AS VARCHAR), '&ref=feed#frag')
+        |    END AS u
+        |  FROM documents),
+        |p1 AS (
+        |  SELECT doc_id, u,
+        |    regexp_replace(regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', '', 'g'),
+        |                   '^[^/?#@]*@', '', 'g') AS nocreds,
+        |    regexp_replace(u, '#.*$', '', 'g') AS nofrag
+        |  FROM base),
+        |p2 AS (
+        |  SELECT doc_id, u, nofrag,
+        |    lower(regexp_extract(nocreds, '^([^/:?#]+)', 1)) AS host,
+        |    regexp_extract(nocreds, '^[^/?#]*(/[^?#]*)', 1) AS path,
+        |    regexp_extract(u, '\?([^#]*)', 1) AS q,
+        |    regexp_replace(regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://', '', 'g'),
+        |                   '^[^/?#@]*@', '', 'g') AS ncf
+        |  FROM p1)
+        |SELECT doc_id,
+        |  lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |  host,
+        |  CASE WHEN regexp_extract(host, '^(\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3})$', 1) <> ''
+        |         THEN regexp_extract(host, '^(\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3})$', 1)
+        |       WHEN regexp_extract(host, '([^.]+\.(?:co|com|net|org|ac|gov|edu)\.[^.]+)$', 1) <> ''
+        |         THEN regexp_extract(host, '([^.]+\.(?:co|com|net|org|ac|gov|edu)\.[^.]+)$', 1)
+        |       WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) <> ''
+        |         THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+        |       ELSE host END AS domain,
+        |  path,
+        |  CAST(length(regexp_extract_all(path, '/[^/]')) AS BIGINT) AS path_depth,
+        |  CAST(CASE WHEN q = '' THEN 0 ELSE length(string_split(q, '&')) END AS BIGINT) AS n_params,
+        |  concat(
+        |    CASE WHEN regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) = '' THEN ''
+        |         ELSE concat(lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)), '://') END,
+        |    regexp_replace(lower(regexp_extract(ncf, '^([^/?#]+)', 1)), ':(80|443)$', '', 'g'),
+        |    regexp_replace(regexp_replace(ncf, '^[^/?#]+', '', 'g'), '^/$', '', 'g')
+        |  ) AS normalized
+        |FROM p2 ORDER BY doc_id""".stripMargin,
     // 4-token line synthesis (relational replay of the Spark HOF chunking),
     // corpus-wide line counts, keep lines with count <= 1, ordered rebuild
     "q_line_dedup" ->
