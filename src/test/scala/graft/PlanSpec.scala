@@ -102,6 +102,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"stratified sample must not shuffle:\n$p")
   }
 
+  test("html extraction and url parsing are pure map-side: zero exchanges") {
+    // both are regexp-chain projections — they must fuse into the scan and
+    // run at parquet-read speed at any corpus size
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val ex1 = plan(docs.select(col("doc_id"),
+      graft.text.HtmlExtract.extractText(col("text")),
+      graft.text.HtmlExtract.title(col("text")),
+      graft.text.HtmlExtract.linkCount(col("text"))))
+    assert(!ex1.contains("Exchange"), s"html extraction must not shuffle:\n$ex1")
+    val ex2 = plan(docs.select(col("doc_id"),
+      graft.text.UrlFeatures.host(col("text")),
+      graft.text.UrlFeatures.registrableDomain(col("text")),
+      graft.text.UrlFeatures.normalize(col("text"))))
+    assert(!ex2.contains("Exchange"), s"url parsing must not shuffle:\n$ex2")
+  }
+
   test("LM scoring joins the model by BROADCAST (the corpus side never shuffles)") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val h = new graft.runtime.CacheHandle
