@@ -300,6 +300,19 @@ object SparkEntry {
           .otherwise(lit("")).as("line_text"))
       Dedup.dedupLines(synth, "doc_id", "line_text", maxCount = 1).orderBy("doc_id")
     }),
+    // exact duplicated-substring dedup (Lee et al. 2022): a shared 5-token
+    // header on every doc and a shared 5-token footer on every 5th doc are
+    // cut wherever their 4-grams repeat corpus-wide (plus whatever natural
+    // 4-gram dups the small-vocab corpus contains — the oracle replays the
+    // identical hash counts); portable md5-48 gram hashes
+    "q_dup_spans" -> ((s, dir) => {
+      val d = t(s, dir, "documents").withColumn("text2", concat(
+        lit("terms of service apply here "), col("text"),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          lit(" standard footer disclaimer text block")).otherwise(lit(""))))
+      Dedup.duplicateSpans(d, "doc_id", "text2", k = 4, maxCount = 1, portableMd5 = true)
+        .orderBy("doc_id")
+    }),
     // deterministic corpus shuffle: the md5-portable global shuffle order,
     // exact rank replayed by DuckDB's row_number over the same hash
     "q_shuffle_rank" -> ((s, dir) =>
@@ -1125,6 +1138,44 @@ object SparkEntry {
         |  CAST(coalesce(sum(CASE WHEN NOT k.keep THEN 1 ELSE 0 END), 0) AS BIGINT) AS removed_lines
         |FROM documents d LEFT JOIN k ON d.doc_id = k.doc_id
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+    // duplicated-substring dedup: positional 4-grams via lead() windows,
+    // md5-48 digit-sum hashes, corpus counts, coverage expansion and the
+    // ordered rebuild — the exact relational replay of duplicateSpans
+    "q_dup_spans" ->
+      """WITH d2 AS (
+        |  SELECT doc_id, concat('terms of service apply here ', text,
+        |    CASE WHEN doc_id % 5 = 0 THEN ' standard footer disclaimer text block' ELSE '' END) AS t2
+        |  FROM documents),
+        |w AS MATERIALIZED (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(t2), '\s+')) AS tok,
+        |         generate_subscripts(regexp_split_to_array(trim(t2), '\s+'), 1) - 1 AS tpos
+        |  FROM d2),
+        |g AS (
+        |  SELECT doc_id, tpos AS gpos,
+        |    concat(tok, ' ', lead(tok,1) OVER dw, ' ', lead(tok,2) OVER dw, ' ', lead(tok,3) OVER dw) AS gram,
+        |    count(*) OVER (PARTITION BY doc_id) AS n
+        |  FROM w WINDOW dw AS (PARTITION BY doc_id ORDER BY tpos)),
+        |gh AS MATERIALIZED (
+        |  SELECT doc_id, gpos,
+        |    CAST(list_sum(list_transform(range(1, 13),
+        |      k -> (strpos('0123456789abcdef', substr(md5(gram), CAST(k AS INT), 1)) - 1)
+        |           * pow(16, 12 - k))) AS BIGINT) AS h
+        |  FROM g WHERE gpos <= n - 4),
+        |dup AS (SELECT h FROM gh GROUP BY h HAVING count(*) > 1),
+        |cov AS MATERIALIZED (
+        |  SELECT DISTINCT gh.doc_id, gh.gpos + u.o AS tpos
+        |  FROM gh JOIN dup USING (h) CROSS JOIN (SELECT unnest([0,1,2,3]) AS o) u),
+        |reb AS (
+        |  SELECT w.doc_id, string_agg(w.tok, ' ' ORDER BY w.tpos) AS clean_text
+        |  FROM w LEFT JOIN cov ON w.doc_id = cov.doc_id AND w.tpos = cov.tpos
+        |  WHERE cov.tpos IS NULL GROUP BY w.doc_id),
+        |rem AS (SELECT doc_id, count(*) AS removed FROM cov GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(reb.clean_text, '') AS clean_text,
+        |  CAST(COALESCE(rem.removed, 0) AS BIGINT) AS removed_tokens
+        |FROM documents d
+        |LEFT JOIN reb ON d.doc_id = reb.doc_id
+        |LEFT JOIN rem ON d.doc_id = rem.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // GLOBAL-WINDOW-OK (oracle SQL, small scale): one global row_number
     // replays the engine's two-phase bucketed ranking exactly
     "q_shuffle_rank" ->

@@ -328,6 +328,66 @@ object BinaryFeatures {
     case _ => text.getBytes("UTF-8")
   }
 
+  /** Deterministic image resize: decode via the JDK codecs (jpeg/png/gif/
+    * bmp — ImageIO carries a native BMP reader too), NEAREST-NEIGHBOR
+    * downsample to fit inside `maxW`×`maxH` preserving aspect (never
+    * upscales), re-encode as PNG. The sampling loop is hand-rolled integer
+    * arithmetic (`sx = x·srcW/dstW`), NOT `getScaledInstance`, so the
+    * output raster is bit-deterministic across JVMs/platforms — the same
+    * property every other operator here guarantees. Alpha is composited
+    * away (opaque RGB) so the PNG payload is a pure pixel function.
+    * Returns None on corrupt/unsupported payloads (caller keeps the
+    * original row — a resize gate must never fail the pipeline). */
+  def resizeImage(b: Array[Byte], maxW: Int, maxH: Int): Option[(Array[Byte], Int, Int)] = {
+    require(maxW >= 1 && maxH >= 1, "target box must be at least 1x1")
+    try {
+      val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      if (src == null || src.getWidth <= 0 || src.getHeight <= 0) None
+      else {
+        val scale = math.min(1.0,
+          math.min(maxW.toDouble / src.getWidth, maxH.toDouble / src.getHeight))
+        val w = math.max(1, math.floor(src.getWidth * scale + 0.5).toInt)
+        val h = math.max(1, math.floor(src.getHeight * scale + 0.5).toInt)
+        val dst = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          val sy = math.min(src.getHeight - 1, (y.toLong * src.getHeight / h).toInt)
+          var x = 0
+          while (x < w) {
+            val sx = math.min(src.getWidth - 1, (x.toLong * src.getWidth / w).toInt)
+            dst.setRGB(x, y, src.getRGB(sx, sy) | 0xff000000)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(dst, "png", bos)
+        Some((bos.toByteArray, w, h))
+      }
+    } catch { case _: Exception => None }
+  }
+
+  final case class Thumbnail(id: Long, png: Array[Byte], width: Int, height: Int, resized: Boolean)
+
+  /** Per-partition batch thumbnailing — the resize stage of a multimodal
+    * curation pipeline, same plumbing shape as [[decodeFeatures]] (one
+    * iterator pass per partition, decode parallelism = partition
+    * parallelism; repartition upstream to spread decode cost). Rows whose
+    * payload does not decode are emitted with the ORIGINAL bytes and
+    * `resized = false` — lossless passthrough, the downstream table never
+    * loses a document to a bad image. */
+  def thumbnails(spark: SparkSession, media: Dataset[MediaRow], maxW: Int, maxH: Int): Dataset[Thumbnail] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { row =>
+        resizeImage(row.bytes, maxW, maxH) match {
+          case Some((png, w, h)) => Thumbnail(row.id, png, w, h, resized = true)
+          case None              => Thumbnail(row.id, row.bytes, 0, 0, resized = false)
+        }
+      }
+    }
+  }
+
   /** Frame sampling stub for video-like payloads: REAL byte-range slicing
     * (every k-th chunk of `chunk` bytes — the seek pattern a real demuxer
     * would use), fake frame decode. */

@@ -294,6 +294,84 @@ object Dedup {
       .na.fill(0L, Seq("removed_lines"))
   }
 
+  /** Exact duplicated-SUBSTRING dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): any k-token gram whose
+    * exact text occurs more than `maxCount` times ACROSS THE CORPUS marks
+    * its k token positions as duplicated, and every document is rebuilt
+    * from its unmarked tokens in original order. This is the level between
+    * [[dedupLines]] (needs exact line boundaries) and [[nearDuplicates]]
+    * (whole-document): copy-pasted license blocks, boilerplate sentences
+    * and templated spans are cut wherever they appear, mid-line or not.
+    * Overlapping duplicated grams merge naturally (a 30-token copied block
+    * with k=8 marks all 30 positions via its 23 overlapping grams).
+    *
+    * Scale shape: gram hashing is one pass inside whole-stage codegen
+    * ([[graft.functions.WordGramHashes]] — positional hashes as an
+    * array<long>, ~8 bytes/token, no gram strings, no token shuffle to
+    * build grams); corpus-wide counts are one map-side-combinable agg on
+    * the 48-bit hash; the counts join puts ONE row per duplicated gram on
+    * the build side (hot boilerplate = many probe rows per key, the normal
+    * hash-join case); coverage expands only DUPLICATED positions ×k before
+    * a distinct (worst case k× tokens on a fully-copied corpus, ~nothing
+    * on a clean one); the rebuild is an anti-join plus one per-document
+    * agg, order restored by sorting (pos, token) structs — no window, no
+    * global sort. The doc-level token+hash arrays are cached once (both
+    * the gram pass and the rebuild derive from them — the re-referenced-
+    * subtree rule); lifetime follows the repo convention via `handle`.
+    *
+    * False sharing across a 48-bit hash at corpus scale: with H distinct
+    * grams the expected spuriously-marked gram count is ~H²/2⁴⁹ — at 10⁹
+    * distinct grams that is ~3.5×10³ extra marked grams corpus-wide
+    * (~10⁻⁶ of tokens), acceptable for curation; the xx64 variant halves
+    * nothing (64-bit) and is the production default.
+    *
+    * Returns (id, clean_text, removed_tokens); a fully-duplicated document
+    * keeps an empty clean_text; null-text documents pass through with null
+    * clean_text and 0 removals.
+    */
+  def duplicateSpans(
+      df: DataFrame,
+      id: String,
+      text: String,
+      k: Int,
+      maxCount: Long = 1L,
+      portableMd5: Boolean = false,
+      handle: graft.runtime.CacheHandle = new graft.runtime.CacheHandle
+  ): DataFrame = {
+    require(k >= 2, "k must be >= 2 (single-token spans are word filtering, not substring dedup)")
+    require(maxCount >= 1, "maxCount must be >= 1 (1 = cut any gram occurring twice)")
+    val hashes =
+      if (portableMd5) graft.functions.WordGramHashes.gramHashes48(col(text), k)
+      else graft.functions.WordGramHashes.gramHashes64(col(text), k)
+    val docs = handle.track(df.select(
+      col(id),
+      when(col(text).isNull, lit(null).cast("array<string>"))
+        .when(length(trim(col(text))) === 0, array().cast("array<string>"))
+        .otherwise(split(trim(col(text)), "\\s+")).as("__toks"),
+      hashes.as("__gh")).cache())
+    val grams = docs.select(col(id), posexplode(col("__gh")).as(Seq("gpos", "h")))
+    val dupHashes = grams.groupBy("h").agg(count(lit(1)).as("__c"))
+      .where(col("__c") > maxCount).select("h")
+    val covered = grams.join(dupHashes, "h")
+      .select(col(id), explode(sequence(col("gpos"), col("gpos") + (k - 1))).as("tpos"))
+      .distinct()
+    val kept = docs.select(col(id), posexplode(col("__toks")).as(Seq("tpos", "tok")))
+      .join(covered, Seq(id, "tpos"), "left_anti")
+    val rebuilt = kept.groupBy(col(id)).agg(
+      array_join(
+        transform(array_sort(collect_list(struct(col("tpos"), col("tok")))),
+          s => s.getField("tok")), " ").as("__clean"))
+    val removed = covered.groupBy(col(id)).agg(count(lit(1)).as("__removed"))
+    docs.select(col(id), col("__toks").isNull.as("__wasnull"))
+      .join(rebuilt, Seq(id), "left")
+      .join(removed, Seq(id), "left")
+      .select(
+        col(id),
+        when(col("__wasnull"), lit(null)).otherwise(coalesce(col("__clean"), lit("")))
+          .as("clean_text"),
+        coalesce(col("__removed"), lit(0L)).as("removed_tokens"))
+  }
+
   /** 64-bit SimHash over tokens: bit j of the result is 1 iff the sum of
     * (+1/−1) contributions of token-hash bit j is positive. Expressed as 64
     * per-bit sums in one aggregation (map-side combine). Returns (id, simhash).

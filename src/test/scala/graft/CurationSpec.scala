@@ -176,6 +176,69 @@ class CurationSpec extends AnyFunSuite {
     cases.map(_._2).zip(got).foreach { case (want, g) => assert(g == want, s"input: ${cases(got.indexOf(g))._1}") }
   }
 
+  test("native WordGramHashes == built-in transform/slice/md5|xxhash64 chain, element-for-element") {
+    import graft.functions.WordGramHashes
+    def builtinGrams(text: org.apache.spark.sql.Column, n: Int) = {
+      val toks = split(trim(text), "\\s+")
+      filter(
+        transform(toks, (_, i) =>
+          when(i <= size(toks) - n, concat_ws(" ", slice(toks, i + 1, lit(n))))),
+        s => s.isNotNull)
+    }
+    val texts = Seq(
+      "the quick brown fox jumps", "a b", "one", "", "  padded   spaces  ",
+      "Case SENSITIVE case sensitive", null.asInstanceOf[String])
+    for (n <- Seq(2, 3, 5)) {
+      val got = texts.toDF("t").select(
+        WordGramHashes.gramHashes48(col("t"), n),
+        transform(builtinGrams(col("t"), n),
+          g => conv(substring(md5(g), 1, 12), 16, 10).cast("long")),
+        WordGramHashes.gramHashes64(col("t"), n),
+        transform(builtinGrams(col("t"), n), g => xxhash64(g))).collect()
+      got.zip(texts).foreach { r =>
+        assert(r._1.getSeq[Long](0) == r._1.getSeq[Long](1), s"md5_48 n=$n text='${r._2}'")
+        assert(r._1.getSeq[Long](2) == r._1.getSeq[Long](3), s"xx64 n=$n text='${r._2}'")
+      }
+    }
+  }
+
+  test("duplicateSpans: corpus-duplicated k-gram spans cut, overlaps merge, edges pass through") {
+    import graft.text.Dedup
+    val docs = Seq(
+      (1L, "x1 x2 common block here y1 y2"),
+      (2L, "z1 common block here z2"),
+      (3L, "totally unique text alpha beta"),
+      (4L, ""),
+      (5L, null.asInstanceOf[String]),
+      (6L, "common block here"),
+      (7L, "p q common block here common block here r")
+    ).toDF("doc_id", "text")
+    val h = new graft.runtime.CacheHandle
+    try {
+      val got = Dedup.duplicateSpans(docs, "doc_id", "text", k = 3, handle = h)
+        .collect().map(r => r.getLong(0) -> ((Option(r.getString(1)), r.getLong(2)))).toMap
+      assert(got(1L) == ((Some("x1 x2 y1 y2"), 3L)), "interior dup block cut")
+      assert(got(2L) == ((Some("z1 z2"), 3L)))
+      assert(got(3L) == ((Some("totally unique text alpha beta"), 0L)), "clean doc untouched")
+      assert(got(4L) == ((Some(""), 0L)), "empty text stays empty")
+      assert(got(5L) == ((None, 0L)), "null text stays null")
+      assert(got(6L) == ((Some(""), 3L)), "fully-duplicated doc becomes empty, not missing")
+      assert(got(7L) == ((Some("p q r"), 6L)), "two adjacent occurrences merge to one span")
+      // the block occurs 5x corpus-wide: kept once maxCount admits it
+      val lax = Dedup.duplicateSpans(docs, "doc_id", "text", k = 3, maxCount = 5, handle = h)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(lax.values.sum == 0L, "maxCount above the corpus count keeps everything")
+      // portable md5 variant and production xx64 variant agree (no collisions here)
+      val md5v = Dedup.duplicateSpans(docs, "doc_id", "text", k = 3, portableMd5 = true, handle = h)
+        .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(md5v == got.map { case (k2, v) => k2 -> v._1 })
+      // parallelism invariance
+      val repart = Dedup.duplicateSpans(docs.repartition(7), "doc_id", "text", k = 3, handle = h)
+        .collect().map(r => r.getLong(0) -> ((Option(r.getString(1)), r.getLong(2)))).toMap
+      assert(repart == got)
+    } finally h.release()
+  }
+
   test("dedupLines: corpus-frequent lines removed, order kept, edge docs handled") {
     import graft.text.Dedup
     val docs = Seq(

@@ -176,10 +176,37 @@ class RuntimeSpec extends AnyFunSuite {
           bands = 4, handle = h).count()
         graft.text.LmScore.charBigramScore(docs, "doc_id", "text", h).count()
         Dedup.dedupLines(docs, "doc_id", "text", maxCount = 1, handle = h).count()
+        Dedup.duplicateSpans(docs, "doc_id", "text", k = 3, handle = h).count()
       } finally h.release()
     }
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(leaked.isEmpty, s"released handles must unpersist every tracked cache: $leaked")
+  }
+
+  test("image resize: deterministic nearest-neighbor thumbnails, aspect fit, passthrough") {
+    import graft.multimodal.BinaryFeatures
+    // 8x4 source: left half red, right half blue
+    val src = new java.awt.image.BufferedImage(8, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 8) src.setRGB(x, y, if (x < 4) 0xff0000 else 0x0000ff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(src, "png", bos)
+    val bytes = bos.toByteArray
+    val (png1, w, h) = BinaryFeatures.resizeImage(bytes, 4, 4).get
+    assert((w, h) == ((4, 2)), "aspect-preserving fit inside 4x4")
+    val timg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png1))
+    assert((timg.getWidth, timg.getHeight) == ((4, 2)))
+    assert((timg.getRGB(0, 0) & 0xffffff) == 0xff0000, "nearest-neighbor keeps exact colors")
+    assert((timg.getRGB(3, 1) & 0xffffff) == 0x0000ff)
+    // bit-deterministic: same input, same PNG bytes
+    assert(BinaryFeatures.resizeImage(bytes, 4, 4).get._1.toSeq == png1.toSeq)
+    // never upscales
+    assert(BinaryFeatures.resizeImage(bytes, 100, 100).get match { case (_, w2, h2) => (w2, h2) == ((8, 4)) })
+    // Dataset op: corrupt payloads pass through losslessly
+    val ds = spark.createDataset(Seq(
+      BinaryFeatures.MediaRow(1, bytes), BinaryFeatures.MediaRow(2, Array[Byte](1, 2, 3))))
+    val got = BinaryFeatures.thumbnails(spark, ds, 4, 4).collect().sortBy(_.id)
+    assert(got(0).resized && got(0).width == 4 && got(0).height == 2)
+    assert(!got(1).resized && got(1).png.toSeq == Seq[Byte](1, 2, 3))
   }
 
   test("media decode plumbing: magic-byte sniffing + stable stub features") {
