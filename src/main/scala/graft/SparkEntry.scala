@@ -85,6 +85,16 @@ object SparkEntry {
         .orderBy("purchase_id")
     }),
     "q_lag_lead" -> ((s, dir) => eventsWindowed(s, dir).orderBy("event_id")),
+    // semi-structured prop extraction (the source-side JSON column every
+    // event/crawl table carries): built-in get_json_object — a pure
+    // map-side projection, no UDF; missing paths are null in both engines
+    "q_event_props" -> ((s, dir) =>
+      t(s, dir, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        coalesce(get_json_object(col("props"), "$.missing").cast("long"), lit(-1L))
+          .as("k_missing"))
+        .orderBy("event_id")),
     "q_rolling" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy(unix_timestamp(col("ts"))).rangeBetween(-3600, 0)
       t(s, dir, "events").select(
@@ -752,6 +762,11 @@ object SparkEntry {
       """SELECT event_id,
         | lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
         | lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_event_props" ->
+      """SELECT event_id,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+        |  COALESCE(CAST(json_extract(props, '$.missing') AS BIGINT), -1) AS k_missing
         |FROM events ORDER BY event_id""".stripMargin,
     "q_rolling" ->
       """SELECT event_id, count(*) OVER w AS cnt_1h, round(sum(value) OVER w, 2) AS sum_1h

@@ -142,6 +142,53 @@ object Snapshot {
     commit(fs, root, 1, listingEntries(spark, fs, data))
   }
 
+  /** Append a pages DataFrame as a NEW snapshot version. The rows are
+    * written to a staging directory (so orphans already lying in `data/`
+    * can never be picked up or double-counted), the fresh files are moved
+    * into their live partition directories (Spark part-file names carry a
+    * task/job UUID — globally unique, no collisions), and ONE new manifest
+    * is committed merging the current snapshot's entries with the new
+    * files. Readers of the previous version are untouched; the commit is
+    * the only visible flip. A lost commit race throws after the moves —
+    * the moved files are unreferenced orphans that [[expireOrphans]]
+    * sweeps, and the append is safely re-runnable. `urlBuckets` must match
+    * the layout the store was created with (the manifest is layout-blind;
+    * mixing bucketed and unbucketed partitions breaks readers' partition
+    *-column recovery). */
+  def append(df: DataFrame, path: String, urlBuckets: Int = 0): Unit = {
+    val spark = df.sparkSession
+    val (fs, root) = fsRoot(spark, path)
+    val v = currentVersion(fs, root).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot under $path — create with write()"))
+    val current = parse(readText(fs, versionFile(root, v)))
+    val withDt = df.withColumn("dt", to_date(col("warc_ts")))
+    val (out, cols) =
+      if (urlBuckets > 0)
+        (withDt.withColumn("ub", pmod(xxhash64(col("url")), lit(urlBuckets))), Seq("dt", "ub"))
+      else (withDt, Seq("dt"))
+    val tmp = new HPath(root, s".append_tmp/${java.util.UUID.randomUUID()}")
+    out.write.mode(SaveMode.ErrorIfExists).partitionBy(cols: _*).parquet(tmp.toString)
+    val staged = listingEntries(spark, fs, tmp)
+    val data = dataDir(root)
+    val moved = staged.map { e =>
+      val partDir = new HPath(data, e.partition)
+      fs.mkdirs(partDir)
+      val files = e.files.map { f =>
+        val name = f.substring(f.lastIndexOf('/') + 1)
+        val src = new HPath(tmp, f)
+        val dst = new HPath(partDir, name)
+        require(fs.rename(src, dst), s"append move failed: $src -> $dst")
+        s"${e.partition}/$name"
+      }
+      ManifestEntry(e.partition, e.rows, files)
+    }
+    fs.delete(tmp, true) // only this append's staging dir — concurrent appends keep theirs
+    val merged = (current ++ moved).groupBy(_.partition).map { case (p, es) =>
+      ManifestEntry(p, es.map(_.rows).sum, es.flatMap(_.files))
+    }.toSeq
+    commit(fs, root, v + 1, merged)
+  }
+
   /** Per-partition (file list, row count) of everything under `data/`,
     * derived from one distributed aggregation over `input_file_name`. */
   private def listingEntries(spark: SparkSession, fs: FileSystem, data: HPath): Seq[ManifestEntry] = {
@@ -249,8 +296,8 @@ object Snapshot {
     * manifest, and superseded manifest versions, once older than
     * `graceMillis` (long enough for any in-flight reader of a previous
     * snapshot to finish — the Iceberg `expire_snapshots` contract).
-    * Returns the deleted paths. Also sweeps crashed compactions'
-    * `.compact_tmp` residue past the same grace. */
+    * Returns the deleted paths. Also sweeps crashed compactions' and
+    * appends' `.compact_tmp`/`.append_tmp` residue past the same grace. */
   def expireOrphans(spark: SparkSession, path: String, graceMillis: Long = 3600L * 1000): Seq[String] = {
     require(graceMillis >= 0, "graceMillis must be >= 0")
     val (fs, root) = fsRoot(spark, path)
@@ -282,9 +329,11 @@ object Snapshot {
         if (fs.delete(s.getPath, false)) deleted += s"_manifests/$n"
       }
     }
-    val tmpRoot = new HPath(root, ".compact_tmp")
-    if (fs.exists(tmpRoot) && fs.getFileStatus(tmpRoot).getModificationTime < cutoff) {
-      fs.delete(tmpRoot, true); deleted += ".compact_tmp"
+    Seq(".compact_tmp", ".append_tmp").foreach { t =>
+      val tmpRoot = new HPath(root, t)
+      if (fs.exists(tmpRoot) && fs.getFileStatus(tmpRoot).getModificationTime < cutoff) {
+        fs.delete(tmpRoot, true); deleted += t
+      }
     }
     deleted.toSeq
   }

@@ -102,6 +102,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"stratified sample must not shuffle:\n$p")
   }
 
+  test("duplicateSpans reads the corpus parquet ONCE; all joins stay hash-based") {
+    // the doc-level token+hash arrays are cached; grams, coverage and the
+    // rebuild must all derive from that cache, not re-scan the input
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val h = new graft.runtime.CacheHandle
+    try {
+      val out = graft.text.Dedup.duplicateSpans(docs, "doc_id", "text", k = 3, handle = h)
+      out.collect() // materialize the cache so the executed plan is final
+      val p = plan(out)
+      // every FileScan in the printout must be the STORED CHILD of an
+      // InMemoryTableScan (the cache's build plan, executed once) — a bare
+      // FileScan would be a real re-read of the corpus
+      val imts = "InMemoryTableScan".r.findAllIn(p).length
+      val scans = "Scan parquet".r.findAllIn(p).length
+      assert(imts >= 1 && scans == imts,
+        s"expected every parquet scan to sit under the doc-array cache ($imts cache reads, $scans file scans):\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"coverage/rebuild joins must be equi-joins:\n$p")
+    } finally h.release()
+  }
+
   test("html extraction and url parsing are pure map-side: zero exchanges") {
     // both are regexp-chain projections — they must fuse into the scan and
     // run at parquet-read speed at any corpus size

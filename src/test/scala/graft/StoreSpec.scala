@@ -211,6 +211,33 @@ class StoreSpec extends AnyFunSuite {
     assert(!new java.io.File(dir, "_manifests").listFiles().exists(_.getName.startsWith(".tmp-")))
   }
 
+  test("snapshot append: merged manifest, pinned old version, orphan expiry keeps appended files") {
+    val dir = java.nio.file.Files.createTempDirectory("snap-append").toString + "/pages"
+    val p1 = core.PagesGen.pages(spark, 1200, 120, days = 3)
+    core.Snapshot.write(p1.repartition(6), dir)
+    val p2 = core.PagesGen.pages(spark, 700, 70, days = 5) // overlaps p1's days + adds new ones
+    core.Snapshot.append(p2.repartition(4), dir)
+    val (fs, root) = core.Store.storeFs(spark, dir)
+    assert(core.Snapshot.currentVersion(fs, root).contains(2))
+    val all = core.Snapshot.read(spark, dir)
+    assert(all.count() == 1900L)
+    assert(graft.runtime.Lineage.contentDigest(all.select("url", "warc_ts", "text", "lang")) ==
+      graft.runtime.Lineage.contentDigest(
+        p1.select("url", "warc_ts", "text", "lang").union(p2.select("url", "warc_ts", "text", "lang"))))
+    // a reader pinned to v1 still sees exactly the original batch
+    assert(core.Snapshot.readVersion(spark, dir, 1).count() == 1200L)
+    // merged entries: no duplicate files, every file under its partition
+    val m = core.Snapshot.manifest(spark, dir)
+    assert(m.map(_.rows).sum == 1900L)
+    assert(m.flatMap(_.files).distinct.size == m.flatMap(_.files).size)
+    assert(m.forall(e => e.files.forall(_.startsWith(e.partition + "/"))))
+    // expiry removes only the superseded manifest — every data file is still referenced
+    core.Snapshot.expireOrphans(spark, dir, graceMillis = 0L)
+    assert(core.Snapshot.read(spark, dir).count() == 1900L)
+    // append refuses a path with no committed snapshot
+    intercept[IllegalArgumentException](core.Snapshot.append(p2, dir + "-nope"))
+  }
+
   test("feature sink writes metrics alongside the data") {
     val dir = java.nio.file.Files.createTempDirectory("feat-store").toString + "/features"
     val labels = PagesGen.labels(spark, 1000, 100)
