@@ -161,6 +161,15 @@ object Snapshot {
     val v = currentVersion(fs, root).getOrElse(
       throw new IllegalArgumentException(s"no committed snapshot under $path — create with write()"))
     val current = parse(readText(fs, versionFile(root, v)))
+    // layout guard: a bucketed store appended without buckets (or vice
+    // versa) would commit a mixed dt=/dt=+ub= manifest that breaks every
+    // subsequent read's partition-column recovery — reject before writing
+    current.headOption.foreach { e =>
+      val storeBucketed = e.partition.contains("/ub=")
+      require(storeBucketed == (urlBuckets > 0),
+        s"layout mismatch: store partitions are ${if (storeBucketed) "dt/ub" else "dt"}-" +
+          s"partitioned but append was called with urlBuckets=$urlBuckets")
+    }
     val withDt = df.withColumn("dt", to_date(col("warc_ts")))
     val (out, cols) =
       if (urlBuckets > 0)
@@ -274,21 +283,15 @@ object Snapshot {
         Store.CompactionResult(e.partition, e.files.size, moved.size, e.rows))
     }
 
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(maxConcurrent, fragmented.size))
-    val rewrittenResults =
-      try {
-        implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
-        val futs = fragmented.map(e => Future(rewriteOne(e)))
-        futs.map(f => Await.result(f, Duration.Inf))
-      } finally pool.shutdown()
+    val rewrittenResults = Store.boundedParallel(fragmented, maxConcurrent)(rewriteOne)
 
     val rewrittenByPart = rewrittenResults.map { case (e, _) => e.partition -> e }.toMap
     val next = entries.map(e => rewrittenByPart.getOrElse(e.partition, e))
     commit(fs, root, v + 1, next)
-    fs.delete(new HPath(root, ".compact_tmp"), true)
+    // NO blanket .compact_tmp delete here: concurrent compactors are
+    // sanctioned (they lose the version CAS, not their staging mid-write);
+    // each rewriteOne deletes its own UUID dir, and crashed runs' residue
+    // ages out via expireOrphans
     rewrittenResults.map(_._2).sortBy(_.partition)
   }
 
@@ -331,8 +334,24 @@ object Snapshot {
     }
     Seq(".compact_tmp", ".append_tmp").foreach { t =>
       val tmpRoot = new HPath(root, t)
-      if (fs.exists(tmpRoot) && fs.getFileStatus(tmpRoot).getModificationTime < cutoff) {
-        fs.delete(tmpRoot, true); deleted += t
+      if (fs.exists(tmpRoot)) {
+        // sweep each staging UUID dir by the NEWEST mtime anywhere inside
+        // it: an in-flight append/compact keeps writing files, so a long
+        // write phase never looks stale (the root dir's own mtime froze at
+        // staging creation — the Checkpoints.gc overwrite lesson), while a
+        // crashed run's residue genuinely ages out
+        def newest(p: HPath): Long = {
+          val st = fs.getFileStatus(p)
+          if (!st.isDirectory) st.getModificationTime
+          else (st.getModificationTime +:
+            fs.listStatus(p).toSeq.map(s => newest(s.getPath))).max
+        }
+        fs.listStatus(tmpRoot).foreach { child =>
+          if (newest(child.getPath) < cutoff && fs.delete(child.getPath, true))
+            deleted += s"$t/${child.getPath.getName}"
+        }
+        if (fs.exists(tmpRoot) && fs.listStatus(tmpRoot).isEmpty)
+          fs.delete(tmpRoot, false)
       }
     }
     deleted.toSeq

@@ -20,12 +20,23 @@ import org.apache.spark.sql.types._
   * results are bit-for-bit equal (asserted in SimilaritySpec and by the
   * DuckDB oracle).
   *
-  * Null semantics: null input array → null result; elements are assumed
-  * non-null (embedding columns); length mismatch uses the common prefix
-  * (zip_with semantics).
+  * Null semantics: null input array → null result, and a null ELEMENT in
+  * either array → null (a null product poisons the zip_with/aggregate
+  * sum — same as the built-in chain); length mismatch uses the common
+  * prefix (zip_with semantics).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  // a null ELEMENT makes the result null even when both inputs are
+  // non-null — without this, codegen elides the isNull branch entirely
+  override def nullable: Boolean = {
+    def elemNulls(e: Expression) = e.dataType match {
+      case ArrayType(_, cn) => cn
+      case _                => true
+    }
+    left.nullable || right.nullable || elemNulls(left) || elemNulls(right)
+  }
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(e: Expression) = e.dataType match {
@@ -56,6 +67,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = lt match { case FloatType => x.getFloat(i).toDouble; case _ => x.getDouble(i) }
       val yi = rt match { case FloatType => y.getFloat(i).toDouble; case _ => y.getDouble(i) }
       dot += xi * yi; na += xi * xi; nb += yi * yi
@@ -75,16 +87,23 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      val bad = ctx.freshName("anyNullElem")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |boolean $bad = false;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
          |  double $xi = $castL $a.$accL($i);
          |  double $yi = $castR $b.$accR($i);
          |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |}
-         |${ev.value} = ($na == 0.0 || $nb == 0.0)
-         |  ? 0.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |if ($bad) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ($na == 0.0 || $nb == 0.0)
+         |    ? 0.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |}
        """.stripMargin
     })
   }
@@ -109,11 +128,21 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * paths can run directly over int8 storage with no intermediate arrays.
   *
   * Null semantics match the chain: any null input (codes, scale, query) →
-  * null; elements are assumed non-null; length mismatch uses the common
-  * prefix (zip_with semantics).
+  * null, and a null ELEMENT in either array → null (a null product poisons
+  * the zip_with/aggregate sum); length mismatch uses the common prefix
+  * (zip_with semantics).
   */
 case class Int8CosineSimilarity(first: Expression, second: Expression, third: Expression)
     extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  // see CosineSimilarity.nullable: element nulls null the result
+  override def nullable: Boolean = {
+    def elemNulls(e: Expression) = e.dataType match {
+      case ArrayType(_, cn) => cn
+      case _                => true
+    }
+    children.exists(_.nullable) || elemNulls(first) || elemNulls(third)
+  }
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val codesOk = first.dataType match {
@@ -150,6 +179,9 @@ case class Int8CosineSimilarity(first: Expression, second: Expression, third: Ex
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      // a null ELEMENT poisons the whole similarity to null, exactly like
+      // the dequantize->zip_with->aggregate chain (null product -> null sum)
+      if (codes.isNullAt(i) || query.isNullAt(i)) return null
       val qi = et match {
         case IntegerType => codes.getInt(i).toDouble
         case ShortType   => codes.getShort(i).toDouble
@@ -173,16 +205,23 @@ case class Int8CosineSimilarity(first: Expression, second: Expression, third: Ex
       val nb = ctx.freshName("nb")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      val bad = ctx.freshName("anyNullElem")
       s"""
          |int $n = java.lang.Math.min($c.numElements(), $q.numElements());
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |boolean $bad = false;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($c.isNullAt($i) || $q.isNullAt($i)) { $bad = true; break; }
          |  double $xi = ((double) $c.$acc($i)) * $s;
          |  double $yi = $q.getDouble($i);
          |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |}
-         |${ev.value} = ($na == 0.0 || $nb == 0.0)
-         |  ? 0.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |if ($bad) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ($na == 0.0 || $nb == 0.0)
+         |    ? 0.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |}
        """.stripMargin
     })
   }

@@ -429,7 +429,7 @@ final case class RocStep(
   * dual_filter. A cutpoint outside (0, 1) — or NaN — aborts with the
   * reference's message (step_select_fcbf.R:87–92). */
 final case class FcbfStep(minimumSu: Double = 0.025, cutpoint: Double = 0.5,
-    allPairsMaxP: Int = 45) extends SelectorStep {
+    allPairsMaxP: Int = 44) extends SelectorStep {
   require(!cutpoint.isNaN && cutpoint > 0 && cutpoint < 1,
     "`cutpoint` must be a number between 0-1")
   val name = "step_select_fcbf"
@@ -466,7 +466,10 @@ final case class FcbfStep(minimumSu: Double = 0.025, cutpoint: Double = 0.5,
     // redundancy matrix SU(Xᵢ;Xⱼ) in ONE batched job and run the whole
     // elimination driver-side — no cache, single scan. Large p: wave-batch
     // (below) so at most O(keepers·p) pair stats are ever computed.
-    val allPairsUpfront = usable.size <= allPairsMaxP // default 45: all pairs fit one chunk
+    // default 44: C(45,2) = 990 pairs over usable+outcome stay within
+    // pairwiseScores' 1024-pair chunk, so the uncached single-scan rationale
+    // holds; 45 would give C(46,2) = 1035 → two chunks → two full scans
+    val allPairsUpfront = usable.size <= allPairsMaxP
     if (allPairsUpfront) {
       val pairStats = Entropy.pairwiseScoresAll(work, usable :+ "__y", Entropy.SymUncert)
       val su = usable.flatMap(p => pairStats.get((p, "__y")).map(p -> _)).toMap

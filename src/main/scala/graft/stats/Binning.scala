@@ -92,7 +92,12 @@ object Binning {
     * exceed `maxCollect` — bounded BEFORE the transfer, TwoPhase-style.
     * NA handling is PER COLUMN — a null/NaN in one column must not remove
     * the row from another column's statistics (R quantile(na.rm=TRUE)
-    * semantics; approxQuantile ignores null/NaN the same way).
+    * semantics; approxQuantile ignores null/NaN the same way). With
+    * `nanAsLargest` the counted population additionally includes NaN
+    * values sorted LAST — Spark's `percentile()` ordering — so callers
+    * pinned to that aggregate keep its semantics: a rank that lands in
+    * the NaN tail picks NaN (never collected, resolved arithmetically
+    * from the per-column NaN count).
     *
     * `ranksOf(n, p)` must return ranks within the p-bracket, i.e. in
     * [(p−err)·n − 1, (p+err)·n + 1] — true for quantile_disc's ceil(p·n)
@@ -101,7 +106,8 @@ object Binning {
   private def orderStatistics(
       df: DataFrame, cols: Seq[String], probs: Seq[Double],
       ranksOf: (Long, Double) => Seq[Long],
-      bracketErr: Double = 0.001, maxCollect: Int = 200000
+      bracketErr: Double = 0.001, maxCollect: Int = 200000,
+      nanAsLargest: Boolean = false
   ): Map[String, (Long, Map[Long, Double])] = {
     if (cols.isEmpty) return Map.empty
     val pr = probs.distinct
@@ -121,6 +127,7 @@ object Binning {
     // job 2: counts + below-bracket counts, one fused scan
     val aggExprs = cols.flatMap { c =>
       count(when(notNa(c), 1)).as(s"__n_$c") +:
+        count(when(col(c).isNotNull && isnan(col(c).cast("double")), 1)).as(s"__nan_$c") +:
         pr.map { p =>
           val lo = bracket.get((c, p)).map(_._1)
           sum(when(notNa(c) && lit(lo.getOrElse(0.0)) > col(c).cast("double"), 1L)
@@ -128,7 +135,10 @@ object Binning {
         }
     }
     val aggRow = df.agg(aggExprs.head, aggExprs.tail: _*).head()
-    val ns = cols.map(c => c -> aggRow.getLong(aggRow.fieldIndex(s"__n_$c"))).toMap
+    val nonNas = cols.map(c => c -> aggRow.getLong(aggRow.fieldIndex(s"__n_$c"))).toMap
+    val nans = cols.map(c => c -> aggRow.getLong(aggRow.fieldIndex(s"__nan_$c"))).toMap
+    val ns = cols.map(c =>
+      c -> (if (nanAsLargest) nonNas(c) + nans(c) else nonNas(c))).toMap
     val belowOf = (c: String, p: Double) =>
       aggRow.getLong(aggRow.fieldIndex(s"__b_${pr.indexOf(p)}_$c"))
     // job 3: in-bracket distinct values with counts (tie-collapsed map-side)
@@ -187,7 +197,10 @@ object Binning {
       val picks: Map[Long, Double] =
         if (n == 0L) Map.empty
         else pr.flatMap { p =>
-          ranksOf(n, p).distinct.map(k => k -> tryPick(p, k).getOrElse(exactPick(k)))
+          ranksOf(n, p).distinct.map { k =>
+            k -> (if (nanAsLargest && k > nonNas(c)) Double.NaN
+                  else tryPick(p, k).getOrElse(exactPick(k)))
+          }
         }.toMap
       c -> ((n, picks))
     }.toMap
@@ -214,8 +227,10 @@ object Binning {
     * quantile_cont) for each column, via the SAME counts pass: position
     * h = p·(n−1) over the 0-based sorted values, interpolating
     * (higher−h)·v_lo + (h−lower)·v_hi exactly as Spark's Percentile
-    * aggregate does (bit-equality property-pinned in PropertySpec).
-    * All-null columns → None. */
+    * aggregate does (bit-equality property-pinned in PropertySpec),
+    * INCLUDING its NaN ordering: NaN values count and sort last, so a
+    * rank in the NaN tail yields NaN (an all-NaN column → Some(NaN), like
+    * percentile). All-null columns → None. */
   def quantileType7(df: DataFrame, cols: Seq[String], p: Double): Map[String, Option[Double]] =
     quantileType7WithCounts(df, cols, p).view.mapValues(_._2).toMap
 
@@ -229,7 +244,7 @@ object Binning {
       (math.floor(pos).toLong + 1, math.ceil(pos).toLong + 1) // 1-based ranks
     }
     val stats = orderStatistics(df, cols, Seq(p),
-      (n, _) => { val (l, h) = lowHigh(n); Seq(l, h) })
+      (n, _) => { val (l, h) = lowHigh(n); Seq(l, h) }, nanAsLargest = true)
     cols.map { c =>
       val (n, vs) = stats(c)
       c -> ((n,
@@ -242,6 +257,72 @@ object Binning {
             else (h - 1 - pos) * vs(l) + (pos - (l - 1)) * vs(h)
           Some(out)
         }))
+    }.toMap
+  }
+
+  /** Exact quantile_disc cuts for LARGE nbins — the MDL candidate-
+    * quantization path (tens of thousands of cut candidates), where
+    * [[exactCuts]]'s bracket refinement is the wrong tool: at nbins ≈ 65k
+    * its probe brackets tile all of [0,1] (job 3 would collect every
+    * distinct value and abort past maxCollect) and its fused aggregation
+    * holds one expression per probe. Semantics are IDENTICAL to
+    * [[exactCuts]] (value at rank ceil(p·n), null/NaN excluded); only the
+    * mechanism differs:
+    *
+    *  1. per column: group by value → (v, cnt) — the one full shuffle;
+    *  2. a ~`buckets`-point approxQuantile partitions the distinct values
+    *     by range ([[graft.functions.SortedBucket]] binary search). The
+    *     boundaries only BALANCE the buckets: every output is an exact
+    *     rank, so the cuts are identical at any parallelism and for any
+    *     boundary set — GK's partition-order dependence cannot leak out;
+    *  3. per-bucket totals → driver cumsum → broadcast rank bases
+    *     (the repo's two-phase prefix-sum pattern);
+    *  4. within-bucket cumulative counts via a value-ordered window
+    *     (parallel across buckets; a pathological boundary collapse makes
+    *     one bucket's window large, never wrong);
+    *  5. a value with cumulative range (lo, hi] carries the targets
+    *     i ∈ (⌊lo·nbins/n⌋, ⌊hi·nbins/n⌋] — pure integer arithmetic
+    *     (no overflow while n·nbins < 2^63), emitted via sequence+explode:
+    *     the driver collects exactly the nbins−1 cut values.
+    *
+    * Driver transfer: boundaries + bucket totals + the cuts — bounded at
+    * any n and any distinct-value count. Wide columns run sequentially
+    * (the caller quantizes only columns that NEED it). */
+  def exactCutsMany(
+      df: DataFrame, cols: Seq[String], nbins: Int, buckets: Int = 1024
+  ): Map[String, Array[Double]] = {
+    require(nbins >= 2, "nbins must be >= 2")
+    require(buckets >= 1, "buckets must be >= 1")
+    cols.map { c =>
+      val vc = df.select(col(c).cast("double").as("v"))
+        .where(col("v").isNotNull && !isnan(col("v")))
+        .groupBy("v").agg(count(lit(1)).as("cnt"))
+      val bProbs = (1 until buckets).map(_.toDouble / buckets).toArray
+      val bounds = df.stat.approxQuantile(c, if (bProbs.isEmpty) Array(0.5) else bProbs, 0.01)
+        .distinct.sorted
+      val bucketed =
+        if (bounds.isEmpty) vc.withColumn("bkt", lit(0))
+        else vc.withColumn("bkt", graft.functions.SortedBucket.of(col("v"), bounds))
+      val totals = bucketed.groupBy("bkt").agg(sum("cnt").as("t"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      val n = totals.map(_._2).sum
+      if (n == 0L) c -> Array.empty[Double]
+      else {
+        val bases = totals.scanLeft((0, 0L)) { case ((_, acc), (b, t)) => (b, acc + t) }
+          .tail.zip(totals).map { case ((b, cumEnd), (_, t)) => (b, cumEnd - t) }
+        val basesDf = df.sparkSession.createDataFrame(bases.toSeq).toDF("bkt", "base")
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("bkt").orderBy("v")
+        val picked = bucketed
+          .join(broadcast(basesDf), "bkt")
+          .withColumn("hi", col("base") + sum("cnt").over(w))
+          .withColumn("lo", col("hi") - col("cnt"))
+          .withColumn("iLo", greatest(expr(s"(lo * ${nbins}L) div ${n}L") + 1, lit(1L)))
+          .withColumn("iHi", least(expr(s"(hi * ${nbins}L) div ${n}L"), lit(nbins - 1L)))
+          .where(col("iHi") >= col("iLo"))
+          .select(explode(sequence(col("iLo"), col("iHi"))).as("i"), col("v"))
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        c -> (1 until nbins).map(i => picked(i.toLong)).toArray
+      }
     }.toMap
   }
 

@@ -112,7 +112,10 @@ object MdlBinning {
     val quantized =
       if (wide.isEmpty) df
       else {
-        val cuts = Binning.exactCuts(df, wide, maxCandidates)
+        // exactCutsMany, NOT exactCuts: 65k candidate probes need the
+        // histogram + two-phase-prefix-sum path (exactCuts' per-probe
+        // bracket machinery collects every distinct value at this width)
+        val cuts = Binning.exactCutsMany(df, wide, maxCandidates)
         wide.foldLeft(df) { (d, f) =>
           // snap each value to its candidate bin's upper cut (cut VALUES
           // stay on the data scale)

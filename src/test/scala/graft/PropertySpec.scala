@@ -148,10 +148,13 @@ class PropertySpec extends AnyFunSuite {
         (if (rng.nextDouble() < 0.15 && n > 3) None else Some((rng.nextInt(7) - 3) * 1.5 + (if (rng.nextBoolean()) 0.25 else 0.0)),
          Some(rng.nextDouble() * 200 - 100),
          None: Option[Double],
-         Some(rng.nextInt(2).toDouble))
+         Some(rng.nextInt(2).toDouble),
+         // NaN-bearing column: percentile() counts NaN and sorts it LAST,
+         // approxQuantile drops it — both paths must keep their builtin's rule
+         Some(if (rng.nextDouble() < 0.3) Double.NaN else rng.nextInt(5) * 1.0))
       }
-      val df = rows.toDF("ties", "dense", "allnull", "binary")
-      val cols = Seq("ties", "dense", "allnull", "binary")
+      val df = rows.toDF("ties", "dense", "allnull", "binary", "withnan")
+      val cols = Seq("ties", "dense", "allnull", "binary", "withnan")
       for (nbins <- Seq(2, 3, 5)) {
         val got = Binning.exactCuts(df, cols, nbins)
         val probs = (1 until nbins).map(_.toDouble / nbins).toArray
@@ -166,8 +169,39 @@ class PropertySpec extends AnyFunSuite {
         val want = df.select(cols.map(c => expr(s"percentile(`$c`, $p)").as(c)): _*).head()
         cols.zipWithIndex.foreach { case (c, i) =>
           val w = if (want.isNullAt(i)) None else Some(want.getDouble(i))
-          assert(got(c) == w, s"type7 mismatch n=$n p=$p col=$c: ${got(c)} vs $w")
+          val same = (got(c), w) match {
+            case (Some(g), Some(x)) => java.lang.Double.compare(g, x) == 0 // NaN == NaN
+            case (a, b)             => a == b
+          }
+          assert(same, s"type7 mismatch n=$n p=$p col=$c: ${got(c)} vs $w")
         }
+      }
+    }
+  }
+
+  test("exactCutsMany == exactCuts at any parallelism (the 65k-candidate MDL quantization path)") {
+    import spark.implicits._
+    import graft.stats.Binning
+    val rng = new scala.util.Random(23)
+    val rows = (0 until 5000).map { _ =>
+      (rng.nextInt(40) * 0.5,                      // heavy ties
+       rng.nextDouble() * 100,                     // ~all distinct
+       rng.nextInt(2000) * 0.01,                   // mid cardinality
+       if (rng.nextDouble() < 0.2) None else Some(rng.nextInt(30) * 1.0), // nulls
+       None: Option[Double])                       // all null
+    }
+    val df = rows.toDF("ties", "dense", "mid", "withnull", "allnull")
+    val cols = Seq("ties", "dense", "mid", "withnull", "allnull")
+    for (nbins <- Seq(2, 7, 64, 257)) {
+      val want = Binning.exactCuts(df, cols, nbins)
+      // tiny bucket counts force multi-bucket two-phase ranks; different
+      // bucket counts and partitionings MUST give identical cuts (the
+      // boundaries only balance work)
+      val got = Binning.exactCutsMany(df, cols, nbins, buckets = 16)
+      val gotRepart = Binning.exactCutsMany(df.repartition(13), cols, nbins, buckets = 5)
+      cols.foreach { c =>
+        assert(got(c).toSeq == want(c).toSeq, s"nbins=$nbins col=$c")
+        assert(gotRepart(c).toSeq == want(c).toSeq, s"repartitioned nbins=$nbins col=$c")
       }
     }
   }

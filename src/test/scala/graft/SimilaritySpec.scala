@@ -160,6 +160,25 @@ class SimilaritySpec extends AnyFunSuite {
       s"int8 quantization must preserve >=8/10 of the float top-k: $qTop vs $fTop")
   }
 
+  test("null ELEMENTS poison cosine to null, matching the built-in chain (both fused expressions)") {
+    ArrayMath.register(spark)
+    val q = Seq(1.0, 1.0, 1.0)
+    val d = spark.sql("SELECT array(1.0D, CAST(NULL AS DOUBLE), 3.0D) v")
+    val got = d.select(
+      Similarity.cosineBuiltin(col("v"), q).as("chain"),
+      ArrayMath.cosineSimTo(col("v"), q).as("native")).head()
+    assert(got.isNullAt(0), "chain: null product poisons the aggregate sum")
+    assert(got.isNullAt(1), "native must propagate a null element, not read it as 0")
+    val i8 = spark.sql(
+      "SELECT int8_cosine_sim(array(1, CAST(NULL AS INT), 3), 0.5D, array(1.0D, 1.0D, 1.0D)) c").head()
+    assert(i8.isNullAt(0), "int8 fused: null code element -> null similarity")
+    // a null-free prefix short-circuits BEFORE the null slot only if lengths
+    // differ; equal lengths must still scan to (and trip on) the null
+    val pref = spark.sql(
+      "SELECT int8_cosine_sim(array(1, 2), 0.5D, array(1.0D, 1.0D, CAST(NULL AS DOUBLE))) c").head()
+    assert(!pref.isNullAt(0), "common-prefix semantics: the unpaired null tail is never read")
+  }
+
   test("fused int8 cosine == dequantize -> builtin chain, bit-for-bit (incl. narrow code types)") {
     import graft.sim.Quantize
     val store = df.select(col("id"),

@@ -236,6 +236,27 @@ class StoreSpec extends AnyFunSuite {
     assert(core.Snapshot.read(spark, dir).count() == 1900L)
     // append refuses a path with no committed snapshot
     intercept[IllegalArgumentException](core.Snapshot.append(p2, dir + "-nope"))
+    // layout guard: this store is dt-partitioned — a bucketed append would
+    // commit a mixed manifest that breaks partition-column recovery
+    intercept[IllegalArgumentException](core.Snapshot.append(p2, dir, urlBuckets = 2))
+    // in-flight staging protection: expiry judges a staging dir by the
+    // NEWEST mtime inside it, so a long-running append whose dir mtime
+    // froze at creation is never swept while it still writes
+    import java.nio.file.attribute.FileTime
+    val staging = new java.io.File(dir, ".append_tmp/uuid-inflight")
+    staging.mkdirs()
+    val part = new java.io.File(staging, "part-0.parquet")
+    java.nio.file.Files.write(part.toPath, Array[Byte](1, 2, 3))
+    java.nio.file.Files.setLastModifiedTime(staging.toPath, FileTime.fromMillis(1000000L))
+    assert(!core.Snapshot.expireOrphans(spark, dir, graceMillis = 60000L)
+      .exists(_.contains("uuid-inflight")), "fresh file inside must protect the staging dir")
+    assert(staging.exists)
+    // once the contents are stale too, the residue is swept
+    java.nio.file.Files.setLastModifiedTime(part.toPath, FileTime.fromMillis(1000000L))
+    java.nio.file.Files.setLastModifiedTime(staging.toPath, FileTime.fromMillis(1000000L))
+    assert(core.Snapshot.expireOrphans(spark, dir, graceMillis = 60000L)
+      .exists(_.contains("uuid-inflight")))
+    assert(!staging.exists)
   }
 
   test("feature sink writes metrics alongside the data") {
