@@ -84,6 +84,30 @@ object SparkEntry {
         .select(col("purchase_id"), col("user_id"), col("probe_ts"), col("value").as("last_click_value"))
         .orderBy("purchase_id")
     }),
+    // tolerance variant: a carried click older than 10 minutes is as good
+    // as absent (the point-in-time feature-freshness bound)
+    "q_asof_tolerance" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click").select("user_id", "ts", "value", "event_id")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("probe_ts"), col("event_id").as("purchase_id"))
+      AsOf.sortMerge(clicks, purchases, "user_id", "ts", "probe_ts", Seq("value"),
+        toleranceSeconds = Some(600), tiebreak = Some("event_id"))
+        .select(col("purchase_id"), col("user_id"), col("probe_ts"), col("value").as("last_click_value"))
+        .orderBy("purchase_id")
+    }),
+    // standalone revisit dedup: one row per (key, ts) revisit group by
+    // deterministic precedence; duplicates synthesized so the fixture
+    // actually exercises the drop (a clone of every 3rd event)
+    "q_dedup_latest" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select("event_id", "user_id", "ts", "value")
+      val dups = ev.where(pmod(col("event_id"), lit(3)) === 0)
+        .withColumn("event_id", col("event_id") + 10000000L)
+        .withColumn("value", col("value") + 1.0)
+      Windows.dedupLatest(ev.unionByName(dups), "user_id", "ts",
+        Seq(col("value").desc, col("event_id")))
+        .select("event_id", "user_id", "ts", "value").orderBy("event_id")
+    }),
     "q_lag_lead" -> ((s, dir) => eventsWindowed(s, dir).orderBy("event_id")),
     // semi-structured prop extraction (the source-side JSON column every
     // event/crawl table carries): built-in get_json_object — a pure
@@ -758,6 +782,26 @@ object SparkEntry {
         |   WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
         |   ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS last_click_value
         |FROM events p WHERE p.event_type = 'purchase' ORDER BY purchase_id""".stripMargin,
+    // tolerance applies to the CARRIED event in Spark (null if too old);
+    // filtering inside the subquery is equivalent — if the newest click is
+    // outside the window, every older one is too. Epoch-second comparison
+    // == Spark's unix_timestamp (both truncate to seconds).
+    "q_asof_tolerance" ->
+      """SELECT p.event_id AS purchase_id, p.user_id AS user_id, p.ts AS probe_ts,
+        | (SELECT c.value FROM events c
+        |   WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+        |     AND CAST(epoch(date_trunc('second', c.ts)) AS BIGINT)
+        |         >= CAST(epoch(date_trunc('second', p.ts)) AS BIGINT) - 600
+        |   ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS last_click_value
+        |FROM events p WHERE p.event_type = 'purchase' ORDER BY purchase_id""".stripMargin,
+    "q_dedup_latest" ->
+      """WITH un AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  UNION ALL
+        |  SELECT event_id + 10000000, user_id, ts, value + 1.0 FROM events WHERE event_id % 3 = 0),
+        |k AS (SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY value DESC, event_id) AS rn
+        |      FROM un)
+        |SELECT event_id, user_id, ts, value FROM k WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "q_lag_lead" ->
       """SELECT event_id,
         | lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,

@@ -30,6 +30,15 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
   * is a single pointer. The trade: readers MUST go through [[read]] —
   * directory-listing a snapshot store sees orphans (exactly like listing
   * an Iceberg data dir).
+  *
+  * Scale bound (documented, not hidden): each snapshot is ONE manifest
+  * file with one line per partition listing its data files, so commit,
+  * [[manifest]] parse and [[write]]'s `input_file_name` aggregation are
+  * O(total files). With [[compact]] keeping partitions near their target
+  * file count, a 100-TB store at 1 GB/file is ~10^5 lines — a few MB of
+  * JSON, fine to rewrite per commit. Growth beyond that calls for the
+  * full Iceberg split (manifest lists + per-partition manifest reuse
+  * across commits), which this format deliberately reduces away.
   */
 object Snapshot {
 
