@@ -349,18 +349,28 @@ object Snapshot {
         // write phase never looks stale (the root dir's own mtime froze at
         // staging creation — the Checkpoints.gc overwrite lesson), while a
         // crashed run's residue genuinely ages out
-        def newest(p: HPath): Long = {
-          val st = fs.getFileStatus(p)
-          if (!st.isDirectory) st.getModificationTime
-          else (st.getModificationTime +:
-            fs.listStatus(p).toSeq.map(s => newest(s.getPath))).max
-        }
-        fs.listStatus(tmpRoot).foreach { child =>
-          if (newest(child.getPath) < cutoff && fs.delete(child.getPath, true))
+        // a concurrent compact/append may delete its own staging dir at
+        // any point during this walk (that's its normal cleanup) — a
+        // vanished path just means "already gone", never an expiry failure
+        def newest(p: HPath): Long =
+          try {
+            val st = fs.getFileStatus(p)
+            if (!st.isDirectory) st.getModificationTime
+            else (st.getModificationTime +:
+              fs.listStatus(p).toSeq.map(s => newest(s.getPath))).max
+          } catch { case _: java.io.FileNotFoundException => Long.MaxValue }
+        val children =
+          try fs.listStatus(tmpRoot).toSeq
+          catch { case _: java.io.FileNotFoundException => Seq.empty }
+        children.foreach { child =>
+          val fresh = newest(child.getPath)
+          if (fresh < cutoff &&
+              (try fs.delete(child.getPath, true)
+               catch { case _: java.io.FileNotFoundException => false }))
             deleted += s"$t/${child.getPath.getName}"
         }
-        if (fs.exists(tmpRoot) && fs.listStatus(tmpRoot).isEmpty)
-          fs.delete(tmpRoot, false)
+        try if (fs.exists(tmpRoot) && fs.listStatus(tmpRoot).isEmpty) fs.delete(tmpRoot, false)
+        catch { case _: java.io.FileNotFoundException | _: java.io.IOException => () }
       }
     }
     deleted.toSeq

@@ -20,23 +20,20 @@ import org.apache.spark.sql.types._
   * results are bit-for-bit equal (asserted in SimilaritySpec and by the
   * DuckDB oracle).
   *
-  * Null semantics: null input array → null result, and a null ELEMENT in
+  * Null semantics: null input array → null result; a null ELEMENT in
   * either array → null (a null product poisons the zip_with/aggregate
-  * sum — same as the built-in chain); length mismatch uses the common
-  * prefix (zip_with semantics).
+  * sum); and a LENGTH MISMATCH → null too (zip_with pads the shorter side
+  * with nulls, poisoning the sum the same way) — all three exactly as the
+  * built-in chain behaves, so the fusion rule is semantics-preserving on
+  * malformed embeddings, not just well-formed ones.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // a null ELEMENT makes the result null even when both inputs are
-  // non-null — without this, codegen elides the isNull branch entirely
-  override def nullable: Boolean = {
-    def elemNulls(e: Expression) = e.dataType match {
-      case ArrayType(_, cn) => cn
-      case _                => true
-    }
-    left.nullable || right.nullable || elemNulls(left) || elemNulls(right)
-  }
+  // ALWAYS nullable: a length mismatch (statically unknowable) yields
+  // null, as do null elements — and codegen may only assign ev.isNull
+  // when nullable is true (otherwise the variable is never declared)
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(e: Expression) = e.dataType match {
@@ -63,7 +60,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val lt = left.dataType.asInstanceOf[ArrayType].elementType
     val rt = right.dataType.asInstanceOf[ArrayType].elementType
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -89,10 +87,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val yi = ctx.freshName("yi")
       val bad = ctx.freshName("anyNullElem")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |boolean $bad = false;
-         |for (int $i = 0; $i < $n; $i++) {
+         |boolean $bad = $n != $b.numElements();
+         |for (int $i = 0; !$bad && $i < $n; $i++) {
          |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
          |  double $xi = $castL $a.$accL($i);
          |  double $yi = $castR $b.$accR($i);
@@ -128,21 +126,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * paths can run directly over int8 storage with no intermediate arrays.
   *
   * Null semantics match the chain: any null input (codes, scale, query) →
-  * null, and a null ELEMENT in either array → null (a null product poisons
-  * the zip_with/aggregate sum); length mismatch uses the common prefix
-  * (zip_with semantics).
+  * null, a null ELEMENT in either array → null, and a code/query LENGTH
+  * MISMATCH → null (zip_with pads with nulls; a null product poisons the
+  * aggregate sum).
   */
 case class Int8CosineSimilarity(first: Expression, second: Expression, third: Expression)
     extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
 
-  // see CosineSimilarity.nullable: element nulls null the result
-  override def nullable: Boolean = {
-    def elemNulls(e: Expression) = e.dataType match {
-      case ArrayType(_, cn) => cn
-      case _                => true
-    }
-    children.exists(_.nullable) || elemNulls(first) || elemNulls(third)
-  }
+  // see CosineSimilarity.nullable: element nulls and length mismatches
+  // null the result, so the expression is always nullable
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val codesOk = first.dataType match {
@@ -175,7 +168,8 @@ case class Int8CosineSimilarity(first: Expression, second: Expression, third: Ex
     val scale = s.asInstanceOf[Double]
     val query = q.asInstanceOf[ArrayData]
     val et = first.dataType.asInstanceOf[ArrayType].elementType
-    val n = math.min(codes.numElements(), query.numElements())
+    if (codes.numElements() != query.numElements()) return null
+    val n = codes.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -207,10 +201,10 @@ case class Int8CosineSimilarity(first: Expression, second: Expression, third: Ex
       val yi = ctx.freshName("yi")
       val bad = ctx.freshName("anyNullElem")
       s"""
-         |int $n = java.lang.Math.min($c.numElements(), $q.numElements());
+         |int $n = $c.numElements();
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |boolean $bad = false;
-         |for (int $i = 0; $i < $n; $i++) {
+         |boolean $bad = $n != $q.numElements();
+         |for (int $i = 0; !$bad && $i < $n; $i++) {
          |  if ($c.isNullAt($i) || $q.isNullAt($i)) { $bad = true; break; }
          |  double $xi = ((double) $c.$acc($i)) * $s;
          |  double $yi = $q.getDouble($i);

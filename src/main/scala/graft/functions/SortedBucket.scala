@@ -52,6 +52,60 @@ case class SortedBucket(child: Expression, bounds: Array[Double]) extends UnaryE
     copy(child = newChild)
 }
 
+/** Native expression: snap a value UP to the first cut ≥ it — exactly the
+  * `element_at(array(cuts :+ MaxValue), binByCuts(v, cuts))` chain
+  * ([[graft.stats.Binning.binByCuts]] semantics: values equal to a cut go
+  * low, i.e. snap to themselves; above every cut → Double.MaxValue; NaN →
+  * Double.MaxValue, matching the when-chain where NaN fails every `<=`;
+  * null → null), but in one O(log B) binary search. The chain builds a
+  * cuts-deep nested CaseWhen PLUS a cuts-wide CreateArray — at the MDL
+  * quantizer's 65k candidates that expression tree overflows the driver
+  * stack in Catalyst's transforms before codegen even gets to reject it.
+  */
+case class SnapUp(child: Expression, cuts: Array[Double]) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(s"snap_up expects double, got ${child.dataType}")
+    else if (cuts.exists(_.isNaN))
+      TypeCheckResult.TypeCheckFailure("snap_up expects NaN-free cuts")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(v: Any): Any =
+    SnapUp.snap(cuts, v.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cuts", cuts, "double[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.SnapUp.snap($ref, $v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SnapUp {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** First cut ≥ v, else Double.MaxValue (NaN → MaxValue too). */
+  def snap(cuts: Array[Double], v: Double): Double = {
+    if (v.isNaN) return Double.MaxValue
+    // lower bound: first index with cuts(i) >= v
+    var lo = 0
+    var hi = cuts.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (cuts(mid) < v) lo = mid + 1 else hi = mid
+    }
+    if (lo < cuts.length) cuts(lo) else Double.MaxValue
+  }
+
+  def of(v: Column, cuts: Array[Double]): Column =
+    ColumnBridge.column(SnapUp(ColumnBridge.expression(v.cast("double")), cuts))
+}
+
 object SortedBucket {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 

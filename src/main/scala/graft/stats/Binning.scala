@@ -178,6 +178,38 @@ object Binning {
         }
         if (cum >= k) Some(out) else None
       }
+      // targeted re-bracket: the SHARED brackets probe the NaN-free
+      // distribution at the caller's p, but with nanAsLargest a NaN-skewed
+      // column's rank k = p·(nonNa+nan) sits at the HIGHER quantile
+      // k/nonNa of the NaN-free values — outside the shared bracket, which
+      // would otherwise dump every column like that onto the full-collect
+      // fallback (unbounded for high-cardinality columns). Retry with one
+      // per-(column, rank) probe at the rank's true non-NaN probability:
+      // bounded work (a quantile sketch, one filtered count, a small
+      // in-bracket collect), exact result.
+      def rebracketPick(k: Long): Option[Double] = {
+        val nn = nonNas(c)
+        if (nn == 0L) return None
+        val pAdj = math.min(1.0, math.max(0.0, k.toDouble / nn))
+        val probes = Array(math.max(0.0, pAdj - 2 * bracketErr), math.min(1.0, pAdj + 2 * bracketErr))
+        val lohi = df.stat.approxQuantile(c, probes, bracketErr)
+        if (lohi.length < 2) return None
+        val (lo2, hi2) = (lohi(0), lohi(1))
+        val below = df.where(notNa(c) && col(c).cast("double") < lo2).count()
+        if (below >= k) return None
+        val vals = df.where(notNa(c) && col(c).cast("double").between(lo2, hi2))
+          .groupBy(col(c).cast("double").as("v")).agg(count(lit(1)).as("cnt"))
+          .limit(maxCollect + 1).collect()
+        if (vals.length > maxCollect) return None
+        val sorted = vals.map(r => (r.getDouble(0), r.getLong(1))).sortBy(_._1)
+        var cum = below
+        var out = Double.NaN
+        var i = 0
+        while (i < sorted.length && cum < k) {
+          cum += sorted(i)._2; if (cum >= k) out = sorted(i)._1; i += 1
+        }
+        if (cum >= k) Some(out) else None
+      }
       lazy val exactAll: Array[(Double, Long)] = { // fallback: full sorted counts
         val rows = df.where(notNa(c)).select(col(c).cast("double").as("v"))
           .groupBy("v").agg(count(lit(1)).as("c"))
@@ -199,7 +231,7 @@ object Binning {
         else pr.flatMap { p =>
           ranksOf(n, p).distinct.map { k =>
             k -> (if (nanAsLargest && k > nonNas(c)) Double.NaN
-                  else tryPick(p, k).getOrElse(exactPick(k)))
+                  else tryPick(p, k).orElse(rebracketPick(k)).getOrElse(exactPick(k)))
           }
         }.toMap
       c -> ((n, picks))
@@ -293,13 +325,20 @@ object Binning {
   ): Map[String, Array[Double]] = {
     require(nbins >= 2, "nbins must be >= 2")
     require(buckets >= 1, "buckets must be >= 1")
-    cols.map { c =>
+    // ONE sketch pass brackets every column (approxQuantile batches columns)
+    val bProbs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val allBounds = df.stat.approxQuantile(
+      cols.toArray, if (bProbs.isEmpty) Array(0.5) else bProbs, 0.01)
+    cols.zipWithIndex.map { case (c, ci) =>
+      // the value histogram feeds BOTH the totals job and the pick job —
+      // cache it so the source is scanned once per column, not twice
+      // (re-referenced-subtree rule)
       val vc = df.select(col(c).cast("double").as("v"))
         .where(col("v").isNotNull && !isnan(col("v")))
         .groupBy("v").agg(count(lit(1)).as("cnt"))
-      val bProbs = (1 until buckets).map(_.toDouble / buckets).toArray
-      val bounds = df.stat.approxQuantile(c, if (bProbs.isEmpty) Array(0.5) else bProbs, 0.01)
-        .distinct.sorted
+        .cache()
+      try {
+      val bounds = allBounds(ci).distinct.sorted
       val bucketed =
         if (bounds.isEmpty) vc.withColumn("bkt", lit(0))
         else vc.withColumn("bkt", graft.functions.SortedBucket.of(col("v"), bounds))
@@ -323,6 +362,7 @@ object Binning {
           .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
         c -> (1 until nbins).map(i => picked(i.toLong)).toArray
       }
+      } finally vc.unpersist(false)
     }.toMap
   }
 

@@ -118,12 +118,12 @@ object MdlBinning {
         val cuts = Binning.exactCutsMany(df, wide, maxCandidates)
         wide.foldLeft(df) { (d, f) =>
           // snap each value to its candidate bin's upper cut (cut VALUES
-          // stay on the data scale)
-          d.withColumn(f, {
-            val b = Binning.binByCuts(col(f), cuts(f))
-            val arr = array((cuts(f) :+ Double.MaxValue).map(lit): _*)
-            element_at(arr, b.cast("int"))
-          })
+          // stay on the data scale). Native binary search, NOT the
+          // binByCuts+element_at chain: 65k cuts would build a 65k-deep
+          // CaseWhen and a 65k-wide CreateArray — Catalyst's recursive
+          // transforms overflow the stack on a tree that deep (SnapUp is
+          // spec-pinned equal to the chain at small widths)
+          d.withColumn(f, graft.functions.SnapUp.of(col(f), cuts(f)))
         }
       }
     val long = graft.core.Melt

@@ -179,6 +179,31 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("native SnapUp == binByCuts+element_at snap chain (ties, dup cuts, NaN, null, above-all)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array, col, element_at, lit}
+    import graft.stats.Binning
+    val cutSets = Seq(Array(1.0, 2.5, 7.0), Array(2.5, 2.5, 7.0), Array(0.0))
+    // non-null inputs compare against the chain; null input is pinned
+    // directly (element_at itself mis-defaults on a null index, so the
+    // chain is not a trustworthy oracle there)
+    val vals = Seq(0.5, 1.0, 2.5, 2.5000001, 7.0, 8.0, -3.0, Double.NaN)
+    val df = vals.toDF("v")
+    cutSets.foreach { cuts =>
+      val arr = array((cuts :+ Double.MaxValue).map(lit): _*)
+      val rows = df.select(
+        element_at(arr, Binning.binByCuts(col("v"), cuts).cast("int")).as("chain"),
+        graft.functions.SnapUp.of(col("v"), cuts).as("native")).collect()
+      rows.zip(vals).foreach { case (r, v) =>
+        assert(java.lang.Double.compare(r.getDouble(0), r.getDouble(1)) == 0,
+          s"cuts=${cuts.toSeq} v=$v: ${r.get(0)} vs ${r.get(1)}")
+      }
+      val nullRow = Seq(None: Option[Double]).toDF("v")
+        .select(graft.functions.SnapUp.of(col("v"), cuts)).head()
+      assert(nullRow.isNullAt(0), "null value snaps to null")
+    }
+  }
+
   test("exactCutsMany == exactCuts at any parallelism (the 65k-candidate MDL quantization path)") {
     import spark.implicits._
     import graft.stats.Binning

@@ -172,11 +172,16 @@ class SimilaritySpec extends AnyFunSuite {
     val i8 = spark.sql(
       "SELECT int8_cosine_sim(array(1, CAST(NULL AS INT), 3), 0.5D, array(1.0D, 1.0D, 1.0D)) c").head()
     assert(i8.isNullAt(0), "int8 fused: null code element -> null similarity")
-    // a null-free prefix short-circuits BEFORE the null slot only if lengths
-    // differ; equal lengths must still scan to (and trip on) the null
-    val pref = spark.sql(
-      "SELECT int8_cosine_sim(array(1, 2), 0.5D, array(1.0D, 1.0D, CAST(NULL AS DOUBLE))) c").head()
-    assert(!pref.isNullAt(0), "common-prefix semantics: the unpaired null tail is never read")
+    // LENGTH MISMATCH is null too — zip_with pads the shorter side with
+    // nulls, so the chain poisons to null; the fused loops must agree
+    val mism = spark.sql(
+      "SELECT int8_cosine_sim(array(1, 2), 0.5D, array(1.0D, 1.0D, 1.0D)) c").head()
+    assert(mism.isNullAt(0), "length mismatch must be null, like the padded zip_with chain")
+    val dMism = spark.sql("SELECT array(1.0D, 2.0D) v")
+    val both = dMism.select(
+      Similarity.cosineBuiltin(col("v"), q).as("chain"),
+      ArrayMath.cosineSimTo(col("v"), q).as("native")).head()
+    assert(both.isNullAt(0) && both.isNullAt(1), "chain and native agree on mismatched lengths")
   }
 
   test("fused int8 cosine == dequantize -> builtin chain, bit-for-bit (incl. narrow code types)") {
