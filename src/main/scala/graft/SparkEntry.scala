@@ -23,6 +23,12 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** q_normalize fixture decoration, single source of truth for BOTH the
+    * Spark column and the SQL literal: decomposed e+acute / A+ring next to
+    * their precomposed forms, so NFC actually rewrites something. */
+  private val normFixtureSuffix =
+    " cafe\u0301 A\u030A composed:\u00E9\u00C5" // decomposed pair, then precomposed pair
+
   /** Flagship: the SURVEY §7.2 end-to-end spine on a deterministic synthetic
     * pages table — dedup → sessionize/lag/rolling features → as-of join to
     * labels → infogain scoring → dual_filter → baked feature vectors. */
@@ -274,6 +280,17 @@ object SparkEntry {
           lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
           lit(" isbn 978-3-16-148410-0 build v1.2.3"))).as("redacted"))
         .orderBy("doc_id")),
+    // Unicode NFC canonicalization: decomposed accents appended to every
+    // doc must compose identically in Spark (java.text.Normalizer) and
+    // DuckDB (nfc_normalize) — the dedup-key precondition on web text
+    "q_normalize" -> ((s, dir) => {
+      def decorated = concat(col("text"), lit(normFixtureSuffix))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextFeatures.normalizeNfc(decorated).as("norm_text"),
+        (TextFeatures.normalizeNfc(decorated) =!= decorated).as("changed"))
+        .orderBy("doc_id")
+    }),
     // HTML -> text extraction: deterministic per-doc html synthesized from
     // the corpus text (script/style/comment payloads, entities incl. a
     // double-encoded one, block boundaries, two links), then the full
@@ -1097,6 +1114,14 @@ object SparkEntry {
         |    '\b(\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}([ -]\d{1,3})?|\d{4}[ -]\d{6}[ -]\d{5}|\d{13,19})\b', '<CC>', 'g'),
         |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS redacted
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // DuckDB's nfc_normalize == java.text.Normalizer NFC byte-for-byte;
+    // the suffix literal carries the SAME raw UTF-8 as the Spark fixture
+    // (single Scala constant interpolated into both)
+    "q_normalize" ->
+      s"""SELECT doc_id,
+         |  nfc_normalize(concat(text, '$normFixtureSuffix')) AS norm_text,
+         |  nfc_normalize(concat(text, '$normFixtureSuffix')) <> concat(text, '$normFixtureSuffix') AS changed
+         |FROM documents ORDER BY doc_id""".stripMargin,
     // the full extraction chain replayed stage-for-stage (each CTE is
     // referenced exactly once; all string ops deterministic); chr(10) is the
     // newline replacement (a DuckDB standard string '\n' stays two chars)

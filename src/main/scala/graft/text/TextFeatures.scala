@@ -121,6 +121,19 @@ object TextFeatures {
       "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b", "<PHONE>")
   }
 
+  /** Unicode NFC canonicalization (native codegen expression — Spark has
+    * no builtin; byte-compatible with DuckDB's `nfc_normalize`, verified by
+    * the q_normalize oracle). Composed and decomposed spellings of the same
+    * text hash identically afterwards. */
+  def normalizeNfc(text: Column): Column = graft.functions.UnicodeNormalize.nfc(text)
+
+  /** The standard dedup-key fold: NFKC compatibility normalization
+    * (ligatures → letters, fullwidth → ASCII, ² → 2) then lowercase. Feed
+    * this to [[fingerprintMd5]] / MinHash when near-identical renderings of
+    * a page must collide. */
+  def dedupKeyFold(text: Column): Column =
+    lower(graft.functions.UnicodeNormalize.nfkc(text))
+
   /** Content fingerprint: md5 of the exact bytes (portable across engines —
     * used for exact dedup and the byte-identity-per-url invariant). */
   def fingerprintMd5(text: Column): Column = md5(encode(text, "UTF-8"))

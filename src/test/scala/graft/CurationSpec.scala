@@ -239,6 +239,44 @@ class CurationSpec extends AnyFunSuite {
     } finally h.release()
   }
 
+  test("unicode normalization: NFC composes, NFKC folds compat chars, idempotent, null-safe") {
+    import graft.text.TextFeatures
+    val rows = Seq(
+      "cafe\u0301",            // decomposed e + combining acute
+      "A\u030Abc",             // decomposed A + combining ring
+      "\u00E9\u00C5",          // already composed - NFC no-op
+      "\uFB01le",              // ligature fi: NFC keeps, NFKC folds to "fi"
+      "\uFF21\uFF22 x\u00B2",  // fullwidth AB + superscript 2: NFKC folds
+      "plain ascii",
+      null.asInstanceOf[String])
+    val got = rows.toDF("t").select(
+      TextFeatures.normalizeNfc(col("t")),
+      graft.functions.UnicodeNormalize.nfkc(col("t")),
+      TextFeatures.dedupKeyFold(col("t"))).collect()
+    def g(i: Int, j: Int): String = if (got(i).isNullAt(j)) null else got(i).getString(j)
+    assert(g(0, 0) == "caf\u00E9" && g(1, 0) == "\u00C5bc", "NFC composes")
+    assert(g(2, 0) == "\u00E9\u00C5", "already-composed text untouched")
+    assert(g(3, 0) == "\uFB01le" && g(3, 1) == "file", "NFC keeps the ligature, NFKC folds it")
+    assert(g(4, 1) == "AB x2", "NFKC folds fullwidth and superscripts")
+    assert(g(4, 2) == "ab x2", "dedup-key fold = NFKC + lowercase")
+    assert(g(5, 0) == "plain ascii" && g(5, 2) == "plain ascii")
+    assert(g(6, 0) == null && g(6, 1) == null && g(6, 2) == null, "null passes through")
+    // idempotence: normalizing twice is a no-op
+    val twice = rows.take(5).toDF("t")
+      .select(TextFeatures.normalizeNfc(TextFeatures.normalizeNfc(col("t"))),
+        TextFeatures.normalizeNfc(col("t"))).collect()
+    twice.foreach(r => assert(r.getString(0) == r.getString(1)))
+    // the dedup payoff: composed and decomposed spellings fingerprint equal
+    // AFTER normalization (and differ without it)
+    val pair = Seq("caf\u00E9 bar", "cafe\u0301 bar").toDF("t")
+    val fpNorm = pair
+      .select(TextFeatures.fingerprintMd5(TextFeatures.normalizeNfc(col("t")))).collect()
+    assert(fpNorm(0).getString(0) == fpNorm(1).getString(0))
+    val fpRaw = pair.select(TextFeatures.fingerprintMd5(col("t"))).collect()
+    assert(fpRaw(0).getString(0) != fpRaw(1).getString(0),
+      "the raw spellings really are different bytes")
+  }
+
   test("dedupLines: corpus-frequent lines removed, order kept, edge docs handled") {
     import graft.text.Dedup
     val docs = Seq(
