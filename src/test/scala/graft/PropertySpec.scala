@@ -111,6 +111,38 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("Dedup.duplicateSpans == local coverage model on seeded random corpora") {
+    import spark.implicits._
+    for (seed <- Seq(7, 8, 9)) {
+      val rng = new scala.util.Random(seed)
+      val vocab = Seq("a", "b", "c", "d") // tiny vocab forces natural k-gram dups
+      val k = 2 + rng.nextInt(2)
+      val maxCount = 1 + rng.nextInt(2)
+      val docs = (0L until 30L).map { i =>
+        (i, Seq.fill(k - 1 + rng.nextInt(10))(vocab(rng.nextInt(vocab.size))).mkString(" "))
+      }
+      // local model: gram -> corpus count; positions covered by any gram
+      // whose corpus count exceeds maxCount are removed
+      val gramsOf = docs.map { case (id, t) =>
+        val toks = t.split(" ").toSeq
+        id -> toks.sliding(k).filter(_.size == k).map(_.mkString(" ")).toSeq
+      }.toMap
+      val freq = gramsOf.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+      val model = docs.map { case (id, t) =>
+        val toks = t.split(" ").toSeq
+        val covered = gramsOf(id).zipWithIndex.collect {
+          case (g, p) if freq(g) > maxCount => (p until p + k)
+        }.flatten.toSet
+        val kept = toks.zipWithIndex.collect { case (tok, p) if !covered.contains(p) => tok }
+        id -> ((kept.mkString(" "), covered.size.toLong))
+      }.toMap
+      val got = graft.text.Dedup
+        .duplicateSpans(docs.toDF("doc_id", "text"), "doc_id", "text", k, maxCount)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      assert(got == model, s"seed=$seed k=$k maxCount=$maxCount")
+    }
+  }
+
   test("Packing.packSequences == local running-sum model on seeded random fixtures") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
