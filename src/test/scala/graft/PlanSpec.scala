@@ -137,6 +137,10 @@ class PlanSpec extends AnyFunSuite {
       graft.text.UrlFeatures.registrableDomain(col("text")),
       graft.text.UrlFeatures.normalize(col("text"))))
     assert(!ex2.contains("Exchange"), s"url parsing must not shuffle:\n$ex2")
+    val ex3 = plan(docs.select(col("doc_id"),
+      graft.text.TextFeatures.normalizeNfc(col("text")),
+      graft.text.TextFeatures.dedupKeyFold(col("text"))))
+    assert(!ex3.contains("Exchange"), s"unicode normalization must not shuffle:\n$ex3")
   }
 
   test("LM scoring joins the model by BROADCAST (the corpus side never shuffles)") {
