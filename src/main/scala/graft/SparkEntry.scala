@@ -1118,9 +1118,11 @@ object SparkEntry {
     // the suffix literal carries the SAME raw UTF-8 as the Spark fixture
     // (single Scala constant interpolated into both)
     "q_normalize" ->
+      // `||`, not concat(): DuckDB's concat SKIPS null arguments while
+      // Spark's null-propagates — `||` null-propagates in both engines
       s"""SELECT doc_id,
-         |  nfc_normalize(concat(text, '$normFixtureSuffix')) AS norm_text,
-         |  nfc_normalize(concat(text, '$normFixtureSuffix')) <> concat(text, '$normFixtureSuffix') AS changed
+         |  nfc_normalize(text || '$normFixtureSuffix') AS norm_text,
+         |  nfc_normalize(text || '$normFixtureSuffix') <> (text || '$normFixtureSuffix') AS changed
          |FROM documents ORDER BY doc_id""".stripMargin,
     // the full extraction chain replayed stage-for-stage (each CTE is
     // referenced exactly once; all string ops deterministic); chr(10) is the

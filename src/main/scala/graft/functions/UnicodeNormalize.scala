@@ -56,9 +56,13 @@ object UnicodeNormalize {
       case _      => java.text.Normalizer.Form.NFKD
     }
     val str = s.toString
-    // fast path: already-normalized text (the overwhelmingly common case
-    // for ASCII-heavy corpora) returns the input without re-encoding
-    if (java.text.Normalizer.isNormalized(str, f)) s
+    // fast path: already-normalized VALID text (the overwhelmingly common
+    // case for ASCII-heavy corpora) returns the input without re-encoding.
+    // Invalid UTF-8 (reachable via cast(binary as string)) always takes
+    // the slow path so ill-formed bytes are CONSISTENTLY replaced with
+    // U+FFFD — the output is valid UTF-8 for every input, never a mix of
+    // passed-through and substituted bytes depending on surrounding text.
+    if (s.isValid && java.text.Normalizer.isNormalized(str, f)) s
     else UTF8String.fromString(java.text.Normalizer.normalize(str, f))
   }
 
