@@ -351,6 +351,20 @@ object SparkEntry {
           .otherwise(lit("")).as("line_text"))
       Dedup.dedupLines(synth, "doc_id", "line_text", maxCount = 1).orderBy("doc_id")
     }),
+    // near-dup cluster RESOLUTION: synthesized duplicate chains (consecutive
+    // ids linked, broken at multiples of 7, occasionally cross-linked) must
+    // collapse to per-component minimum canonical ids — transitive closure
+    // the pairwise operators never compute; DuckDB replays it with a
+    // recursive CTE
+    "q_dedup_clusters" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val chain = d.where(pmod(col("doc_id"), lit(7)) =!= 0)
+        .select(col("doc_id").as("a"), (col("doc_id") - 1).as("b"))
+      val cross = d.where(pmod(col("doc_id"), lit(50)) === 0 && col("doc_id") >= 14)
+        .select(col("doc_id").as("a"), (col("doc_id") - 14).as("b"))
+      Dedup.resolveClusters(chain.unionByName(cross), "a", "b")
+        .orderBy("doc_id")
+    }),
     // exact duplicated-substring dedup (Lee et al. 2022): a shared 5-token
     // header on every doc and a shared 5-token footer on every 5th doc are
     // cut wherever their 4-grams repeat corpus-wide (plus whatever natural
@@ -1224,6 +1238,23 @@ object SparkEntry {
         |  CAST(coalesce(sum(CASE WHEN NOT k.keep THEN 1 ELSE 0 END), 0) AS BIGINT) AS removed_lines
         |FROM documents d LEFT JOIN k ON d.doc_id = k.doc_id
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+    // transitive closure by recursive CTE: reach(v, u) = u reachable from
+    // v over the undirected synthesized edges; canonical = min reachable
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE und AS (
+        |  SELECT doc_id AS a, doc_id - 1 AS b FROM documents WHERE doc_id % 7 <> 0
+        |  UNION
+        |  SELECT doc_id - 1 AS a, doc_id AS b FROM documents WHERE doc_id % 7 <> 0
+        |  UNION
+        |  SELECT doc_id AS a, doc_id - 14 AS b FROM documents WHERE doc_id % 50 = 0 AND doc_id >= 14
+        |  UNION
+        |  SELECT doc_id - 14 AS a, doc_id AS b FROM documents WHERE doc_id % 50 = 0 AND doc_id >= 14),
+        |reach(v, u) AS (
+        |  SELECT a, a FROM und
+        |  UNION
+        |  SELECT r.v, e.b FROM reach r JOIN und e ON r.u = e.a)
+        |SELECT v AS doc_id, CAST(min(u) AS BIGINT) AS canonical_id
+        |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin,
     // duplicated-substring dedup: positional 4-grams via lead() windows,
     // md5-48 digit-sum hashes, corpus counts, coverage expansion and the
     // ordered rebuild — the exact relational replay of duplicateSpans

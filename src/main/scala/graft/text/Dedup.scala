@@ -372,6 +372,117 @@ object Dedup {
         coalesce(col("__removed"), lit(0L)).as("removed_tokens"))
   }
 
+  /** Resolve near-duplicate PAIRS into clusters — the step that makes
+    * pairwise dedup output actionable: [[nearDuplicates]] /
+    * [[graft.sim.Similarity.cosineNearDupPairs]] emit (a, b) edges, but a
+    * corpus build needs one CANONICAL representative per connected
+    * component (duplicate chains a~b~c must collapse to one kept doc even
+    * when a and c were never compared directly).
+    *
+    * Hybrid by edge count (the TwoPhase convention of bounded driver
+    * work):
+    *
+    *  - pair sets up to `localEdgeLimit` (default 4M edges ≈ 64 MB of
+    *    longs) collect to the driver and resolve by union-find with path
+    *    compression — near-dup pair sets are TINY relative to the corpus
+    *    (only the duplicates pair up), and an iterative Spark loop's
+    *    per-round scheduling cost (several exchanges × rounds) dwarfs the
+    *    actual work at this size;
+    *  - beyond the limit, distributed min-label propagation WITH POINTER
+    *    JUMPING: each round every vertex takes the min label among itself
+    *    and its neighbors, then jumps label(v) ← label(label(v)) — the
+    *    jump halves the distance to the component minimum, so convergence
+    *    is O(log diameter) rounds (real near-dup components are
+    *    near-cliques; even a 2²⁰-vertex pathological CHAIN resolves in
+    *    ~20 rounds), each round two equi-joins + one min-agg + one
+    *    change-count over the cached edge list, per-round label frames
+    *    cached and the previous unpersisted. A non-converged run THROWS
+    *    rather than returning a partially-merged labeling.
+    *
+    * Both paths produce the identical labeling (component minimum id —
+    * spec-pinned against each other), deterministically at any
+    * parallelism.
+    *
+    * Returns (id, canonical_id) for every id that appears in a pair;
+    * singleton documents never enter the edge list — callers left-join and
+    * `coalesce(canonical_id, id)`. Rows with `canonical_id == id` are the
+    * kept representatives.
+    */
+  def resolveClusters(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 25,
+      localEdgeLimit: Long = 4000000L,
+      handle: graft.runtime.CacheHandle = new graft.runtime.CacheHandle
+  ): DataFrame = {
+    require(maxIter >= 1, "maxIter must be >= 1")
+    require(localEdgeLimit >= 0, "localEdgeLimit must be >= 0")
+    val spark = pairs.sparkSession
+    val fwd = handle.track(
+      pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+        .distinct().cache())
+    // bounded BEFORE the transfer, TwoPhase-style: the limit+1 probe never
+    // ships more than the cap even when the pair set is enormous
+    val smallEnough = fwd.limit((localEdgeLimit + 1).min(Int.MaxValue.toLong).toInt)
+      .count() <= localEdgeLimit
+    if (smallEnough) {
+      val es = fwd.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb } // min-id root
+      }
+      val out = parent.keys.toSeq.sorted.map(v => (v, find(v)))
+      import spark.implicits._
+      return out.toDF("doc_id", "canonical_id")
+    }
+    val edges = handle.track(
+      fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().cache())
+    var labels = handle.track(
+      edges.groupBy("src").agg(min("dst").as("__mn"))
+        .select(col("src").as("id"), least(col("src"), col("__mn")).as("label"))
+        .cache())
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val viaNeighbors = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("__nl")), "dst")
+        .groupBy("src").agg(min("__nl").as("__nl"))
+      val propagated = labels
+        .join(viaNeighbors.select(col("src").as("id"), col("__nl")), Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("__nl"), col("label"))).as("label"))
+      // pointer jump: label(v) <- label(label(v)). Every label is itself a
+      // vertex id, so the self-join hits; left+coalesce guards the root.
+      val next = handle.track(
+        propagated
+          .join(propagated.select(col("id").as("label"), col("label").as("__ll")),
+            Seq("label"), "left")
+          .select(col("id"), coalesce(col("__ll"), col("label")).as("label"))
+          .cache())
+      val changed = next.join(labels.select(col("id"), col("label").as("__old")), "id")
+        .where(col("label") =!= col("__old")).count()
+      labels.unpersist(false)
+      labels = next
+      converged = changed == 0L
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"cluster resolution did not converge in $maxIter rounds — a component's " +
+          "diameter exceeds maxIter; raise it (results would be partially merged)")
+    labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
+  }
+
   /** 64-bit SimHash over tokens: bit j of the result is 1 iff the sum of
     * (+1/−1) contributions of token-hash bit j is positive. Expressed as 64
     * per-bit sums in one aggregation (map-side combine). Returns (id, simhash).

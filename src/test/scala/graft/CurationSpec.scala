@@ -277,6 +277,62 @@ class CurationSpec extends AnyFunSuite {
       "the raw spellings really are different bytes")
   }
 
+  test("resolveClusters: connected components collapse to min-id canonicals") {
+    import graft.text.Dedup
+    // components: {1,2,3} (chain), {10,11,12,13} (cycle + chord),
+    // {20,21} (pair); edge directions mixed on purpose
+    val pairs = Seq(
+      (2L, 1L), (3L, 2L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L), (10L, 12L),
+      (21L, 20L)
+    ).toDF("a", "b")
+    val h = new graft.runtime.CacheHandle
+    try {
+      val got = Dedup.resolveClusters(pairs, "a", "b", handle = h)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+        10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L))
+      // parallelism invariance
+      val rep = Dedup.resolveClusters(pairs.repartition(7), "a", "b", handle = h)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(rep == got)
+      // the DISTRIBUTED pointer-jumping path (forced via localEdgeLimit=0)
+      // produces the identical labeling on the same graph
+      val dist = Dedup.resolveClusters(pairs, "a", "b", localEdgeLimit = 0L, handle = h)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(dist == got, "local union-find and distributed propagation must agree")
+      // pointer jumping covers distance 2^maxIter: a 29-vertex chain at
+      // maxIter=2 THROWS instead of returning a half-merged labeling
+      val chain = (1L until 30L).map(i => (i, i - 1)).toDF("a", "b")
+      intercept[IllegalStateException](
+        Dedup.resolveClusters(chain, "a", "b", maxIter = 2, localEdgeLimit = 0L, handle = h))
+      // ...and the local path resolves the same chain instantly
+      val full = Dedup.resolveClusters(chain, "a", "b", handle = h)
+        .collect().map(r => r.getLong(1)).distinct.toSeq
+      assert(full == Seq(0L), "one component, canonical 0")
+    } finally h.release()
+  }
+
+  test("resolveClusters composes with nearDuplicates: planted dup groups keep ONE canonical") {
+    import graft.text.Dedup
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val docs = Seq(
+      (1L, base), (2L, base), (3L, base),              // triple dup group
+      (4L, base.replace("gamma", "lambda")),           // near-dup of nothing (low jaccard vs base? ensure distinct enough)
+      (5L, "completely different text with unique words one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val h = new graft.runtime.CacheHandle
+    try {
+      val pairs = Dedup.nearDuplicates(docs, "doc_id", "text", n = 3, minJaccard = 0.9,
+        signatures = 16, bands = 8, handle = h)
+      val clusters = Dedup.resolveClusters(pairs, "a", "b", handle = h)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(clusters(1L) == 1L && clusters(2L) == 1L && clusters(3L) == 1L,
+        s"the identical triple must share canonical 1: $clusters")
+      assert(!clusters.contains(5L), "singletons never enter the edge list")
+    } finally h.release()
+  }
+
   test("dedupLines: corpus-frequent lines removed, order kept, edge docs handled") {
     import graft.text.Dedup
     val docs = Seq(

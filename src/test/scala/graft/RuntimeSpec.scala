@@ -177,6 +177,8 @@ class RuntimeSpec extends AnyFunSuite {
         graft.text.LmScore.charBigramScore(docs, "doc_id", "text", h).count()
         Dedup.dedupLines(docs, "doc_id", "text", maxCount = 1, handle = h).count()
         Dedup.duplicateSpans(docs, "doc_id", "text", k = 3, handle = h).count()
+        Dedup.resolveClusters(
+          Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b"), "a", "b", handle = h).count()
       } finally h.release()
     }
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
