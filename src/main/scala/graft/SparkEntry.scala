@@ -1241,7 +1241,7 @@ object SparkEntry {
     // transitive closure by recursive CTE: reach(v, u) = u reachable from
     // v over the undirected synthesized edges; canonical = min reachable
     "q_dedup_clusters" ->
-      """WITH RECURSIVE und AS (
+      """WITH RECURSIVE und AS MATERIALIZED (
         |  SELECT doc_id AS a, doc_id - 1 AS b FROM documents WHERE doc_id % 7 <> 0
         |  UNION
         |  SELECT doc_id - 1 AS a, doc_id AS b FROM documents WHERE doc_id % 7 <> 0

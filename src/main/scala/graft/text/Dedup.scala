@@ -417,17 +417,18 @@ object Dedup {
       handle: graft.runtime.CacheHandle = new graft.runtime.CacheHandle
   ): DataFrame = {
     require(maxIter >= 1, "maxIter must be >= 1")
-    require(localEdgeLimit >= 0, "localEdgeLimit must be >= 0")
+    require(localEdgeLimit >= 0 && localEdgeLimit < Int.MaxValue,
+      "localEdgeLimit must be in [0, Int.MaxValue) — a larger cap would defeat the probe")
     val spark = pairs.sparkSession
     val fwd = handle.track(
       pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
         .distinct().cache())
-    // bounded BEFORE the transfer, TwoPhase-style: the limit+1 probe never
-    // ships more than the cap even when the pair set is enormous
-    val smallEnough = fwd.limit((localEdgeLimit + 1).min(Int.MaxValue.toLong).toInt)
-      .count() <= localEdgeLimit
-    if (smallEnough) {
-      val es = fwd.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // bounded BEFORE the transfer, TwoPhase-style: ONE limit+1 job both
+    // probes the size and ships the edges when they fit — never more than
+    // cap+1 rows cross to the driver even on an enormous pair set
+    val probe = fwd.limit(localEdgeLimit.toInt + 1).collect()
+    if (probe.length <= localEdgeLimit) {
+      val es = probe.map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -458,9 +459,13 @@ object Dedup {
       val viaNeighbors = edges
         .join(labels.select(col("id").as("dst"), col("label").as("__nl")), "dst")
         .groupBy("src").agg(min("__nl").as("__nl"))
-      val propagated = labels
+      // cached: the pointer-jump self-join references it twice, and an
+      // uncached re-reference would re-run the whole propagate stage per
+      // side (the round-2 re-referenced-subtree rule)
+      val propagated = handle.track(labels
         .join(viaNeighbors.select(col("src").as("id"), col("__nl")), Seq("id"), "left")
         .select(col("id"), least(col("label"), coalesce(col("__nl"), col("label"))).as("label"))
+        .cache())
       // pointer jump: label(v) <- label(label(v)). Every label is itself a
       // vertex id, so the self-join hits; left+coalesce guards the root.
       val next = handle.track(
@@ -471,6 +476,7 @@ object Dedup {
           .cache())
       val changed = next.join(labels.select(col("id"), col("label").as("__old")), "id")
         .where(col("label") =!= col("__old")).count()
+      propagated.unpersist(false)
       labels.unpersist(false)
       labels = next
       converged = changed == 0L
