@@ -230,6 +230,17 @@ object SparkEntry {
           round(col("contamination"), 6).as("contamination"))
         .orderBy("doc_id")
     }),
+    // the too-big-to-broadcast variant: broadcast-Bloom semi-join reduction
+    // gating the corpus gram stream map-side, exact-verified — bit-identical
+    // to the un-filtered score by construction (no false negatives)
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.contaminationLarge(d, "doc_id", "text",
+        d.where(col("doc_id") < 8), "text", n = 2)
+        .select(col("doc_id"), col("total_ngrams"), col("contaminated_ngrams"),
+          round(col("contamination"), 6).as("contamination"))
+        .orderBy("doc_id")
+    }),
     // deterministic corpus split: portable md5-bucket variant so DuckDB
     // reproduces the exact membership of every split; the xxhash64
     // production variant is pinned by CurationSpec
@@ -255,6 +266,17 @@ object SparkEntry {
       t(s, dir, "documents")
         .where(Sampling.stratifiedSampleMd5(col("doc_id"), col("source"), fr))
         .select("doc_id", "source").orderBy("doc_id")
+    }),
+    // Efraimidis–Spirakis weighted sample (k largest u^(1/w)), weight =
+    // token count, u from the portable md5 bucket — membership is a pure
+    // function of (doc_id, weight), reproduced exactly by the oracle
+    "q_weighted_sample" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("weight", TextFeatures.tokenCount(col("text")))
+      Sampling.weightedSampleMd5(d, col("doc_id"), col("weight"), k = 50)
+        .select(col("doc_id"), col("weight"),
+          round(col("sample_key"), 6).as("sample_key"))
+        .orderBy("doc_id")
     }),
     // PII redaction mechanism check: the corpus has no PII, so the query
     // plants deterministic synthetic PII (email + IPv4 + phone derived from
@@ -1085,6 +1107,32 @@ object SparkEntry {
         |LEFT JOIN tot ON d.doc_id = tot.doc_id
         |LEFT JOIN hit ON d.doc_id = hit.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // bigram variant of the decontamination score — the Bloom-gated Spark
+    // path must be bit-identical to the exact score (no false negatives),
+    // so the oracle is the plain exact formulation
+    "q_decontaminate_bloom" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok,
+        |         generate_subscripts(regexp_split_to_array(trim(lower(text)), '\s+'), 1) AS pos
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id,
+        |    concat(tok, ' ', lead(tok, 1) OVER d) AS s,
+        |    pos, count(*) OVER (PARTITION BY doc_id) AS n
+        |  FROM w WINDOW d AS (PARTITION BY doc_id ORDER BY pos)),
+        |sh AS MATERIALIZED (SELECT DISTINCT doc_id, s FROM bi WHERE pos <= n - 1),
+        |bg AS MATERIALIZED (SELECT DISTINCT s FROM sh WHERE doc_id < 8),
+        |tot AS (SELECT doc_id, count(*) AS total FROM sh GROUP BY doc_id),
+        |hit AS (SELECT sh.doc_id, count(*) AS hits FROM sh JOIN bg USING (s) GROUP BY sh.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(tot.total, 0) AS BIGINT) AS total_ngrams,
+        |  CAST(COALESCE(hit.hits, 0) AS BIGINT) AS contaminated_ngrams,
+        |  round(CASE WHEN COALESCE(tot.total, 0) = 0 THEN 0.0
+        |        ELSE CAST(COALESCE(hit.hits, 0) AS DOUBLE) / tot.total END, 6) AS contamination
+        |FROM documents d
+        |LEFT JOIN tot ON d.doc_id = tot.doc_id
+        |LEFT JOIN hit ON d.doc_id = hit.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // 48-bit md5-prefix bucket (the repo's portable hash) walked against the
     // cumulative 0.8/0.9 thresholds — both engines divide the same exact
     // integer by 1e6, so the comparisons are bit-identical
@@ -1109,6 +1157,25 @@ object SparkEntry {
         |    (CAST(substr(source, 4) AS INT) % 3 + 1) * 0.25 AS f
         |  FROM documents) t
         |WHERE b < f ORDER BY doc_id""".stripMargin,
+    // A-ES sample keys: identical integer bucket, identical (b+0.5)/1e6 and
+    // 1/w doubles — only pow's final rounding is libm-dependent (1 ulp,
+    // far below the 6-dp round and the inter-key gaps)
+    "q_weighted_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS weight,
+        |    (CAST(list_sum(list_transform(range(1, 13),
+        |       k -> (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), CAST(k AS INT), 1)) - 1)
+        |            * pow(16, 12 - k))) AS BIGINT) % 1000000) AS bkt
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, weight,
+        |    CASE WHEN weight IS NULL OR weight <= 0 THEN 0.0
+        |         ELSE pow((bkt + 0.5) / 1000000.0, 1.0 / CAST(weight AS DOUBLE)) END AS sk
+        |  FROM b)
+        |SELECT doc_id, weight, round(sk, 6) AS sample_key FROM (
+        |  SELECT * FROM s ORDER BY sk DESC, doc_id LIMIT 50) t
+        |ORDER BY doc_id""".stripMargin,
     // same synthetic-PII injection, same three RE2-subset patterns ('g' =
     // replace all, Spark's default); byte-identical redacted strings
     "q_redact_pii" ->

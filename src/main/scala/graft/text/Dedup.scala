@@ -238,6 +238,63 @@ object Dedup {
           .otherwise(col("contaminated_ngrams") / col("total_ngrams")))
   }
 
+  /** [[contamination]] for membership sets too large to broadcast: the
+    * same score, computed behind a broadcast-Bloom semi-join reduction.
+    *
+    * The exact path broadcasts the benchmark's distinct n-grams as a hash
+    * map — fine for one eval suite, impossible when the membership side is
+    * itself large (every benchmark + held-out set at once, or a
+    * multi-billion-key blocklist): then the exact join must shuffle the
+    * FULL corpus gram stream, and at 100 TB that shuffle is the job. Here
+    * a [[org.apache.spark.util.sketch.BloomFilter]] is built over the gram
+    * set by Spark's distributed `stat.bloomFilter` aggregate (one pass, no
+    * driver collect of the grams — only the ~10-bits-per-key sketch comes
+    * back), and [[graft.functions.BloomMightContain]] evaluates it inside
+    * whole-stage codegen BEFORE the exchange: only true hits plus an `fpp`
+    * sliver of false positives are shuffled into the exact verify join, so
+    * the result is bit-identical to [[contamination]] (Bloom filters have
+    * no false negatives) at ~`fpp` of the shuffle volume.
+    *
+    * Every document must survive the gate even when none of its grams do —
+    * a sentinel null gram is appended before the explode (null passes the
+    * gate, joins nothing, contributes 0 hits), so the per-doc aggregate
+    * sees each document exactly once without a second corpus scan.
+    *
+    * `expectedItems` sizes the sketch; pass the known membership-set
+    * cardinality to skip the sizing `count()` pass (≤ 0 ⇒ count). The
+    * benchmark subtree is evaluated three times (size, build, verify) —
+    * at deployment scale callers should hand in a persisted distinct-gram
+    * table; at any scale it is the small side by definition. */
+  def contaminationLarge(
+      docs: DataFrame,
+      id: String,
+      text: String,
+      bench: DataFrame,
+      benchText: String,
+      n: Int,
+      fpp: Double = 0.01,
+      expectedItems: Long = -1L
+  ): DataFrame = {
+    require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
+    val bg = bench.select(explode(shingles(col(benchText), n)).as("g")).distinct()
+    val items = if (expectedItems > 0) expectedItems else math.max(bg.count(), 1L)
+    val bloom = bg.stat.bloomFilter("g", items, fpp)
+    val gate = graft.functions.BloomMightContain.mightContain(col("g"), bloom)
+    docs
+      // null text ⇒ empty gram set, scoring 0 (same rule as contamination)
+      .select(col(id),
+        coalesce(shingles(col(text), n), array().cast("array<string>")).as("gs"))
+      .select(col(id), size(col("gs")).cast("long").as("total_ngrams"),
+        explode(concat(col("gs"), array(lit(null).cast("string")))).as("g"))
+      .where(col("g").isNull || gate)
+      .join(bg.withColumn("__hit", lit(1L)), Seq("g"), "left")
+      .groupBy(col(id), col("total_ngrams"))
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("contaminated_ngrams"))
+      .withColumn("contamination",
+        when(col("total_ngrams") === 0, lit(0.0))
+          .otherwise(col("contaminated_ngrams") / col("total_ngrams")))
+  }
+
   /** C4-style corpus-level LINE dedup: any line whose exact text occurs more
     * than `maxCount` times ACROSS THE CORPUS is removed from every document
     * (the standard boilerplate filter — nav bars, cookie banners, footers

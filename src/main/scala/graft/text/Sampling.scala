@@ -83,6 +83,51 @@ object Sampling {
   ): Column =
     md5Bucket(key) < stratumFraction(stratum, fractions, default)
 
+  /** Weighted sampling without replacement, deterministic: the
+    * Efraimidis–Spirakis A-ES scheme (key_i = u_i^(1/w_i), take the k
+    * largest keys) with the uniform u_i drawn from the seeded key hash
+    * instead of RNG state — so, like every sampler here, membership is a
+    * pure function of (key, weight, seed): identical at any parallelism,
+    * across reruns, and resumable mid-pipeline. The standard
+    * quality-weighted corpus subset selection ("sample 10M documents
+    * proportionally to quality score") in one pass.
+    *
+    * Scale shape: the sample key is a map-side projection; the top-k is
+    * `orderBy(...).limit(k)` which Spark plans as TakeOrderedAndProject —
+    * per-partition bounded heaps plus one merge of k·partitions rows, no
+    * global sort, no full shuffle. Ties (quantized u collisions) break by
+    * `key`, keeping the order total.
+    *
+    * Weight semantics: rows with null/zero/negative weight get sample key 0
+    * (the A-ES weight→0⁺ limit) — never selected ahead of any positively
+    * weighted row. u is shifted to the bucket midpoint ((b+0.5)/10^6) so
+    * u > 0 strictly and maximal-weight rows cannot be locked out by u = 0.
+    *
+    * Returns `df` plus `sample_key`, restricted to the k selected rows. */
+  def weightedSampleByHash(
+      df: DataFrame, key: Column, weight: Column, k: Int, seed: Long = 42L
+  ): DataFrame =
+    weightedSample(df, pmod(xxhash64(key, lit(seed)), lit(1000000L)), key, weight, k)
+
+  /** Portable variant of [[weightedSampleByHash]] on the 48-bit md5 hash —
+    * exact sample membership reproducible in any engine (the DuckDB
+    * oracle; `pow` may differ by 1 ulp across libms, which only matters if
+    * two sample keys collide to within that ulp). */
+  def weightedSampleMd5(df: DataFrame, key: Column, weight: Column, k: Int): DataFrame =
+    weightedSample(df, pmod(md5Hash48(key), lit(1000000L)), key, weight, k)
+
+  private def weightedSample(
+      df: DataFrame, bucket: Column, key: Column, weight: Column, k: Int
+  ): DataFrame = {
+    require(k >= 1, "sample size k must be >= 1")
+    val u = (bucket + lit(0.5)) / lit(1e6)
+    val sk = when(weight.isNotNull && weight > 0 && key.isNotNull,
+      pow(u, lit(1.0) / weight.cast("double"))).otherwise(lit(0.0))
+    df.withColumn("sample_key", sk)
+      .orderBy(col("sample_key").desc, key)
+      .limit(k)
+  }
+
   /** Deterministic corpus shuffle: a pseudo-random but fully reproducible
     * GLOBAL ordering (`shuffle_rank` ∈ [0, n)) following the seeded
     * key-hash order — the standard shuffle-before-packing step that breaks

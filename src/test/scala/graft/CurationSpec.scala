@@ -100,6 +100,113 @@ class CurationSpec extends AnyFunSuite {
     assert(got(5L) == ((0L, 0L, 0.0)), "null text must score a clean 0, not nulls")
   }
 
+  test("weightedSampleByHash == naive A-ES replay; parallelism-invariant; w<=0 excluded") {
+    val rows = (0L until 2000L).map { i =>
+      // weights spanning three orders of magnitude, plus null/zero/negative
+      val w: java.lang.Double =
+        if (i % 97 == 0) null
+        else if (i % 89 == 0) 0.0
+        else if (i % 83 == 0) -3.0
+        else ((i * 37 % 1000) + 1).toDouble
+      (i, w)
+    }
+    val df = rows.toDF("id", "w")
+    val k = 25
+    val got = Sampling.weightedSampleByHash(df, col("id"), col("w"), k, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).sortBy(_._1)
+
+    // pull the u buckets from Spark so the xxhash64 convention is shared,
+    // then do the A-ES arithmetic independently in scala
+    val u = df.select(col("id"),
+        (pmod(xxhash64(col("id"), lit(7L)), lit(1000000L)) + lit(0.5)) / lit(1e6))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expected = rows.map { case (i, w) =>
+      val key = if (w == null || w.doubleValue <= 0) 0.0 else math.pow(u(i), 1.0 / w.doubleValue)
+      (i, key)
+    }.sortBy { case (i, key) => (-key, i) }.take(k).sortBy(_._1)
+    assert(got.map(_._1).toSeq == expected.map(_._1).toSeq, "selected ids must match naive A-ES")
+    got.zip(expected).foreach { case ((_, a), (_, b)) => assert(math.abs(a - b) < 1e-12) }
+    assert(!got.map(_._1).exists(i => i % 97 == 0 || i % 89 == 0 || i % 83 == 0),
+      "null/zero/negative weights must never be selected")
+
+    // identical at different parallelism
+    val re = Sampling.weightedSampleByHash(df.repartition(13), col("id"), col("w"), k, seed = 7L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(re == got.map(_._1).toSeq)
+
+    // top-k plans as TakeOrderedAndProject — bounded per-partition heaps,
+    // no global sort (GLOBAL-WINDOW-OK does not apply: no window at all)
+    val p = Sampling.weightedSampleByHash(df, col("id"), col("w"), k)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), s"weighted sample must not global-sort:\n$p")
+  }
+
+  test("weightedSample: heavier rows win more often (A-ES distribution sanity)") {
+    // two strata: weight 100 vs weight 1, equal counts; across many seeds
+    // the heavy stratum must dominate the sample
+    val df = (0L until 400L).map(i => (i, if (i < 200) 100.0 else 1.0)).toDF("id", "w")
+    val heavyFrac = (1 to 10).map { seed =>
+      val sel = Sampling.weightedSampleByHash(df, col("id"), col("w"), 40, seed)
+        .collect().map(_.getLong(0))
+      sel.count(_ < 200).toDouble / sel.length
+    }
+    val mean = heavyFrac.sum / heavyFrac.size
+    assert(mean > 0.85, s"heavy stratum should dominate: per-seed fractions $heavyFrac")
+  }
+
+  test("contaminationLarge == contamination bit-for-bit, even at absurd fpp") {
+    import graft.text.Dedup
+    // a corpus with every edge the exact path handles: identical, disjoint,
+    // partial, shingle-less, null text — plus enough synthetic bulk that
+    // the Bloom gate actually discards most grams
+    val rows = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "zeta eta theta iota kappa"),
+      (3L, "alpha beta gamma nine ten"),
+      (4L, "xy"),
+      (5L, null.asInstanceOf[String])
+    ) ++ (6L until 120L).map(i => (i, s"filler$i word${i % 7} tail${i % 3} pad$i end"))
+    val docs = rows.toDF("doc_id", "text")
+    val bench = Seq((0L, "alpha beta gamma delta"), (1L, "word3 tail0 pad9")).toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val exact = canon(Dedup.contamination(docs, "doc_id", "text", bench, "text", 3))
+    // default fpp, and an absurd 50% fpp (tiny sketch, many false positives):
+    // the verify join must erase every false positive — results identical
+    for (fpp <- Seq(0.01, 0.5)) {
+      val got = canon(Dedup.contaminationLarge(docs, "doc_id", "text", bench, "text", 3, fpp = fpp))
+      assert(got == exact, s"bloom path must be bit-identical at fpp=$fpp")
+    }
+    // explicit expectedItems skips the sizing count and must not change results
+    val sized = canon(Dedup.contaminationLarge(docs, "doc_id", "text", bench, "text", 3,
+      expectedItems = 1000L))
+    assert(sized == exact)
+  }
+
+  test("contaminationLarge: bloom gate filters map-side, before any exchange") {
+    import graft.text.Dedup
+    val docs = (0L until 50L).map(i => (i, s"a$i b$i c$i d$i")).toDF("doc_id", "text")
+    val bench = Seq((0L, "a1 b1 c1 d1")).toDF("doc_id", "text")
+    val out = Dedup.contaminationLarge(docs, "doc_id", "text", bench, "text", 3)
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("bloom_might_contain"), s"bloom gate missing from plan:\n$p")
+    // the gate must sit below (after, in text order) the first exchange of
+    // the corpus subtree: everything above the Filter containing the gate
+    // is the post-shuffle aggregate/join; the Filter itself must be in the
+    // scan stage. Text-order check: the LAST Exchange in the plan string
+    // appears BEFORE the gate line only if the gate is pre-shuffle.
+    val gateIdx = p.indexOf("bloom_might_contain")
+    val scanIdx = p.lastIndexOf("LocalTableScan")
+    assert(gateIdx >= 0 && scanIdx >= 0)
+    // the corpus-side filter is attached directly over its scan: no
+    // Exchange between the gate and the deepest scan below it
+    val below = p.substring(gateIdx)
+    val firstScanBelow = below.indexOf("LocalTableScan")
+    assert(!below.substring(0, math.max(firstScanBelow, 0)).contains("Exchange hashpartitioning"),
+      s"bloom gate must evaluate before the corpus shuffle:\n$p")
+  }
+
   test("two-phase domainQuota == naive single-window top-k, including on a hot domain") {
     // 90% of rows in one domain — the case the operator exists for; the
     // bucketed two-phase selection must still be EXACTLY the global top-k
