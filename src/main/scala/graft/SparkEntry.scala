@@ -706,6 +706,20 @@ object SparkEntry {
       val sigs = Dedup.minHashSignaturesMd5(t(s, dir, "documents"), "doc_id", "text", 3, 4)
       Dedup.minHashCandidates(sigs, "doc_id", bands = 2, rowsPerBand = 2).orderBy("a", "b")
     }),
+    // incremental dedup: odd doc_ids are the "new crawl", even the stored
+    // corpus signature index; band-join + component-agreement verify, all
+    // replayed on the portable md5 signatures so DuckDB reproduces every
+    // match and agreement exactly
+    "q_index_matches" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val sigs = Dedup.minHashSignaturesMd5(d, "doc_id", "text", 3, 4)
+      Dedup.indexMatches(
+        sigs.where(pmod(col("doc_id"), lit(2)) === 1),
+        sigs.where(pmod(col("doc_id"), lit(2)) === 0),
+        "doc_id", bands = 2, rowsPerBand = 2, minAgreement = 0.75)
+        .select(col("doc_id"), col("dup_of"), round(col("agreement"), 6).as("agreement"))
+        .orderBy("doc_id")
+    }),
     // GBT importances through the generic VipStep surface (the
     // pull_importances xgboost-analogue path); model-based ⇒ rows-only
     "q_vip_gbt" -> ((s, dir) => {
@@ -1820,6 +1834,55 @@ object SparkEntry {
         |FROM sig l JOIN sig r ON l.doc_id < r.doc_id
         | AND ((l.h0 = r.h0 AND l.h1 = r.h1) OR (l.h2 = r.h2 AND l.h3 = r.h3))
         |ORDER BY a, b""".stripMargin,
+    // same signature replay; batch (odd) vs index (even) band join, then
+    // agreement = fraction of equal components, best match per batch doc
+    // (ties to smallest corpus id). sig is referenced twice in a
+    // comparison -> MATERIALIZED (integer mins are deterministic, but the
+    // repo rule is unconditional)
+    "q_index_matches" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok,
+        |         generate_subscripts(regexp_split_to_array(trim(lower(text)), '\s+'), 1) AS pos
+        |  FROM documents),
+        |tri AS (
+        |  SELECT doc_id,
+        |    concat(tok, ' ', lead(tok, 1) OVER d, ' ', lead(tok, 2) OVER d) AS s,
+        |    pos, count(*) OVER (PARTITION BY doc_id) AS n
+        |  FROM w WINDOW d AS (PARTITION BY doc_id ORDER BY pos)),
+        |sh AS (SELECT DISTINCT doc_id, s FROM tri WHERE pos <= n - 2),
+        |hashed AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(1, 13),
+        |      k -> (strpos('0123456789abcdef', substr(md5(concat('0:', s)), CAST(k AS INT), 1)) - 1)
+        |           * pow(16, 12 - k))) AS BIGINT) AS h0,
+        |    CAST(list_sum(list_transform(range(1, 13),
+        |      k -> (strpos('0123456789abcdef', substr(md5(concat('1:', s)), CAST(k AS INT), 1)) - 1)
+        |           * pow(16, 12 - k))) AS BIGINT) AS h1,
+        |    CAST(list_sum(list_transform(range(1, 13),
+        |      k -> (strpos('0123456789abcdef', substr(md5(concat('2:', s)), CAST(k AS INT), 1)) - 1)
+        |           * pow(16, 12 - k))) AS BIGINT) AS h2,
+        |    CAST(list_sum(list_transform(range(1, 13),
+        |      k -> (strpos('0123456789abcdef', substr(md5(concat('3:', s)), CAST(k AS INT), 1)) - 1)
+        |           * pow(16, 12 - k))) AS BIGINT) AS h3
+        |  FROM sh),
+        |sig AS MATERIALIZED (
+        |  SELECT doc_id, min(h0) AS h0, min(h1) AS h1, min(h2) AS h2, min(h3) AS h3
+        |  FROM hashed GROUP BY doc_id),
+        |c AS (
+        |  SELECT b.doc_id AS doc_id, i.doc_id AS cid,
+        |    ((CASE WHEN b.h0 = i.h0 THEN 1 ELSE 0 END) +
+        |     (CASE WHEN b.h1 = i.h1 THEN 1 ELSE 0 END) +
+        |     (CASE WHEN b.h2 = i.h2 THEN 1 ELSE 0 END) +
+        |     (CASE WHEN b.h3 = i.h3 THEN 1 ELSE 0 END)) / 4.0 AS agreement
+        |  FROM sig b JOIN sig i
+        |    ON b.doc_id % 2 = 1 AND i.doc_id % 2 = 0
+        |   AND ((b.h0 = i.h0 AND b.h1 = i.h1) OR (b.h2 = i.h2 AND b.h3 = i.h3))),
+        |best AS (
+        |  SELECT doc_id, cid, agreement,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY agreement DESC, cid) AS rn
+        |  FROM c WHERE agreement >= 0.75)
+        |SELECT doc_id, cid AS dup_of, round(agreement, 6) AS agreement
+        |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "q_cosine_neardup" ->
       """WITH derived AS MATERIALIZED (
         |  SELECT vec_id, embedding FROM embeddings

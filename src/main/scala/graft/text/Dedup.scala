@@ -205,6 +205,64 @@ object Dedup {
       .select("a", "b").distinct()
   }
 
+  /** Incremental near-dup matching of a NEW batch against an EXISTING
+    * corpus signature index — the day-2 operation of a running pipeline:
+    * when a fresh crawl arrives, nobody re-deduplicates the whole corpus;
+    * the new documents' MinHash signatures are band-joined against the
+    * STORED signature table (e.g. a [[graft.core.Snapshot]] table of
+    * `minHashSignatures` output — k longs per document, ~10⁻⁴ of corpus
+    * bytes) and only banding candidates are verified. The corpus TEXT is
+    * never touched, which is what makes the operation cheap: cost is
+    * O(batch) + the candidate sliver, independent of corpus size.
+    *
+    * Verification is index-only: the exact fraction of agreeing signature
+    * components (the standard unbiased MinHash estimate of Jaccard — no
+    * text to re-shingle). Returns one row per matched batch document:
+    * (`id`, `dup_of` = best-matching corpus id, `agreement`), best match =
+    * highest agreement, ties to the smallest corpus id. Batch documents
+    * with no candidate or only sub-threshold agreement are absent (they
+    * are the ones a caller keeps).
+    *
+    * Both signature tables are referenced twice (banding + verify), and
+    * Catalyst shares no re-referenced subtree — so both are cached for the
+    * operator's lifetime via `handle` (signature rows, never text). */
+  def indexMatches(
+      batchSigs: DataFrame,
+      indexSigs: DataFrame,
+      id: String,
+      bands: Int,
+      rowsPerBand: Int,
+      minAgreement: Double,
+      handle: graft.runtime.CacheHandle = new graft.runtime.CacheHandle
+  ): DataFrame = {
+    require(bands >= 1 && rowsPerBand >= 1, "bands and rowsPerBand must be positive")
+    require(minAgreement >= 0 && minAgreement <= 1, "minAgreement must be in [0, 1]")
+    val k = bands * rowsPerBand
+    def bandCols(sig: Column): Column = posexplode(
+      array((0 until bands).map(b =>
+        xxhash64(lit(b), concat_ws(",", slice(sig, b * rowsPerBand + 1, rowsPerBand)))
+      ): _*))
+    val bs = handle.track(batchSigs.select(col(id), col("sig")).cache())
+    val is = handle.track(indexSigs.select(col(id), col("sig")).cache())
+    val bb = bs.select(col(id).as("__n"), bandCols(col("sig")).as(Seq("band", "bucket")))
+    val ib = is.select(col(id).as("__c"), bandCols(col("sig")).as(Seq("band", "bucket")))
+    val cands = bb.join(ib, Seq("band", "bucket")).select("__n", "__c").distinct()
+    // one HOF layer over a k-long array per CANDIDATE row (not per corpus
+    // row) — the sanctioned small-array case; agreement counts equal
+    // components pairwise
+    val verified = cands
+      .join(bs.select(col(id).as("__n"), col("sig").as("__sa")), "__n")
+      .join(is.select(col(id).as("__c"), col("sig").as("__sb")), "__c")
+      .withColumn("agreement",
+        size(filter(zip_with(col("__sa"), col("__sb"), (x, y) => x === y), b => b))
+          / lit(k.toDouble))
+      .where(col("agreement") >= minAgreement)
+    val w = Window.partitionBy(col("__n")).orderBy(col("agreement").desc, col("__c"))
+    verified
+      .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      .select(col("__n").as(id), col("__c").as("dup_of"), col("agreement"))
+  }
+
   /** Benchmark decontamination: score each training doc by the fraction of
     * its distinct n-grams that appear in an evaluation benchmark — the
     * standard n-gram contamination filter run before a training set ships

@@ -155,6 +155,62 @@ class CurationSpec extends AnyFunSuite {
     assert(mean > 0.85, s"heavy stratum should dominate: per-seed fractions $heavyFrac")
   }
 
+  test("indexMatches == naive banding+agreement replay; composes with a Snapshot index") {
+    import graft.text.Dedup
+    // corpus (even ids) with some batch (odd ids) near-dups: 101 ~ 2, 103 ~ 4
+    val corpus = Seq(
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (4L, "colorless green ideas sleep furiously every single night in the lab"),
+      (6L, "completely unrelated corpus text about volcanoes and tides and moons")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (103L, "colorless green ideas sleep furiously every single night in the lab"),
+      (105L, "nothing like anything stored before pure novelty in every direction")
+    ).toDF("doc_id", "text")
+    val (n, k, bands, rpb) = (3, 8, 4, 2)
+    val corpusSigs = Dedup.minHashSignatures(corpus, "doc_id", "text", n, k)
+    val batchSigs = Dedup.minHashSignatures(batch, "doc_id", "text", n, k)
+    val minAg = 0.5
+    val got = Dedup.indexMatches(batchSigs, corpusSigs, "doc_id", bands, rpb, minAg)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+
+    // naive replay from collected signatures
+    def sigsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    val cs = sigsOf(corpusSigs); val bs = sigsOf(batchSigs)
+    val expected = bs.flatMap { case (bId, bSig) =>
+      val matches = cs.toSeq.flatMap { case (cId, cSig) =>
+        val bandHit = (0 until bands).exists(b =>
+          bSig.slice(b * rpb, (b + 1) * rpb) == cSig.slice(b * rpb, (b + 1) * rpb))
+        val ag = bSig.zip(cSig).count { case (x, y) => x == y }.toDouble / k
+        if (bandHit && ag >= minAg) Some((cId, ag)) else None
+      }
+      if (matches.isEmpty) None
+      else Some(bId -> matches.minBy { case (cId, ag) => (-ag, cId) })
+    }
+    assert(got == expected, s"got $got, expected $expected")
+    assert(got.contains(101L) && got.contains(103L), "planted near-dups must match")
+    assert(got(103L)._2 == 1.0, "identical text must agree on every component")
+    assert(!got.contains(105L), "novel batch doc must not match")
+
+    // day-2 composition: the index read back from a Snapshot store gives
+    // the identical result — signatures are what the store persists
+    val dir = java.nio.file.Files.createTempDirectory("sig_index").toString
+    try {
+      // the store day-partitions on warc_ts; a signature index carries the
+      // snapshot timestamp of the crawl it was built from
+      graft.core.Snapshot.write(
+        corpusSigs.withColumn("warc_ts", lit("2025-01-01 00:00:00").cast("timestamp")), dir)
+      val stored = graft.core.Snapshot.read(spark, dir).select("doc_id", "sig")
+      val viaStore = Dedup.indexMatches(batchSigs, stored, "doc_id", bands, rpb, minAg)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(viaStore == got)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("contaminationLarge == contamination bit-for-bit, even at absurd fpp") {
     import graft.text.Dedup
     // a corpus with every edge the exact path handles: identical, disjoint,
