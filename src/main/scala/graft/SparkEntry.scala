@@ -278,6 +278,19 @@ object SparkEntry {
           round(col("sample_key"), 6).as("sample_key"))
         .orderBy("doc_id")
     }),
+    // token-budget selection: keep the longest docs (n_chars desc, doc_id
+    // tiebreak — 189 tied scores exercise the total order) until the 10k-
+    // token budget fills; budget_start is the exact preceding-token sum
+    "q_budget_select" -> ((s, dir) => {
+      Sampling.budgetSelect(
+        t(s, dir, "documents"),
+        score = col("n_chars"),
+        tokens = TextFeatures.tokenCount(col("text")),
+        id = col("doc_id"),
+        budget = 10000L)
+        .select(col("doc_id"), col("n_chars"), col("budget_start"))
+        .orderBy("doc_id")
+    }),
     // PII redaction mechanism check: the corpus has no PII, so the query
     // plants deterministic synthetic PII (email + IPv4 + phone derived from
     // doc_id) and both engines must redact the SAME bytes
@@ -386,6 +399,21 @@ object SparkEntry {
         .select(col("doc_id").as("a"), (col("doc_id") - 14).as("b"))
       Dedup.resolveClusters(chain.unionByName(cross), "a", "b")
         .orderBy("doc_id")
+    }),
+    // cluster CANONICALIZATION over the same synthesized chains: one
+    // representative per component by (n_chars desc, doc_id) — the
+    // quality-keeps-the-best policy, not min-id — plus the component size
+    "q_canonicalize" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val d = docs.select(col("doc_id"))
+      val chain = d.where(pmod(col("doc_id"), lit(7)) =!= 0)
+        .select(col("doc_id").as("a"), (col("doc_id") - 1).as("b"))
+      val cross = d.where(pmod(col("doc_id"), lit(50)) === 0 && col("doc_id") >= 14)
+        .select(col("doc_id").as("a"), (col("doc_id") - 14).as("b"))
+      Dedup.canonicalize(docs, chain.unionByName(cross), "doc_id", "a", "b",
+          Seq(col("n_chars").desc, col("doc_id")))
+        .select(col("cluster_id"), col("doc_id"), col("n_chars"), col("cluster_size"))
+        .orderBy("cluster_id")
     }),
     // exact duplicated-substring dedup (Lee et al. 2022): a shared 5-token
     // header on every doc and a shared 5-token footer on every 5th doc are
@@ -1190,6 +1218,22 @@ object SparkEntry {
         |SELECT doc_id, weight, round(sk, 6) AS sample_key FROM (
         |  SELECT * FROM s ORDER BY sk DESC, doc_id LIMIT 50) t
         |ORDER BY doc_id""".stripMargin,
+    // greedy budget replay: one window cumsum over the identical total
+    // order (n_chars DESC, doc_id); BIGINT cast pins the HUGEINT widening
+    "q_budget_select" ->
+      """WITH tok AS (
+        |  SELECT doc_id, n_chars,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(coalesce(sum(n_tokens) OVER (
+        |      ORDER BY n_chars DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS budget_start
+        |  FROM tok)
+        |SELECT doc_id, n_chars, budget_start
+        |FROM c WHERE budget_start < 10000 ORDER BY doc_id""".stripMargin,
     // same synthetic-PII injection, same three RE2-subset patterns ('g' =
     // replace all, Spark's default); byte-identical redacted strings
     "q_redact_pii" ->
@@ -1336,6 +1380,34 @@ object SparkEntry {
         |  SELECT r.v, e.b FROM reach r JOIN und e ON r.u = e.a)
         |SELECT v AS doc_id, CAST(min(u) AS BIGINT) AS canonical_id
         |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin,
+    // same recursive closure, then best-per-cluster by (n_chars desc,
+    // doc_id) + component size; lab referenced twice -> MATERIALIZED
+    "q_canonicalize" ->
+      """WITH RECURSIVE und AS MATERIALIZED (
+        |  SELECT doc_id AS a, doc_id - 1 AS b FROM documents WHERE doc_id % 7 <> 0
+        |  UNION
+        |  SELECT doc_id - 1 AS a, doc_id AS b FROM documents WHERE doc_id % 7 <> 0
+        |  UNION
+        |  SELECT doc_id AS a, doc_id - 14 AS b FROM documents WHERE doc_id % 50 = 0 AND doc_id >= 14
+        |  UNION
+        |  SELECT doc_id - 14 AS a, doc_id AS b FROM documents WHERE doc_id % 50 = 0 AND doc_id >= 14),
+        |reach(v, u) AS (
+        |  SELECT a, a FROM und
+        |  UNION
+        |  SELECT r.v, e.b FROM reach r JOIN und e ON r.u = e.a),
+        |lab AS MATERIALIZED (SELECT v AS doc_id, min(u) AS cid FROM reach GROUP BY v),
+        |m AS (
+        |  SELECT d.doc_id, d.n_chars, COALESCE(lab.cid, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN lab USING (doc_id)),
+        |sz AS (SELECT doc_id AS _i, cid AS cluster_id FROM lab),
+        |szc AS (SELECT cluster_id, count(*) AS cs FROM sz GROUP BY cluster_id),
+        |r AS (
+        |  SELECT m.cluster_id, m.doc_id, m.n_chars,
+        |    CAST(COALESCE(szc.cs, 1) AS BIGINT) AS cluster_size,
+        |    row_number() OVER (PARTITION BY m.cluster_id ORDER BY m.n_chars DESC, m.doc_id) AS rn
+        |  FROM m LEFT JOIN szc USING (cluster_id))
+        |SELECT CAST(cluster_id AS BIGINT) AS cluster_id, doc_id, n_chars, cluster_size
+        |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
     // duplicated-substring dedup: positional 4-grams via lead() windows,
     // md5-48 digit-sum hashes, corpus counts, coverage expansion and the
     // ordered rebuild — the exact relational replay of duplicateSpans

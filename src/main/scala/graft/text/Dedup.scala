@@ -604,6 +604,48 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
   }
 
+  /** Cluster canonicalization — the step after near-dup detection: collapse
+    * each duplicate cluster to ONE representative chosen by a caller
+    * precedence (e.g. quality desc with the id tiebreak), instead of
+    * blindly keeping the minimum id. `pairs` is any verified near-dup pair
+    * table (MinHash/SimHash/cosine candidates after verification);
+    * clusters are their transitive closure ([[resolveClusters]]). Returns
+    * the kept representative rows: every input column plus `cluster_id`
+    * (the component's min member id; singletons: the doc's own id) and
+    * `cluster_size` (members in the pair graph; singletons 1).
+    *
+    * Scale shape: the labels/size tables hold only PAIRED documents —
+    * tiny relative to the corpus (only duplicates pair up) — and join the
+    * corpus by id (singletons ride the left join untouched). The
+    * representative pick is [[Sampling.domainQuota]]'s two-phase bucketed
+    * top-1, NOT a plain per-cluster window: viral boilerplate can put
+    * millions of documents into one cluster, and a single-window pick
+    * would serialize that cluster into one task. `precedence` must be a
+    * total order ending in the unique id (the domainQuota contract). */
+  def canonicalize(
+      df: DataFrame,
+      pairs: DataFrame,
+      id: String,
+      aCol: String,
+      bCol: String,
+      precedence: Seq[Column],
+      handle: graft.runtime.CacheHandle = new graft.runtime.CacheHandle
+  ): DataFrame = {
+    val labels = resolveClusters(pairs, aCol, bCol, handle = handle)
+    // labels is referenced twice (sizes + corpus join): the distributed
+    // path returns a handle-cached frame; the local path a driver-local
+    // parallelize — both re-reference for free
+    val sizes = labels.groupBy("canonical_id").agg(count(lit(1)).as("cluster_size"))
+    val withCluster = df
+      .join(labels.select(col("doc_id").as(id), col("canonical_id")), Seq(id), "left")
+      .withColumn("cluster_id", coalesce(col("canonical_id"), col(id).cast("long")))
+      .drop("canonical_id")
+      .join(sizes.select(col("canonical_id").as("cluster_id"), col("cluster_size")),
+        Seq("cluster_id"), "left")
+      .withColumn("cluster_size", coalesce(col("cluster_size"), lit(1L)))
+    Sampling.domainQuota(withCluster, col("cluster_id"), 1, precedence)
+  }
+
   /** 64-bit SimHash over tokens: bit j of the result is 1 iff the sum of
     * (+1/−1) contributions of token-hash bit j is positive. Expressed as 64
     * per-bit sums in one aggregation (map-side combine). Returns (id, simhash).

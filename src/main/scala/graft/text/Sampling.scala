@@ -212,4 +212,69 @@ object Sampling {
       .where(col("__quota_rn") <= k)
       .drop("__quota_bkt", "__quota_rn1", "__quota_rn")
   }
+
+  /** Token-budget selection — the final curation step that keeps the
+    * best-scoring documents until a global token budget is filled (the
+    * "select top documents by quality score down to N training tokens"
+    * cut every released corpus ends with). Selection order is
+    * (`score` DESC, `id` ASC) — a total order, so the kept set is exact:
+    * a document is kept iff the tokens of all strictly-preceding documents
+    * sum below `budget` (the boundary document that straddles the budget
+    * IS kept, so at least `budget` tokens ship when the corpus has them).
+    * Rows with null/NaN score are never selected; null token counts weigh
+    * 0 (kept for free if their score qualifies).
+    *
+    * Scale shape — NO global sort, the same two-phase prefix sum as
+    * [[Packing.packSequences]], but over a VALUE ordering instead of a
+    * dense id: an approxQuantile sketch range-buckets the score (the
+    * boundaries only BALANCE the buckets; every kept row is decided by an
+    * exact prefix sum over the total order, so the result is identical for
+    * any boundary set and any parallelism — GK's partition-order
+    * dependence cannot leak out, the [[graft.stats.Binning.exactCutsMany]]
+    * argument); per-bucket token totals are cumulated driver-side in
+    * descending score order (TwoPhase — transfer bounded at `buckets`
+    * rows) and broadcast back; the within-bucket running sum is a windowed
+    * cumsum partitioned by bucket. Three passes over the source (sketch,
+    * bucket totals, select), each pruned to the score/token input columns
+    * — at corpus scale that beats caching the corpus, and mirrors the
+    * documented dedupLines trade-off.
+    *
+    * Returns the kept rows: the input columns plus `budget_start` (exact
+    * tokens preceding the document in selection order). */
+  def budgetSelect(
+      df: DataFrame,
+      score: Column,
+      tokens: Column,
+      id: Column,
+      budget: Long,
+      buckets: Int = 1024
+  ): DataFrame = {
+    require(budget >= 1, "budget must be >= 1 token")
+    require(buckets >= 1 && buckets <= (1 << 22), "buckets must be in [1, 2^22]")
+    val valid = df
+      .withColumn("__bs_s", score.cast("double"))
+      .withColumn("__bs_t", coalesce(tokens.cast("long"), lit(0L)))
+      .where(col("__bs_s").isNotNull && !isnan(col("__bs_s")))
+    val bounds =
+      if (buckets == 1) Array.empty[Double]
+      else valid.stat.approxQuantile(
+        "__bs_s", (1 until buckets).map(_.toDouble / buckets).toArray, 0.01)
+        .distinct.sorted
+    // negated bucket index: TwoPhase cumulates in ASCENDING key order, and
+    // the selection consumes tokens from the HIGHEST score bucket down
+    val bucketed = valid.withColumn("__bs_b",
+      if (bounds.isEmpty) lit(0L)
+      else -graft.functions.SortedBucket.of(col("__bs_s"), bounds).cast("long"))
+    val baseDf = TwoPhase
+      .prefixBases(bucketed, col("__bs_b"), col("__bs_t"), maxBuckets = buckets)
+      .withColumnRenamed("__tp_bkt", "__bs_b")
+    val w = Window.partitionBy("__bs_b").orderBy(col("__bs_s").desc, id)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed
+      .join(broadcast(baseDf), "__bs_b")
+      .withColumn("budget_start",
+        col("__tp_base") + coalesce(sum(col("__bs_t")).over(w), lit(0L)))
+      .where(col("budget_start") < budget)
+      .drop("__bs_b", "__bs_s", "__bs_t", "__tp_base")
+  }
 }

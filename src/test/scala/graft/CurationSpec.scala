@@ -155,6 +155,52 @@ class CurationSpec extends AnyFunSuite {
     assert(mean > 0.85, s"heavy stratum should dominate: per-seed fractions $heavyFrac")
   }
 
+  test("budgetSelect == greedy replay; boundary doc kept; bucket/parallelism-invariant") {
+    // scores with heavy ties (i % 7), plus null score, NaN score, null and
+    // zero token counts; ids 0..199, tokens i % 13
+    val rows = (0L until 200L).map { i =>
+      val score: java.lang.Double =
+        if (i == 42) null
+        else if (i == 43) Double.NaN
+        else (i % 7).toDouble
+      val tok: java.lang.Long = if (i == 48) null else i % 13
+      (i, score, tok)
+    }
+    val df = rows.toDF("id", "score", "tok")
+    val budget = 300L
+
+    // greedy replay: sort (score desc, id), cumsum, keep start < budget
+    val ordered = rows
+      .filter { case (_, s, _) => s != null && !s.isNaN }
+      .sortBy { case (i, s, _) => (-s.doubleValue, i) }
+    var acc = 0L
+    val expected = ordered.flatMap { case (i, _, t) =>
+      val start = acc; acc += (if (t == null) 0L else t.longValue)
+      if (start < budget) Some(i -> start) else None
+    }.toMap
+
+    def run(buckets: Int, parts: Int): Map[Long, Long] =
+      Sampling.budgetSelect(df.repartition(parts), col("score"), col("tok"),
+          col("id"), budget, buckets)
+        .select("id", "budget_start")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val got = run(buckets = 8, parts = 5)
+    assert(got == expected, s"got ${got.toSeq.sorted}, expected ${expected.toSeq.sorted}")
+    assert(!got.contains(42L) && !got.contains(43L), "null/NaN scores never selected")
+    assert(got.contains(48L), "null-token doc with a top score rides free")
+    // the boundary doc straddles: its start is under budget, its end over
+    val lastStart = expected.values.max
+    val lastId = expected.collectFirst { case (i, s) if s == lastStart => i }.get
+    val lastTok = rows(lastId.toInt)._3.longValue
+    assert(lastStart < budget && lastStart + lastTok >= budget,
+      s"expected a straddling boundary doc, got start=$lastStart tok=$lastTok")
+    // boundary placement and parallelism cannot leak into the result
+    assert(run(buckets = 1, parts = 3) == expected)
+    assert(run(buckets = 64, parts = 16) == expected)
+    assert(run(buckets = 1024, parts = 1) == expected)
+  }
+
   test("indexMatches == naive banding+agreement replay; composes with a Snapshot index") {
     import graft.text.Dedup
     // corpus (even ids) with some batch (odd ids) near-dups: 101 ~ 2, 103 ~ 4
@@ -473,6 +519,34 @@ class CurationSpec extends AnyFunSuite {
       val full = Dedup.resolveClusters(chain, "a", "b", handle = h)
         .collect().map(r => r.getLong(1)).distinct.toSeq
       assert(full == Seq(0L), "one component, canonical 0")
+    } finally h.release()
+  }
+
+  test("canonicalize: best-precedence representative per cluster, sizes, singletons") {
+    import graft.text.Dedup
+    // corpus with quality; components {1,2,3}, {10,11}, singletons 5, 20
+    val docs = Seq(
+      (1L, 10.0), (2L, 30.0), (3L, 30.0), // tie on quality: doc_id breaks -> 2
+      (10L, 5.0), (11L, 50.0),            // best is the HIGHER id
+      (5L, 99.0), (20L, 1.0)
+    ).toDF("doc_id", "quality")
+    val pairs = Seq((2L, 1L), (3L, 2L), (10L, 11L)).toDF("a", "b")
+    val h = new graft.runtime.CacheHandle
+    try {
+      val got = Dedup.canonicalize(docs, pairs, "doc_id", "a", "b",
+          Seq(col("quality").desc, col("doc_id")), handle = h)
+        .select("cluster_id", "doc_id", "cluster_size")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got == Map(
+        1L -> ((2L, 3L)),   // quality tie 30 at {2,3}: smaller id wins, NOT min-id 1
+        10L -> ((11L, 2L)), // best quality despite larger id
+        5L -> ((5L, 1L)), 20L -> ((20L, 1L))), s"got $got")
+      // parallelism invariance
+      val rep = Dedup.canonicalize(docs.repartition(7), pairs.repartition(3),
+          "doc_id", "a", "b", Seq(col("quality").desc, col("doc_id")), handle = h)
+        .select("cluster_id", "doc_id", "cluster_size")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(rep == got)
     } finally h.release()
   }
 
