@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -85,6 +85,91 @@ object StreamFeatures {
     if (sampleFractions.isEmpty) gated
     else gated.where(
       Sampling.stratifiedSampleByHash(col(idCol), col("lang_pred"), sampleFractions))
+  }
+
+  /** Streaming incremental-dedup gate: filter an incoming document stream
+    * to the docs that do NOT near-match a STATIC stored signature index —
+    * the streaming face of [[graft.text.Dedup.indexMatches]] (the batch
+    * operator stays the best-match reporter and periodic backstop). The
+    * gate is STATELESS by construction, so it needs no watermark and emits
+    * every kept row in its own microbatch:
+    *
+    *  - signatures are the pure per-row native expression
+    *    ([[graft.functions.MinHashSignature]]) — map-side;
+    *  - the index probe is `bands` stream-static left equi-joins of the
+    *    per-band bucket value against ONE prepared static table
+    *    ((band, bucket) → capped candidate signature list, built and
+    *    cached once via `handle` — the `bands` re-references hit the
+    *    cache, not the index);
+    *  - the verify is the exact component-agreement rule of the batch
+    *    operator, evaluated as an `exists` over the row's collected
+    *    candidate lists (HOF over candidate-bounded arrays — near-dup
+    *    candidates, not the corpus — the sanctioned small-array case).
+    *
+    * A doc is dropped iff ANY banding candidate's agreement reaches
+    * `minAgreement` — the identical candidate set and verify rule as the
+    * batch operator, so stream and batch keep the same documents. Docs
+    * under `n` tokens have no signature and are always kept, matching the
+    * batch convention (they never enter the signature table).
+    *
+    * `maxBucket` guards the prepared table against hot buckets (viral
+    * boilerplate): the candidate lists ride along every probe row, so an
+    * unbounded bucket would multiply stream bytes — the guard ABORTS
+    * loudly (the Manku-lesson convention) rather than silently weakening
+    * the gate. */
+  def indexGate(
+      docs: DataFrame,
+      indexSigs: DataFrame,
+      textCol: String,
+      n: Int,
+      bands: Int,
+      rowsPerBand: Int,
+      minAgreement: Double,
+      maxBucket: Int = 100000,
+      handle: graft.runtime.CacheHandle = new graft.runtime.CacheHandle
+  ): DataFrame = {
+    import graft.text.Dedup
+    require(bands >= 1 && rowsPerBand >= 1, "bands and rowsPerBand must be positive")
+    require(minAgreement >= 0 && minAgreement <= 1, "minAgreement must be in [0, 1]")
+    require(maxBucket >= 1, "maxBucket must be >= 1")
+    val k = bands * rowsPerBand
+    def bucketOf(sig: Column, b: Int): Column =
+      xxhash64(lit(b), concat_ws(",", slice(sig, b * rowsPerBand + 1, rowsPerBand)))
+    val prepared = handle.track(
+      indexSigs.select(col("sig"),
+          posexplode(array((0 until bands).map(b => bucketOf(col("sig"), b)): _*))
+            .as(Seq("band", "bucket")))
+        .groupBy("band", "bucket")
+        .agg(collect_list("sig").as("cands"), count(lit(1)).as("cnt"))
+        .cache())
+    val hotRow = prepared.agg(max("cnt")).head()
+    val hot = if (hotRow.isNullAt(0)) 0L else hotRow.getLong(0)
+    require(hot <= maxBucket,
+      s"hottest index bucket holds $hot candidates (> maxBucket=$maxBucket) — " +
+        "a hot boilerplate bucket would ride along every probe row; dedup the " +
+        "index or raise the cap deliberately")
+    val withSig = docs
+      .withColumn("__sh", Dedup.shingles(col(textCol), n))
+      .withColumn("__ig_sig", when(size(col("__sh")) > 0,
+        graft.functions.MinHashSignature.signature(col("__sh"), k)))
+      .drop("__sh")
+    val probed = (0 until bands).foldLeft(withSig) { (d, b) =>
+      d.withColumn(s"__bk$b", bucketOf(col("__ig_sig"), b))
+        .join(prepared.where(col("band") === b)
+          .select(col("bucket").as(s"__bk$b"), col("cands").as(s"__c$b")),
+          Seq(s"__bk$b"), "left")
+    }
+    val empty = typedlit(Seq.empty[Seq[Long]])
+    val allCands = concat((0 until bands).map(b =>
+      coalesce(col(s"__c$b"), empty)): _*)
+    val matched = exists(allCands, c =>
+      size(filter(zip_with(col("__ig_sig"), c, (x, y) => x === y), v => v))
+        / lit(k.toDouble) >= minAgreement)
+    val dropCols = Seq("__ig_sig") ++
+      (0 until bands).flatMap(b => Seq(s"__bk$b", s"__c$b"))
+    probed
+      .where(col("__ig_sig").isNull || !matched)
+      .drop(dropCols: _*)
   }
 
   def sessionize(spark: SparkSession, events: Dataset[Event], gapSeconds: Long): Dataset[SessionOut] = {

@@ -101,6 +101,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming indexGate keeps exactly the batch indexMatches complement; stateless plan") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.text.Dedup
+    val corpus = Seq(
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (4L, "colorless green ideas sleep furiously every single night in the lab"),
+      (6L, "completely unrelated corpus text about volcanoes and tides and moons")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (103L, "colorless green ideas sleep furiously every single night in the lab"),
+      (105L, "nothing like anything stored before pure novelty in every direction"),
+      (107L, "too short")) // under n tokens: no signature, always kept
+    val (n, k, bands, rpb, minAg) = (3, 8, 4, 2, 0.5)
+    val indexSigs = Dedup.minHashSignatures(corpus, "doc_id", "text", n, k)
+    val h = new graft.runtime.CacheHandle
+    val input = MemoryStream[(Long, String)]
+    val gated = StreamFeatures.indexGate(input.toDF().toDF("doc_id", "text"),
+      indexSigs, "text", n, bands, rpb, minAg, handle = h)
+    val q = gated.writeStream.outputMode("append").format("memory")
+      .queryName("ig").start()
+    try {
+      input.addData(batch: _*)
+      q.processAllAvailable()
+      val kept = spark.sql("select doc_id from ig").collect().map(_.getLong(0)).toSet
+      // batch truth: the indexMatches complement over the same batch
+      val batchSigs = Dedup.minHashSignatures(batch.toDF("doc_id", "text"),
+        "doc_id", "text", n, k)
+      val matchedBatch = Dedup.indexMatches(batchSigs, indexSigs, "doc_id",
+          bands, rpb, minAg, handle = h)
+        .collect().map(_.getLong(0)).toSet
+      assert(kept == batch.map(_._1).toSet -- matchedBatch,
+        s"stream kept $kept, batch matched $matchedBatch")
+      assert(kept == Set(105L, 107L), "near-dups gated, novel + short kept")
+      // stateless: no state store operator anywhere in the gate's plan
+      assert(!gated.queryExecution.analyzed.toString.toLowerCase.contains("statestore"))
+      // hot-bucket guard aborts loudly on a degenerate index
+      val hotIndex = Dedup.minHashSignatures(
+        (0L until 10L).map(i => (i, "same boilerplate text repeated everywhere online"))
+          .toDF("doc_id", "text"), "doc_id", "text", n, k)
+      intercept[IllegalArgumentException] {
+        StreamFeatures.indexGate(input.toDF().toDF("doc_id", "text"),
+          hotIndex, "text", n, bands, rpb, minAg, maxBucket = 5, handle = h)
+      }
+    } finally { q.stop(); h.release() }
+  }
+
   test("streaming exact dedup suppresses same-fingerprint rows within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
