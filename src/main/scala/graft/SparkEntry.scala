@@ -291,6 +291,19 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chars"), col("budget_start"))
         .orderBy("doc_id")
     }),
+    // data-mixing: per-source token budgets, best docs fill each stratum
+    // independently; sources outside the mix are dropped
+    "q_budget_mix" -> ((s, dir) => {
+      Sampling.budgetSelectStratified(
+        t(s, dir, "documents"),
+        stratum = col("source"),
+        score = col("n_chars"),
+        tokens = TextFeatures.tokenCount(col("text")),
+        id = col("doc_id"),
+        budgets = Map("src1" -> 900L, "src2" -> 600L, "src3" -> 300L))
+        .select(col("doc_id"), col("source"), col("n_chars"), col("budget_start"))
+        .orderBy("doc_id")
+    }),
     // PII redaction mechanism check: the corpus has no PII, so the query
     // plants deterministic synthetic PII (email + IPv4 + phone derived from
     // doc_id) and both engines must redact the SAME bytes
@@ -1234,6 +1247,24 @@ object SparkEntry {
         |  FROM tok)
         |SELECT doc_id, n_chars, budget_start
         |FROM c WHERE budget_start < 10000 ORDER BY doc_id""".stripMargin,
+    // per-stratum greedy replay: window cumsum partitioned by source over
+    // the identical (n_chars DESC, doc_id) order, per-source budgets
+    "q_budget_mix" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        |  FROM documents WHERE source IN ('src1', 'src2', 'src3')),
+        |c AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(coalesce(sum(n_tokens) OVER (
+        |      PARTITION BY source ORDER BY n_chars DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS budget_start
+        |  FROM tok)
+        |SELECT doc_id, source, n_chars, budget_start
+        |FROM c
+        |WHERE budget_start < CASE source WHEN 'src1' THEN 900 WHEN 'src2' THEN 600 ELSE 300 END
+        |ORDER BY doc_id""".stripMargin,
     // same synthetic-PII injection, same three RE2-subset patterns ('g' =
     // replace all, Spark's default); byte-identical redacted strings
     "q_redact_pii" ->

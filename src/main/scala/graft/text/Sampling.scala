@@ -277,4 +277,78 @@ object Sampling {
       .where(col("budget_start") < budget)
       .drop("__bs_b", "__bs_s", "__bs_t", "__tp_base")
   }
+
+  /** Stratified token-budget selection — the DATA-MIXING step: each
+    * stratum (source, domain tier, language) gets its own token budget,
+    * and within each stratum the best-scoring documents fill it — how a
+    * training mix hits "X tokens of code, Y of encyclopedic, Z of web"
+    * targets while still taking the best of each slice. Semantics per
+    * stratum are exactly [[budgetSelect]] ((score DESC, id ASC) greedy
+    * take, boundary doc kept, null/NaN scores never selected, null tokens
+    * weigh 0); strata absent from `budgets` are dropped entirely.
+    *
+    * Scale shape: the same sketch + two-phase prefix sum, with the
+    * driver cumsum RESET per stratum — the bases table is one row per
+    * occupied (stratum, score-bucket), bounded by construction at
+    * |budgets| × `buckets` rows, and the within-(stratum, bucket) window
+    * keeps every partition small regardless of stratum skew. One shared
+    * boundary set serves all strata (imbalance only unbalances buckets —
+    * the result is exact for any boundary set, the [[budgetSelect]]
+    * argument).
+    *
+    * Returns the kept rows: the input columns plus `budget_start` (exact
+    * tokens preceding the doc within ITS stratum's selection order). */
+  def budgetSelectStratified(
+      df: DataFrame,
+      stratum: Column,
+      score: Column,
+      tokens: Column,
+      id: Column,
+      budgets: Map[String, Long],
+      buckets: Int = 256
+  ): DataFrame = {
+    require(budgets.nonEmpty, "budgets must name at least one stratum")
+    require(budgets.values.forall(_ >= 1), "every budget must be >= 1 token")
+    require(buckets >= 1 && buckets.toLong * budgets.size <= (1L << 22),
+      "strata x buckets must stay within the bounded driver transfer (2^22)")
+    val spark = df.sparkSession
+    val valid = df
+      .withColumn("__bs_st", stratum.cast("string"))
+      .withColumn("__bs_s", score.cast("double"))
+      .withColumn("__bs_t", coalesce(tokens.cast("long"), lit(0L)))
+      .where(col("__bs_s").isNotNull && !isnan(col("__bs_s")) &&
+        col("__bs_st").isin(budgets.keys.toSeq.map(_.asInstanceOf[Any]): _*))
+    val bounds =
+      if (buckets == 1) Array.empty[Double]
+      else valid.stat.approxQuantile(
+        "__bs_s", (1 until buckets).map(_.toDouble / buckets).toArray, 0.01)
+        .distinct.sorted
+    val bucketed = valid.withColumn("__bs_b",
+      if (bounds.isEmpty) lit(0L)
+      else -graft.functions.SortedBucket.of(col("__bs_s"), bounds).cast("long"))
+    // phase 1: one row per occupied (stratum, bucket) — bounded by
+    // construction; cumsum resets per stratum (TwoPhase is single-keyed,
+    // so the reset lives here, same conventions: nulls impossible by the
+    // filter above, bucket order = descending score)
+    val totals = bucketed.groupBy("__bs_st", "__bs_b")
+      .agg(sum(col("__bs_t")).as("__w"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), if (r.isNullAt(2)) 0L else r.getLong(2)))
+    val bases = totals.groupBy(_._1).toSeq.flatMap { case (st, rows) =>
+      var acc = 0L
+      rows.sortBy(_._2).map { case (_, b, w) => val out = (st, b, acc); acc += w; out }
+    }
+    val baseDf = spark.createDataFrame(bases).toDF("__bs_st", "__bs_b", "__tp_base")
+    val budgetDf = spark.createDataFrame(budgets.toSeq).toDF("__bs_st", "__budget")
+    val w = Window.partitionBy("__bs_st", "__bs_b")
+      .orderBy(col("__bs_s").desc, id)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed
+      .join(broadcast(baseDf), Seq("__bs_st", "__bs_b"))
+      .join(broadcast(budgetDf), Seq("__bs_st"))
+      .withColumn("budget_start",
+        col("__tp_base") + coalesce(sum(col("__bs_t")).over(w), lit(0L)))
+      .where(col("budget_start") < col("__budget"))
+      .drop("__bs_st", "__bs_b", "__bs_s", "__bs_t", "__tp_base", "__budget")
+  }
 }

@@ -201,6 +201,39 @@ class CurationSpec extends AnyFunSuite {
     assert(run(buckets = 1024, parts = 1) == expected)
   }
 
+  test("budgetSelectStratified == per-stratum greedy replay; unbudgeted strata dropped") {
+    val rows = (0L until 300L).map { i =>
+      val st = s"s${i % 3}" // s0, s1 budgeted; s2 is not
+      val score: java.lang.Double = if (i == 30) null else (i % 11).toDouble
+      (i, st, score, i % 17)
+    }
+    val df = rows.toDF("id", "st", "score", "tok")
+    val budgets = Map("s0" -> 250L, "s1" -> 120L)
+
+    val expected = budgets.keys.flatMap { st =>
+      val ordered = rows
+        .filter { case (_, s, sc, _) => s == st && sc != null }
+        .sortBy { case (i, _, sc, _) => (-sc.doubleValue, i) }
+      var acc = 0L
+      ordered.flatMap { case (i, _, _, t) =>
+        val start = acc; acc += t
+        if (start < budgets(st)) Some(i -> start) else None
+      }
+    }.toMap
+
+    def run(buckets: Int, parts: Int): Map[Long, Long] =
+      Sampling.budgetSelectStratified(df.repartition(parts), col("st"),
+          col("score"), col("tok"), col("id"), budgets, buckets)
+        .select("id", "budget_start")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val got = run(buckets = 8, parts = 5)
+    assert(got == expected, s"got ${got.toSeq.sorted}, expected ${expected.toSeq.sorted}")
+    assert(!got.keys.exists(_ % 3 == 2), "stratum without a budget contributes nothing")
+    assert(run(buckets = 1, parts = 3) == expected)
+    assert(run(buckets = 256, parts = 16) == expected)
+  }
+
   test("indexMatches == naive banding+agreement replay; composes with a Snapshot index") {
     import graft.text.Dedup
     // corpus (even ids) with some batch (odd ids) near-dups: 101 ~ 2, 103 ~ 4
