@@ -57,6 +57,13 @@ object SparkEntry {
     else v.map(x => math.floor(x / ma * 127.0 + 0.5) * (ma / 127.0))
   }
 
+  /** Deterministic k-means seed shared by q_kmeans / q_semantic_dedup: the
+    * first 8 base embeddings by vec_id (the q_knn_ivf convention). */
+  private def first8Centroids(emb: DataFrame): Seq[Seq[Double]] =
+    emb.where(col("vec_id") < 8).orderBy("vec_id")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+
   private def eventsWindowed(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     t(s, dir, "events").select(
@@ -564,6 +571,39 @@ object SparkEntry {
         centroids, nprobe = 3)
         .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
     }),
+    // deterministic distributed Lloyd refinement: 2 k-means iterations from
+    // the first-8 seed, exact fixed-point centroid sums (decimal(38,0) over
+    // 2^-50-snapped coordinates) — centroids, hence assignments, are
+    // bit-identical at any parallelism and the DuckDB oracle replays BOTH
+    // iterations to the last bit
+    "q_kmeans" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val (cents, _) = Similarity.kmeans(emb, "embedding", first8Centroids(emb), iters = 2)
+      Similarity.assignCentroid(emb, "embedding", cents)
+        .select(col("vec_id"), col("cell").as("cluster"),
+          round(col("cell_sim"), 6).as("cosine"))
+        .orderBy("vec_id")
+    }),
+    // SemDeDup end-to-end: plant two tiers of scaled near-dup twins (float
+    // perturbations are bit-identical cross-engine), refine centroids with
+    // the deterministic k-means, dedup within cells at cosine >= 0.9, keep
+    // per duplicate group the member least similar to its centroid
+    "q_semantic_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      def plant(offset: Int, maxId: Int, even: Float, odd: Float) =
+        emb.where(col("vec_id") < maxId)
+          .select((col("vec_id") + offset).as("vec_id"),
+            transform(col("embedding"),
+              (x, i) => x * when(i % 2 === 0, lit(even)).otherwise(lit(odd))).as("embedding"))
+      val corpus = emb
+        .unionByName(plant(100000, 30, 1.28f, 0.72f))
+        .unionByName(plant(200000, 10, 1.04f, 0.96f))
+      val (cents, _) = Similarity.kmeans(corpus, "embedding", first8Centroids(emb), iters = 2)
+      Similarity.semanticDedup(corpus, "vec_id", "embedding", cents, minCosine = 0.9)
+        .select(col("cluster_id"), col("vec_id"), col("cell"),
+          round(col("cell_sim"), 6).as("cosine"), col("cluster_size"))
+        .orderBy("cluster_id")
+    }),
     // ---- filter scores ----
     "q_corr_pearson" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -881,6 +921,57 @@ object SparkEntry {
 
   private lazy val lshPlanes6x64 = Similarity.hyperplanes(6, 64)
 
+  /** DuckDB cosine between two DOUBLE[] expressions, matching the native
+    * CosineSimilarity expression bit-for-bit: ascending-index double dot
+    * and norms, 0.0 when either norm is zero. */
+  private def cosSql(a: String, b: String, dim: Int): String =
+    s"""(CASE WHEN list_sum(list_transform($a, x -> x * x)) = 0.0
+       |        OR list_sum(list_transform($b, x -> x * x)) = 0.0 THEN 0.0
+       |  ELSE list_sum(list_transform(range(1, ${dim + 1}), i -> $a[i] * $b[i]))
+       |    / (sqrt(list_sum(list_transform($a, x -> x * x)))
+       |     * sqrt(list_sum(list_transform($b, x -> x * x)))) END)""".stripMargin
+
+  /** Generated DuckDB replay of [[Similarity.kmeans]]: from a CTE
+    * `e(vec_id, v DOUBLE[])`, unrolls `iters` Lloyd iterations starting at
+    * `c0(cid, cv)` = the first `k` BASE vectors (vec_id < k — plants use
+    * offset ids, so the seed matches [[first8Centroids]] on any corpus that
+    * unions plants onto the base table). Exactness rides three facts:
+    * the 2^-50 snap is pure IEEE ops, decimal(38,0) sums are order-free,
+    * and decimal→double is correctly rounded in both engines (verified
+    * empirically value-by-value). Produces CTE text ending at
+    * `a${"$"}{iters+1}(vec_id, cid, s)` — the final assignment with its
+    * cosine — ready to be extended with a SELECT. */
+  private def kmeansSql(k: Int, dim: Int, iters: Int): String = {
+    val S = "1125899906842624.0" // 2^50 — same constant as Similarity.kmeans
+    val sb = new StringBuilder
+    sb ++= s"c0 AS MATERIALIZED (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $k),\n"
+    for (t <- 1 to iters + 1) {
+      sb ++=
+        s"""a$t AS MATERIALIZED (
+           |  SELECT vec_id, cid, s FROM (
+           |    SELECT vec_id, cid, s,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
+           |    FROM (SELECT e.vec_id, c.cid, ${cosSql("e.v", "c.cv", dim)} AS s
+           |          FROM e CROSS JOIN c${t - 1} c) x) y WHERE rn = 1)""".stripMargin
+      if (t <= iters) {
+        sb ++=
+          s""",
+             |s$t AS (
+             |  SELECT a.cid, i AS dim,
+             |    sum(CAST(floor(e.v[i + 1] * $S + 0.5) AS DECIMAL(38,0))) AS sd,
+             |    count(*) AS n
+             |  FROM e JOIN a$t a USING (vec_id), unnest(range(0, $dim)) t(i)
+             |  GROUP BY 1, 2),
+             |c$t AS MATERIALIZED (
+             |  SELECT p.cid, COALESCE(nc.cv, p.cv) AS cv FROM c${t - 1} p LEFT JOIN (
+             |    SELECT cid, list(CAST(sd AS DOUBLE) / $S / n ORDER BY dim) AS cv
+             |    FROM s$t GROUP BY cid) nc USING (cid)),
+             |""".stripMargin
+      }
+    }
+    sb.toString
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
@@ -1121,6 +1212,71 @@ object SparkEntry {
         |  FROM d JOIN assign USING (vec_id) JOIN probe USING (cid) CROSS JOIN q)
         |SELECT vec_id, round(s, 6) AS cosine FROM scored
         |ORDER BY s DESC, vec_id LIMIT 10""".stripMargin,
+    // full deterministic-Lloyd replay: e = double-cast embeddings, then
+    // kmeansSql unrolls both iterations with exact decimal(38,0) fixed-point
+    // centroid sums (order-independent in both engines); a3 is the final
+    // assignment with its cosine
+    "q_kmeans" ->
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |${kmeansSql(8, 64, 2)}
+         |SELECT vec_id, cid AS cluster, round(s, 6) AS cosine FROM a3 ORDER BY vec_id""".stripMargin,
+    // SemDeDup replay: plant the two twin tiers (FLOAT perturbations are
+    // bit-identical cross-engine), rerun the exact kmeans on the corpus
+    // (seed = the 8 base vectors: plants live at +100000/+200000), pairwise
+    // within-cell cosine edges at >= 0.9, transitive closure by recursive
+    // min-label reachability, keep per group the member LEAST similar to
+    // its centroid (ties toward the smaller id)
+    "q_semantic_dedup" ->
+      s"""WITH RECURSIVE corpus AS MATERIALIZED (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000 AS vec_id,
+         |         list_transform(range(1, len(embedding) + 1),
+         |           i -> embedding[i] * (CASE WHEN (i - 1) % 2 = 0
+         |                                THEN CAST(1.28 AS FLOAT)
+         |                                ELSE CAST(0.72 AS FLOAT) END)) AS embedding
+         |  FROM embeddings WHERE vec_id < 30
+         |  UNION ALL
+         |  SELECT vec_id + 200000 AS vec_id,
+         |         list_transform(range(1, len(embedding) + 1),
+         |           i -> embedding[i] * (CASE WHEN (i - 1) % 2 = 0
+         |                                THEN CAST(1.04 AS FLOAT)
+         |                                ELSE CAST(0.96 AS FLOAT) END)) AS embedding
+         |  FROM embeddings WHERE vec_id < 10),
+         |e AS MATERIALIZED (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM corpus),
+         |${kmeansSql(8, 64, 2)},
+         |edges AS MATERIALIZED (
+         |  SELECT l.vec_id AS a, r.vec_id AS b
+         |  FROM a3 l JOIN a3 r ON l.cid = r.cid AND l.vec_id < r.vec_id
+         |  JOIN e el ON el.vec_id = l.vec_id
+         |  JOIN e er ON er.vec_id = r.vec_id
+         |  WHERE ${cosSql("el.v", "er.v", 64)} >= 0.9),
+         |sym AS (SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges),
+         |reach(id, r) AS (
+         |  SELECT a, b FROM sym
+         |  UNION
+         |  SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a),
+         |lbl AS MATERIALIZED (
+         |  SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id),
+         |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM lbl GROUP BY 1),
+         |mem AS MATERIALIZED (
+         |  SELECT a3.vec_id, COALESCE(lbl.cluster_id, a3.vec_id) AS cluster_id,
+         |         a3.cid AS cell, a3.s
+         |  FROM a3 LEFT JOIN lbl ON a3.vec_id = lbl.id),
+         |keep AS (
+         |  SELECT * FROM (
+         |    SELECT mem.vec_id, mem.cluster_id, mem.cell, mem.s,
+         |      row_number() OVER (PARTITION BY mem.cluster_id
+         |                         ORDER BY mem.s ASC, mem.vec_id ASC) AS rn
+         |    FROM mem) t WHERE rn = 1)
+         |SELECT k.cluster_id, k.vec_id, k.cell, round(k.s, 6) AS cosine,
+         |  COALESCE(sz.cluster_size, 1) AS cluster_size
+         |FROM keep k LEFT JOIN sizes sz ON k.cluster_id = sz.cluster_id
+         |ORDER BY k.cluster_id""".stripMargin,
     "q_cosine_sims" ->
       """WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0)
         |SELECT v.vec_id AS vec_id, round(

@@ -129,11 +129,90 @@ object Similarity {
   /** IVF coarse assignment: nearest centroid by cosine. `centroids` is small
     * (broadcast as literals). Adds `cell`. Ties on similarity break toward
     * the LARGER cell index (greatest() over (sim, cell) structs). */
-  def ivfAssign(df: DataFrame, vecCol: String, centroids: Seq[Seq[Double]]): DataFrame = {
+  def ivfAssign(df: DataFrame, vecCol: String, centroids: Seq[Seq[Double]]): DataFrame =
+    assignCentroid(df, vecCol, centroids).drop("cell_sim")
+
+  /** [[ivfAssign]] plus the winning similarity: adds `cell` AND `cell_sim`
+    * (the cosine to the assigned centroid) in the same single greatest()
+    * pass — callers that rank members within a cell (SemDeDup's keep rule,
+    * cluster diagnostics) read both without a second k-way scoring scan. */
+  def assignCentroid(df: DataFrame, vecCol: String, centroids: Seq[Seq[Double]]): DataFrame = {
     val sims = centroids.zipWithIndex.map { case (c, i) =>
       struct(cosine(col(vecCol), c).as("sim"), lit(i).as("cell"))
     }
-    df.withColumn("cell", greatest(sims: _*).getField("cell"))
+    val best = greatest(sims: _*)
+    df.withColumn("__best", best)
+      .withColumn("cell", col("__best").getField("cell"))
+      .withColumn("cell_sim", col("__best").getField("sim"))
+      .drop("__best")
+  }
+
+  /** Scale of the exact fixed-point centroid accumulation: coordinates are
+    * snapped to the 2⁻⁵⁰ grid (`floor(x·2⁵⁰ + 0.5)` — every step a single
+    * IEEE-754 operation, so the snapped integer is bit-identical on any
+    * engine) and summed as `decimal(38,0)`, which is EXACT and therefore
+    * summation-ORDER-INDEPENDENT. float32 inputs up to |x| < 4 round
+    * half-up at the 50th fractional bit; the mantissa of typical unit-scale
+    * embeddings (≤ 43 fractional bits in practice) is preserved exactly. */
+  private val CentroidScale = 1125899906842624.0 // 2^50
+
+  /** Deterministic distributed k-means (Lloyd refinement) — the companion
+    * [[seedCentroids]]' scaladoc promises: "callers wanting refined
+    * centroids should refine offline" — this IS that refinement, made safe
+    * for the engine's determinism contract. Naive distributed Lloyd is
+    * summation-order-dependent (float centroid means change with partition
+    * count, so assignments — a DISCRETE function of the means — can flip
+    * between runs). Here each coordinate is snapped to the 2⁻⁵⁰ grid and
+    * accumulated as an exact decimal(38,0) sum, so the per-cluster mean is
+    * bit-identical at ANY parallelism and on any engine (the DuckDB oracle
+    * replays all iterations to the last bit; decimal→double of the sums is
+    * correctly rounded in both engines — verified empirically per value).
+    *
+    * Per iteration: one broadcast-centroid assignment pass fused with a
+    * map-side-combining groupBy over (cell, dim) — k·d groups, so the
+    * shuffle is k·d·partitions rows of (decimal, long) regardless of input
+    * size — then a k·d-row collect rebuilds the centroid literals
+    * driver-side. Cluster sizes come for free from the same pass. Empty
+    * clusters keep their previous centroid (the COALESCE rule, mirrored in
+    * SQL). Assignment ties follow [[ivfAssign]] (toward the larger cell).
+    *
+    * Returns (refined centroids, final cluster sizes by cell; cells empty
+    * at the LAST update have size 0). */
+  def kmeans(
+      df: DataFrame,
+      vecCol: String,
+      init: Seq[Seq[Double]],
+      iters: Int
+  ): (Seq[Seq[Double]], Map[Int, Long]) = {
+    require(init.nonEmpty, "kmeans needs at least one initial centroid")
+    require(iters >= 1, "kmeans needs at least one Lloyd iteration")
+    val dim = init.head.length
+    require(init.forall(_.length == dim), "initial centroids must share one dimensionality")
+    require(init.size.toLong * dim <= (1L << 22),
+      "k x dim must stay within the bounded driver transfer (2^22)")
+    var cents = init
+    var sizes = Map.empty[Int, Long]
+    for (_ <- 1 to iters) {
+      val sums = ivfAssign(df, vecCol, cents)
+        .select(col("cell"), posexplode(col(vecCol)).as(Seq("dim", "x")))
+        .groupBy("cell", "dim")
+        .agg(sum(floor(col("x").cast("double") * CentroidScale + lit(0.5))
+          .cast("decimal(38,0)")).as("sd"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), (r.getDecimal(2), r.getLong(3))))
+        .toMap
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        if (!sums.contains((c, 0))) old // empty cluster: centroid carries over
+        else (0 until dim).map { d =>
+          val (sd, n) = sums((c, d))
+          // decimal -> double is correctly rounded (BigDecimal.doubleValue);
+          // /2^50 and /n are single IEEE ops — deterministic everywhere
+          sd.doubleValue() / CentroidScale / n
+        }
+      }
+      sizes = cents.indices.map(c => c -> sums.get((c, 0)).map(_._2).getOrElse(0L)).toMap
+    }
+    (cents, sizes)
   }
 
   /** Deterministic IVF centroid seeding: the k vectors with the smallest
@@ -233,6 +312,59 @@ object Similarity {
     ivfAssignInt8(df, codesCol, scaleCol, centroids)
       .where(col("cell").isin(probeCells: _*))
       .transform(d => bruteForceTopKInt8(d, idCol, codesCol, scaleCol, queryDeq, k))
+  }
+
+  /** SemDeDup semantic deduplication (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the corpus with k-means centroids (see [[kmeans]]), find
+    * within-cluster pairs with cosine ≥ `minCosine` by EXACT pairwise
+    * comparison inside each cell, resolve the connected duplicate groups,
+    * and keep per group the member LEAST similar to its cluster centroid
+    * (the paper's keep rule — the most "peripheral" example carries the
+    * most marginal information; ties break toward the smaller id).
+    *
+    * Scale shape: the per-cell pairwise join is quadratic IN THE CELL, not
+    * the corpus — SemDeDup's premise is that k grows with the corpus so
+    * cells stay bounded (the paper uses k = 11k for LAION-440M). That
+    * premise is enforced, not assumed: the largest cell is measured on the
+    * cached assignment (k-row aggregate) and the operator ABORTS if its
+    * pair count would exceed `maxCellPairs` — the Manku maxBucket guard
+    * precedent. Group resolution and the keep rule ride
+    * [[graft.text.Dedup.resolveClusters]] / canonicalize (bounded
+    * union-find with the pointer-jumping fallback).
+    *
+    * Returns one row per duplicate GROUP — the kept representative — with
+    * `cluster_id` (group label: min member id), the input columns minus
+    * the vector, `cell`, `cell_sim` (cosine to its assigned centroid) and
+    * `cluster_size`; singletons appear with cluster_size 1. */
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[Seq[Double]],
+      minCosine: Double,
+      maxCellPairs: Long = 1L << 34,
+      handle: graft.runtime.CacheHandle = new graft.runtime.CacheHandle
+  ): DataFrame = {
+    require(minCosine > 0.0 && minCosine <= 1.0, "minCosine must be in (0, 1]")
+    val assigned = handle.track(
+      assignCentroid(df, vecCol, centroids)
+        .select(Seq(col(idCol), col(vecCol), col("cell"), col("cell_sim")): _*)
+        .cache()) // referenced 3x: both pair-join sides + the keep pass
+    val worst = assigned.groupBy("cell").agg(count(lit(1)).as("n")).agg(max("n")).head()
+    val biggest = if (worst.isNullAt(0)) 0L else worst.getLong(0)
+    val worstPairs = biggest * (biggest - 1) / 2 // driver-side: exact, no overflow risk at sane cells
+    require(worstPairs <= maxCellPairs,
+      s"largest cell yields $worstPairs pairwise comparisons (> $maxCellPairs): " +
+        "k must scale with the corpus so cells stay bounded — refine with more centroids")
+    val l = assigned.select(col("cell"), col(idCol).as("a"), col(vecCol).as("va"))
+    val r = assigned.select(col("cell"), col(idCol).as("b"), col(vecCol).as("vb"))
+    val edges = l.join(r, Seq("cell"))
+      .where(col("a") < col("b") &&
+        graft.functions.ArrayMath.cosineSim(col("va"), col("vb")) >= minCosine)
+      .select("a", "b")
+    graft.text.Dedup.canonicalize(
+      assigned.drop(vecCol), edges, idCol, "a", "b",
+      Seq(col("cell_sim").asc, col(idCol)), handle)
   }
 
   /** Embedding-cosine near-duplicate pairs: banded AND-OR sign-LSH candidate

@@ -256,4 +256,106 @@ class SimilaritySpec extends AnyFunSuite {
       if (id < 3) assert(r.getInt(r.fieldIndex("cell")) == id.toInt)
     }
   }
+
+  /** Local replay of the engine cosine, kept to its exact operation order:
+    * double-cast elements, ascending dot and vector norm, query norm as an
+    * ascending Seq sum — bit-equal to CosineSimilarity/cosineBuiltin. */
+  private def localCos(v: Array[Float], q: Seq[Double]): Double = {
+    var dot = 0.0; var nv = 0.0
+    var i = 0
+    while (i < v.length) { val x = v(i).toDouble; dot += x * q(i); nv += x * x; i += 1 }
+    val nq = math.sqrt(q.map(x => x * x).sum)
+    if (nq == 0.0 || nv == 0.0) 0.0 else dot / (math.sqrt(nv) * nq)
+  }
+
+  /** Local single-threaded Lloyd with the SAME fixed-point rule as
+    * Similarity.kmeans: snap to the 2^-50 grid, exact integer sums
+    * (BigDecimal), correctly-rounded double mean. Ties toward the larger
+    * cell, empty cells carry over. */
+  private def localKmeans(
+      points: Seq[Array[Float]], init: Seq[Seq[Double]], iters: Int): Seq[Seq[Double]] = {
+    val S = 1125899906842624.0 // 2^50
+    var cents = init
+    for (_ <- 1 to iters) {
+      val assign = points.map { p =>
+        cents.zipWithIndex.map { case (c, i) => (localCos(p, c), i) }.max._2
+      }
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        val members = points.zip(assign).collect { case (p, a) if a == c => p }
+        if (members.isEmpty) old
+        else (0 until points.head.length).map { d =>
+          val sd = members.map(p => BigDecimal(math.floor(p(d).toDouble * S + 0.5))).sum
+          sd.toDouble / S / members.size
+        }
+      }
+    }
+    cents
+  }
+
+  test("kmeans == local fixed-point Lloyd bit-for-bit; parallelism-invariant; sizes correct") {
+    val init = vecs.take(4).map(_._2.map(_.toDouble).toSeq)
+    val (c1, s1) = Similarity.kmeans(df.repartition(1), "v", init, iters = 3)
+    val (c13, s13) = Similarity.kmeans(df.repartition(13), "v", init, iters = 3)
+    assert(c1 == c13 && s1 == s13, "centroids must be bit-identical at any parallelism")
+    val local = localKmeans(vecs.map(_._2), init, 3)
+    assert(c1 == local, "distributed refinement must equal the local fixed-point model exactly")
+    assert(s1.values.sum == vecs.size)
+    // sizes match a direct assignment count against the refined centroids
+    // (sizes are the LAST update's counts — i.e. assignment under the
+    // second-to-last centroids; recompute the same way locally)
+    val prev = localKmeans(vecs.map(_._2), init, 2)
+    val localSizes = vecs.map(_._2).map { p =>
+      prev.zipWithIndex.map { case (c, i) => (localCos(p, c), i) }.max._2
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert((0 until 4).forall(c => s1(c) == localSizes.getOrElse(c, 0L)))
+  }
+
+  test("kmeans: a never-winning duplicated centroid (ties go to the larger cell) carries over") {
+    val base = vecs.take(3).map(_._2.map(_.toDouble).toSeq)
+    // cell 0 duplicates cell 3's centroid: every tie resolves to cell 3,
+    // so cell 0 is empty and must keep its seed verbatim
+    val init = Seq(base(2)) ++ base
+    val (cents, sizes) = Similarity.kmeans(df, "v", init, iters = 1)
+    assert(cents(0) == base(2), "empty cluster centroid must carry over unchanged")
+    assert(sizes(0) == 0L)
+    assert(sizes.values.sum == vecs.size)
+  }
+
+  test("semanticDedup: planted twins collapse under the least-central-keep rule; guard trips") {
+    val base = vecs.take(60)
+    val exact = base.take(3).map { case (id, v) => (id + 1000L, v.clone()) }
+    val scaled = base.slice(3, 6).map { case (id, v) => (id + 1000L, v.map(_ * 1.25f)) }
+    val corpus = (base ++ exact ++ scaled).toDF("id", "v")
+    val cents = vecs.take(5).map(_._2.map(_.toDouble).toSeq)
+    val out = Similarity.semanticDedup(corpus, "id", "v", cents, minCosine = 0.97).collect()
+    val byCluster = out.map(r => r.getLong(r.fieldIndex("cluster_id")) -> r).toMap
+    assert(out.length == byCluster.size, "one row per cluster")
+    // reference cell_sim per member, straight from the assignment pass
+    val sim = Similarity.assignCentroid(corpus, "v", cents)
+      .select(col("id"), col("cell_sim")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for ((id, _) <- exact ++ scaled) {
+      val baseId = id - 1000L
+      val g = byCluster(baseId)
+      assert(g.getLong(g.fieldIndex("cluster_size")) == 2L, s"pair $baseId")
+      val kept = g.getLong(g.fieldIndex("id"))
+      // keep the member LEAST similar to its centroid; exact twins tie on
+      // cell_sim bit-for-bit and fall to the smaller id
+      val expected =
+        if (sim(baseId) == sim(id)) baseId
+        else if (sim(baseId) < sim(id)) baseId else id
+      assert(kept == expected, s"pair $baseId kept $kept, expected $expected")
+      assert(!byCluster.contains(id), "the twin id must not label a second cluster")
+    }
+    // untouched documents ride through as singletons
+    val single = byCluster(30L)
+    assert(single.getLong(single.fieldIndex("id")) == 30L &&
+      single.getLong(single.fieldIndex("cluster_size")) == 1L)
+    assert(out.length == 60 - 6 + 6) // 54 survivors + 6 kept representatives... = 60
+    // the cell-pair guard aborts rather than run an unbounded quadratic join
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semanticDedup(corpus, "id", "v", cents, minCosine = 0.97, maxCellPairs = 1L)
+    }
+    assert(e.getMessage.contains("pairwise comparisons"))
+  }
 }
