@@ -133,10 +133,29 @@ object Similarity {
     assignCentroid(df, vecCol, centroids).drop("cell_sim")
 
   /** [[ivfAssign]] plus the winning similarity: adds `cell` AND `cell_sim`
-    * (the cosine to the assigned centroid) in the same single greatest()
-    * pass — callers that rank members within a cell (SemDeDup's keep rule,
-    * cluster diagnostics) read both without a second k-way scoring scan. */
+    * (the cosine to the assigned centroid) in ONE fused
+    * [[graft.functions.NearestCentroid]] call — callers that rank members
+    * within a cell (SemDeDup's keep rule, cluster diagnostics) read both
+    * without a second k-way scoring scan. The plan stays O(1) nodes at any
+    * k (SemDeDup wants k in the thousands; the greatest-over-structs
+    * formulation below is O(k) plan width — the [[graft.functions.SnapUp]]
+    * driver-hazard class). */
   def assignCentroid(df: DataFrame, vecCol: String, centroids: Seq[Seq[Double]]): DataFrame = {
+    val best = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.NearestCentroid(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col(vecCol)),
+        centroids.map(_.toArray).toArray))
+    df.withColumn("__best", best)
+      .withColumn("cell", col("__best").getField("cell"))
+      .withColumn("cell_sim", col("__best").getField("sim"))
+      .drop("__best")
+  }
+
+  /** The compositional reference twin of [[assignCentroid]]: `greatest()`
+    * over k (cosine, cell) structs. Kept bit-equal to the fused expression
+    * by SimilaritySpec (the repo's native-expression convention); use the
+    * fused form everywhere — this one's plan is O(k) wide. */
+  def assignCentroidBuiltin(df: DataFrame, vecCol: String, centroids: Seq[Seq[Double]]): DataFrame = {
     val sims = centroids.zipWithIndex.map { case (c, i) =>
       struct(cosine(col(vecCol), c).as("sim"), lit(i).as("cell"))
     }
@@ -282,8 +301,21 @@ object Similarity {
 
   /** IVF coarse assignment over the compressed store: nearest centroid by
     * fused int8 cosine, ties toward the larger cell index — mirrors
-    * [[ivfAssign]] exactly (centroids live in dequantized space). */
+    * [[ivfAssign]] exactly (centroids live in dequantized space). One
+    * [[graft.functions.Int8NearestCentroid]] call: O(1) plan at any k. */
   def ivfAssignInt8(df: DataFrame, codesCol: String, scaleCol: String,
+      centroids: Seq[Seq[Double]]): DataFrame = {
+    val best = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.Int8NearestCentroid(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col(codesCol)),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col(scaleCol)),
+        centroids.map(_.toArray).toArray))
+    df.withColumn("cell", best.getField("cell"))
+  }
+
+  /** Compositional reference twin of [[ivfAssignInt8]] (greatest over
+    * int8_cosine_sim structs) — spec-pinned bit-equal; O(k)-wide plan. */
+  def ivfAssignInt8Builtin(df: DataFrame, codesCol: String, scaleCol: String,
       centroids: Seq[Seq[Double]]): DataFrame = {
     val sims = centroids.zipWithIndex.map { case (c, i) =>
       struct(cosineInt8(col(codesCol), col(scaleCol), c).as("sim"), lit(i).as("cell"))

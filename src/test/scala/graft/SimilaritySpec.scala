@@ -257,6 +257,66 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("fused NearestCentroid == greatest-over-structs chain bit-for-bit (float + int8)") {
+    val centroids = vecs.take(8).map(_._2.map(_.toDouble).toSeq)
+    val fused = Similarity.assignCentroid(df, "v", centroids)
+      .select("id", "cell", "cell_sim").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    val chain = Similarity.assignCentroidBuiltin(df, "v", centroids)
+      .select("id", "cell", "cell_sim").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    assert(fused == chain, "cell AND cell_sim must be bit-identical to the reference chain")
+    // int8 variant over the quantized store
+    import graft.sim.Quantize
+    val store = df.select(col("id"),
+      Quantize.quantize(col("v")).as("codes"), Quantize.scale(col("v")).as("scale"))
+    val fusedI = Similarity.ivfAssignInt8(store, "codes", "scale", centroids)
+      .select("id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val chainI = Similarity.ivfAssignInt8Builtin(store, "codes", "scale", centroids)
+      .select("id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(fusedI == chainI)
+  }
+
+  test("NearestCentroid null semantics pinned directly: null array/element, length mismatch") {
+    val d = Seq(
+      (1L, Array(1.0f, 2.0f)),
+      (2L, null.asInstanceOf[Array[Float]]),
+      (3L, Array(1.0f, 2.0f, 3.0f)) // length mismatch vs 2-dim centroids
+    ).toDF("id", "v")
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val got = Similarity.assignCentroid(d, "v", cents)
+      .select("id", "cell", "cell_sim").collect()
+      .map(r => r.getLong(0) -> (r.isNullAt(1), r.isNullAt(2))).toMap
+    assert(got(1L) == ((false, false)))
+    assert(got(2L) == ((true, true)), "null array -> null assignment")
+    assert(got(3L) == ((true, true)), "dimensionality mismatch -> null assignment")
+    // null ELEMENT poisons the row (matches the cosine element rule)
+    val e = spark.sql("SELECT array(1.0D, CAST(NULL AS DOUBLE)) v")
+    val gotE = Similarity.assignCentroid(e, "v", cents)
+      .select("cell", "cell_sim").head()
+    assert(gotE.isNullAt(0) && gotE.isNullAt(1))
+  }
+
+  test("NearestCentroid at SemDeDup-scale k: 4096 centroids in one O(1)-width plan call") {
+    // the greatest-over-structs chain at this k is a 4096-wide expression
+    // tree (the documented driver hazard class); the fused call must both
+    // plan and agree with a local argmax replay
+    val k = 4096
+    val cents = (0 until k).map { c =>
+      val r = new scala.util.Random(c + 1000)
+      (0 until 64).map(_ => r.nextDouble() - 0.5)
+    }
+    val got = Similarity.assignCentroid(df.limit(40), "v", cents)
+      .select("id", "cell", "cell_sim").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val byId = vecs.take(40).toMap
+    got.foreach { case (id, cell, sim) =>
+      val sims = cents.zipWithIndex.map { case (c, i) => (localCos(byId(id), c), i) }
+      val (bestSim, bestCell) = sims.max
+      assert(cell == bestCell && sim == bestSim, s"id=$id")
+    }
+  }
+
   /** Local replay of the engine cosine, kept to its exact operation order:
     * double-cast elements, ascending dot and vector norm, query norm as an
     * ascending Seq sum — bit-equal to CosineSimilarity/cosineBuiltin. */
