@@ -187,10 +187,11 @@ object Similarity {
     * replays all iterations to the last bit; decimal→double of the sums is
     * correctly rounded in both engines — verified empirically per value).
     *
-    * Per iteration: one broadcast-centroid assignment pass fused with a
-    * map-side-combining groupBy over (cell, dim) — k·d groups, so the
-    * shuffle is k·d·partitions rows of (decimal, long) regardless of input
-    * size — then a k·d-row collect rebuilds the centroid literals
+    * Per iteration: one fused-assignment pass (O(1)-plan NearestCentroid)
+    * feeding a single map-side-combining groupBy(cell) with 2·d exact
+    * hi/lo-split long-sum columns — k groups, so the shuffle is
+    * k·partitions rows of (2d+1) longs regardless of input size — then a
+    * k-row collect rebuilds the centroid literals
     * driver-side. Cluster sizes come for free from the same pass. Empty
     * clusters keep their previous centroid (the COALESCE rule, mirrored in
     * SQL). Assignment ties follow [[ivfAssign]] (toward the larger cell).
@@ -212,24 +213,44 @@ object Similarity {
     var cents = init
     var sizes = Map.empty[Int, Long]
     for (_ <- 1 to iters) {
-      val sums = ivfAssign(df, vecCol, cents)
-        .select(col("cell"), posexplode(col(vecCol)).as(Seq("dim", "x")))
-        .groupBy("cell", "dim")
-        .agg(sum(floor(col("x").cast("double") * CentroidScale + lit(0.5))
-          .cast("decimal(38,0)")).as("sd"), count(lit(1)).as("n"))
+      // Exact per-cell coordinate sums WITHOUT a posexplode: the exploded
+      // formulation shuffles rows × dim records through the aggregation
+      // machinery and sums decimal(38,0) on BigDecimal — measured to
+      // dominate the whole iteration (KmeansScaleBench: k=8 as slow as
+      // k=256). One native FixedPointVectorSum aggregate reads each vector
+      // once into a flat long[] buffer: each snapped coordinate (a ≤53-bit
+      // integer in a double) splits into carry-normalized (hi, lo) long
+      // slots whose exact integer sums are order-independent; the driver
+      // reassembles (Σhi << 32) + Σlo as a BigInt — bit-identical to the
+      // decimal formulation the DuckDB oracle replays (and to the 2·d-wide
+      // sum-column twin SimilaritySpec pins, itself measured to cost as
+      // much as the assignment at d=64: 129 agg-buffer updates per row).
+      val fps = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.FixedPointVectorSum(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(col(vecCol)),
+          dim, CentroidScale).toAggregateExpression())
+      val rows = ivfAssign(df, vecCol, cents)
+        .groupBy("cell")
+        .agg(fps.as("fps"))
         .collect()
-        .map(r => ((r.getInt(0), r.getInt(1)), (r.getDecimal(2), r.getLong(3))))
+        .flatMap(r => if (r.isNullAt(0)) None else Some(r.getInt(0) -> r.getSeq[Long](1)))
         .toMap
       cents = cents.zipWithIndex.map { case (old, c) =>
-        if (!sums.contains((c, 0))) old // empty cluster: centroid carries over
-        else (0 until dim).map { d =>
-          val (sd, n) = sums((c, d))
-          // decimal -> double is correctly rounded (BigDecimal.doubleValue);
-          // /2^50 and /n are single IEEE ops — deterministic everywhere
-          sd.doubleValue() / CentroidScale / n
+        rows.get(c) match {
+          case None => old // empty cluster: centroid carries over
+          case Some(arr) =>
+            val n = arr(0)
+            (0 until dim).map { j =>
+              val sd = (BigInt(arr(1 + 2 * j)) << 32) + BigInt(arr(2 + 2 * j))
+              // BigInt -> double is correctly rounded (BigInteger.doubleValue,
+              // same rounding as the decimal path's BigDecimal.doubleValue);
+              // /2^50 and /n are single IEEE ops — deterministic everywhere
+              sd.doubleValue / CentroidScale / n
+            }
         }
       }
-      sizes = cents.indices.map(c => c -> sums.get((c, 0)).map(_._2).getOrElse(0L)).toMap
+      sizes = cents.indices
+        .map(c => c -> rows.get(c).map(_(0)).getOrElse(0L)).toMap
     }
     (cents, sizes)
   }

@@ -370,6 +370,43 @@ class SimilaritySpec extends AnyFunSuite {
     assert((0 until 4).forall(c => s1(c) == localSizes.getOrElse(c, 0L)))
   }
 
+  test("FixedPointVectorSum == 2·d-wide hi/lo sum-column twin exactly; malformed rows skipped") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val scale = 1125899906842624.0 // 2^50, the kmeans CentroidScale
+    // signed coordinates + a hot group large enough to exercise lo-carry
+    val data = (0 until 500).map { i =>
+      (i % 3, Array.fill(8)(rng.nextFloat() * 8f - 4f))
+    }
+    val malformed = Seq((1, null.asInstanceOf[Array[Float]]), (1, Array.fill(5)(1f)))
+    val d8 = (data ++ malformed).toDF("g", "v").repartition(7)
+    val fps = ColumnBridge.column(
+      graft.functions.FixedPointVectorSum(ColumnBridge.expression(col("v")), 8, scale)
+        .toAggregateExpression())
+    val twinAggs = count(col("v")).as("n") +: (0 until 8).flatMap { j =>
+      val s = floor(get(col("v"), lit(j)).cast("double") * scale + lit(0.5))
+      Seq(sum(s.bitwiseAND(lit(0xFFFFFFFFL))).as(s"lo$j"), sum(shiftright(s, 32)).as(s"hi$j"))
+    }
+    val native = d8.groupBy("g").agg(fps.as("fps")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    val twin = d8.where(size(col("v")) === 8) // the twin's count must skip malformed too
+      .groupBy("g").agg(twinAggs.head, twinAggs.tail: _*).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(native.keySet == twin.keySet && native.size == 3)
+    for ((g, arr) <- native; t = twin(g)) {
+      assert(arr(0) == t.getLong(t.fieldIndex("n")), s"count g=$g")
+      for (j <- 0 until 8) {
+        val nat = (BigInt(arr(1 + 2 * j)) << 32) + BigInt(arr(2 + 2 * j))
+        val tw = (BigInt(t.getLong(t.fieldIndex(s"hi$j"))) << 32) +
+          BigInt(t.getLong(t.fieldIndex(s"lo$j")))
+        assert(nat == tw, s"g=$g dim=$j")
+      }
+    }
+    // parallelism invariance of the exact integer sums
+    val p1 = d8.repartition(1).groupBy("g").agg(fps.as("fps")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Long](1).toList).toMap
+    assert(p1 == native.map { case (k, v) => k -> v.toList })
+  }
+
   test("kmeans: a never-winning duplicated centroid (ties go to the larger cell) carries over") {
     val base = vecs.take(3).map(_._2.map(_.toDouble).toSeq)
     // cell 0 duplicates cell 3's centroid: every tie resolves to cell 3,
