@@ -9,7 +9,7 @@ import graft.select._
 import graft.sim.{Quantize, Similarity}
 import graft.stats.{Anova, Auc, Binning, ChiSq, Correlation, Entropy}
 import graft.temporal.{AsOf, Salting, Windows}
-import graft.text.{Dedup, HtmlExtract, LmScore, Packing, Repetition, Sampling, TextFeatures, UrlFeatures}
+import graft.text.{Bm25, Dedup, HtmlExtract, LmScore, Packing, Repetition, Sampling, TextFeatures, UrlFeatures}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -486,6 +486,47 @@ object SparkEntry {
       LmScore.charBigramScore(t(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_id"), round(col("lm_bits"), 6).as("lm_bits"))
         .orderBy("doc_id")),
+    // DSIR data selection (Xie et al. 2023): importance log-weights of a
+    // target-domain char-bigram LM (the English subset) against the
+    // background model (whole corpus), then Gumbel-top-k resampling in log
+    // space — both the weights and the exact sample membership replayed by
+    // DuckDB over the same md5 buckets
+    "q_dsir_select" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val h = new graft.runtime.CacheHandle
+      val target = LmScore.charBigramModel(d.where(col("lang") === "en"), "text", h)
+      val background = LmScore.charBigramModel(d, "text", h)
+      val w = LmScore.importanceLogWeights(d, "doc_id", "text", target, background)
+      val out = Sampling.weightedSampleLogMd5(w, col("doc_id"), col("log2_w"), k = 25)
+        .select(col("doc_id"), round(col("log2_w"), 6).as("log2_w"),
+          round(col("gumbel_key"), 6).as("gumbel_key"))
+        .orderBy("doc_id")
+      h.release(); out
+    }),
+    // BM25 ranked retrieval: the posting-list join restricted to the
+    // query's terms (shuffle is O(matches)); idf/tf/length-norm replayed
+    // exactly in SQL over the shared whitespace tokenization
+    "q_bm25" -> ((s, dir) =>
+      Bm25.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        query = Seq("spark", "merge", "window"), k = 20)
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy("doc_id")),
+    // corpus observability report: per (lang, source) doc/token/char sums
+    // and each cell's share of corpus tokens (1-row broadcast total)
+    "q_corpus_stats" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("n_toks", TextFeatures.tokenCount(col("text")).cast("long"))
+      val cells = d.groupBy(col("lang"), col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("sum_tokens"),
+        sum(col("n_chars")).as("sum_chars"))
+      val total = cells.agg(sum(col("sum_tokens")).as("__tot"))
+      cells.crossJoin(broadcast(total))
+        .select(col("lang"), col("source"), col("n_docs"), col("sum_tokens"),
+          col("sum_chars"),
+          round(col("sum_tokens") / col("__tot"), 6).as("token_share"))
+        .orderBy("lang", "source")
+    }),
     // int8 embedding quantization: exact closed-form rounding replayed by
     // DuckDB element-for-element (codes comma-joined — the hash comparator
     // handles scalar columns only; element order is preserved in the string)
@@ -1720,6 +1761,87 @@ object SparkEntry {
         |JOIN m1 ON substr(bg.bg, 1, 1) = m1.c1
         |CROSS JOIN v
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // DSIR: two add-one bigram models (target = lang 'en', background =
+    // all), per-doc summed log-likelihood ratio, Gumbel-top-k over the same
+    // md5 buckets as q_weighted_sample (ln(-ln u) - log2_w*ln 2, ascending)
+    "q_dsir_select" ->
+      """WITH bgall AS MATERIALIZED (
+        |  SELECT doc_id, substr(text, CAST(i AS INT), 2) AS bg
+        |  FROM (SELECT doc_id, text, unnest(range(1, len(text))) AS i FROM documents) t),
+        |bgt AS MATERIALIZED (
+        |  SELECT substr(text, CAST(i AS INT), 2) AS bg
+        |  FROM (SELECT text, unnest(range(1, len(text))) AS i
+        |        FROM documents WHERE lang = 'en') t),
+        |t2 AS MATERIALIZED (SELECT bg, count(*) AS tc2 FROM bgt GROUP BY bg),
+        |t1 AS MATERIALIZED (SELECT substr(bg, 1, 1) AS c1, sum(tc2) AS tn1 FROM t2 GROUP BY 1),
+        |tv AS MATERIALIZED (SELECT count(DISTINCT substr(bg, 2, 1)) AS tv FROM t2),
+        |b2 AS MATERIALIZED (SELECT bg, count(*) AS bc2 FROM bgall GROUP BY bg),
+        |b1 AS MATERIALIZED (SELECT substr(bg, 1, 1) AS c1, sum(bc2) AS bn1 FROM b2 GROUP BY 1),
+        |bv AS MATERIALIZED (SELECT count(DISTINCT substr(bg, 2, 1)) AS bv FROM b2),
+        |w0 AS MATERIALIZED (
+        |  SELECT bgall.doc_id,
+        |    sum(log2((coalesce(t2.tc2, 0) + 1.0) / (coalesce(t1.tn1, 0) + tv.tv))
+        |      - log2((coalesce(b2.bc2, 0) + 1.0) / (coalesce(b1.bn1, 0) + bv.bv))) AS log2_w
+        |  FROM bgall
+        |  LEFT JOIN t2 ON t2.bg = bgall.bg
+        |  LEFT JOIN t1 ON t1.c1 = substr(bgall.bg, 1, 1)
+        |  LEFT JOIN b2 ON b2.bg = bgall.bg
+        |  LEFT JOIN b1 ON b1.c1 = substr(bgall.bg, 1, 1)
+        |  CROSS JOIN tv CROSS JOIN bv
+        |  GROUP BY bgall.doc_id),
+        |w AS MATERIALIZED (
+        |  SELECT d.doc_id, coalesce(w0.log2_w, 0.0) AS log2_w
+        |  FROM documents d LEFT JOIN w0 USING (doc_id)),
+        |g AS (
+        |  SELECT doc_id, log2_w,
+        |    ln(-ln(((CAST(list_sum(list_transform(range(1, 13),
+        |        k -> (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), CAST(k AS INT), 1)) - 1)
+        |             * pow(16, 12 - k))) AS BIGINT) % 1000000) + 0.5) / 1000000.0))
+        |      - log2_w * ln(2) AS gk
+        |  FROM w)
+        |SELECT doc_id, round(log2_w, 6) AS log2_w, round(gk, 6) AS gumbel_key
+        |FROM (SELECT * FROM g ORDER BY gk ASC, doc_id LIMIT 25) t
+        |ORDER BY doc_id""".stripMargin,
+    // BM25 over the shared whitespace tokenization: tf per (doc, query
+    // term), |query|-row docfreq, 1-row (N, avgdl); Robertson idf
+    "q_bm25" ->
+      """WITH base AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |d AS MATERIALIZED (SELECT doc_id, len(toks) AS dl FROM base),
+        |stats AS MATERIALIZED (
+        |  SELECT count(*) AS n, avg(CAST(dl AS DOUBLE)) AS avgdl FROM d),
+        |tf AS MATERIALIZED (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(toks) AS term FROM base) t
+        |  WHERE term IN ('spark', 'merge', 'window') GROUP BY 1, 2),
+        |dfq AS MATERIALIZED (SELECT term, count(*) AS dft FROM tf GROUP BY 1),
+        |s AS (
+        |  SELECT tf.doc_id,
+        |    sum(ln((stats.n - dfq.dft + 0.5) / (dfq.dft + 0.5) + 1.0)
+        |        * tf.tf * 2.2
+        |        / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / stats.avgdl))) AS score
+        |  FROM tf JOIN dfq USING (term) JOIN d USING (doc_id) CROSS JOIN stats
+        |  GROUP BY tf.doc_id)
+        |SELECT doc_id, round(score, 6) AS score
+        |FROM (SELECT * FROM s ORDER BY score DESC, doc_id LIMIT 20) t
+        |ORDER BY doc_id""".stripMargin,
+    // per-(lang, source) doc/token/char sums + share of corpus tokens;
+    // BIGINT casts pin DuckDB's HUGEINT widening
+    "q_corpus_stats" ->
+      """WITH cells AS MATERIALIZED (
+        |  SELECT lang, source, count(*) AS n_docs,
+        |    CAST(sum(CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS sum_tokens,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS MATERIALIZED (SELECT CAST(sum(sum_tokens) AS BIGINT) AS tot FROM cells)
+        |SELECT lang, source, n_docs, sum_tokens, sum_chars,
+        |  round(CAST(sum_tokens AS DOUBLE) / tot, 6) AS token_share
+        |FROM cells CROSS JOIN tot
+        |ORDER BY lang, source""".stripMargin,
     // quality replay (same chain as q_quality) -> row_number per source over
     // (quality DESC, doc_id) -> keep rn <= 3
     "q_domain_quota" ->

@@ -99,4 +99,48 @@ object LmScore {
   /** Self-scoring with an unmanaged cache lifetime (session LRU). */
   def charBigramScore(df: DataFrame, id: String, text: String): DataFrame =
     charBigramScore(df, id, text, new graft.runtime.CacheHandle)
+
+  /** DSIR importance log-weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS — reduced to the
+    * engine's deterministic core: char-bigram LMs instead of hashed-ngram
+    * bags). Per document, `log2_w = Σ over its transitions of
+    * log2 P_target(c₂|c₁) − log2 P_background(c₂|c₁)` — the log importance
+    * ratio between a target-domain model and a background model, both from
+    * [[charBigramModel]] (add-one smoothing; unseen bigrams fall back
+    * exactly as [[charBigramScore]] does). Pair with
+    * [[graft.text.Sampling.weightedSampleLogMd5]] for the resampling step:
+    * w spans thousands of orders of magnitude, which is why the weight
+    * never leaves log space.
+    *
+    * Scale shape: ONE scoring scan of the corpus (both models join the same
+    * exploded-bigram pass — 4 broadcast joins of |alphabet|²-row tables),
+    * on top of the two model-build scans (target subset + background).
+    * Documents with < 2 chars have no transitions: log2_w = 0 (w = 1),
+    * kept via the left join so every input row stays eligible. */
+  def importanceLogWeights(
+      df: DataFrame,
+      id: String,
+      text: String,
+      target: (DataFrame, DataFrame, Long),
+      background: (DataFrame, DataFrame, Long)
+  ): DataFrame = {
+    val (t2, t1, tv) = target
+    val (b2, b1, bv) = background
+    val bg = df.select(col(id), explode(charBigrams(col(text))).as("bg"))
+      .withColumn("c1", substring(col("bg"), 1, 1))
+    val scored = bg
+      .join(broadcast(t2.select(col("bg"), col("c2").as("tc2"))), Seq("bg"), "left")
+      .join(broadcast(t1.select(col("c1"), col("n1").as("tn1"))), Seq("c1"), "left")
+      .join(broadcast(b2.select(col("bg"), col("c2").as("bc2"))), Seq("bg"), "left")
+      .join(broadcast(b1.select(col("c1"), col("n1").as("bn1"))), Seq("c1"), "left")
+      .withColumn("pt",
+        (coalesce(col("tc2"), lit(0L)) + 1.0) / (coalesce(col("tn1"), lit(0L)) + tv))
+      .withColumn("pb",
+        (coalesce(col("bc2"), lit(0L)) + 1.0) / (coalesce(col("bn1"), lit(0L)) + bv))
+      .groupBy(col(id))
+      .agg(sum(log2(col("pt")) - log2(col("pb"))).as("log2_w"))
+    df.select(col(id))
+      .join(scored, Seq(id), "left")
+      .na.fill(0.0, Seq("log2_w"))
+  }
 }

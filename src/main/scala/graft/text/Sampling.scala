@@ -116,6 +116,28 @@ object Sampling {
   def weightedSampleMd5(df: DataFrame, key: Column, weight: Column, k: Int): DataFrame =
     weightedSample(df, pmod(md5Hash48(key), lit(1000000L)), key, weight, k)
 
+  /** A-ES weighted sampling with the weight given in LOG₂ SPACE — for
+    * importance weights spanning thousands of orders of magnitude (DSIR's
+    * w = 2^(Σ per-transition log-likelihood ratio) overflows/underflows any
+    * double long before a 10k-char document ends). Identical selection rule
+    * to [[weightedSampleMd5]] rewritten in logs: maximizing the A-ES key
+    * u^(1/w) is minimizing `gumbel_key = ln(−ln u) − log2w·ln 2`, every
+    * term finite for any log2w (the exponential-races / Gumbel top-k
+    * equivalence). Deterministic u from the md5 bucket, ties by the key
+    * column; null key or null log-weight sorts LAST (+∞, the `otherwise 0`
+    * rule of the linear-space variant). Top-k via TakeOrderedAndProject —
+    * no global sort. */
+  def weightedSampleLogMd5(df: DataFrame, key: Column, log2Weight: Column, k: Int): DataFrame = {
+    require(k >= 1, "sample size k must be >= 1")
+    val u = (pmod(md5Hash48(key), lit(1000000L)) + lit(0.5)) / lit(1e6)
+    val g = when(log2Weight.isNotNull && key.isNotNull,
+      log(-log(u)) - log2Weight.cast("double") * math.log(2.0))
+      .otherwise(lit(Double.PositiveInfinity))
+    df.withColumn("gumbel_key", g)
+      .orderBy(col("gumbel_key").asc, key)
+      .limit(k)
+  }
+
   private def weightedSample(
       df: DataFrame, bucket: Column, key: Column, weight: Column, k: Int
   ): DataFrame = {

@@ -837,4 +837,83 @@ class CurationSpec extends AnyFunSuite {
       Seq((9L, "d c b a")).toDF("doc_id", "text"), "doc_id", "text").collect()(0)
     assert(tie.getString(3) == "b a")
   }
+
+  test("DSIR importance log-weights: local two-model replay; empty docs weigh 1; direction") {
+    import graft.text.LmScore
+    // two "domains" with disjoint character habits
+    val tgtDocs = Seq("aaab aaab aaba", "abab aabb baaa", "aaaa abba")
+    val bgExtra = Seq("zzzy zyzy yzzz", "zyyz zzzz yyzy")
+    val corpus = (tgtDocs ++ bgExtra ++ Seq("", "x")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text").repartition(3)
+    val h = new graft.runtime.CacheHandle
+    val target = LmScore.charBigramModel(corpus.where(col("id") < 3), "text", h)
+    val background = LmScore.charBigramModel(corpus, "text", h)
+    val got = LmScore.importanceLogWeights(corpus, "id", "text", target, background)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    h.release()
+    assert(got.size == 7, "every corpus row keeps a weight")
+    // local replay: add-one bigram models from first principles
+    def bigrams(s: String): Seq[String] = if (s.length < 2) Nil
+      else (0 until s.length - 1).map(i => s.substring(i, i + 2))
+    def model(docs: Seq[String]): (Map[String, Long], Map[String, Long], Long) = {
+      val m2 = docs.flatMap(bigrams).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val m1 = m2.groupBy(_._1.substring(0, 1)).map { case (k, v) => k -> v.values.sum }
+      (m2, m1, m2.keys.map(_.substring(1, 2)).toSet.size.toLong)
+    }
+    val (t2, t1, tv) = model(tgtDocs)
+    val (b2, b1, bv) = model(tgtDocs ++ bgExtra ++ Seq("", "x"))
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    for ((id, text) <- (tgtDocs ++ bgExtra ++ Seq("", "x")).zipWithIndex.map(_.swap)) {
+      val expect = bigrams(text).map { bg =>
+        val c1 = bg.substring(0, 1)
+        log2((t2.getOrElse(bg, 0L) + 1.0) / (t1.getOrElse(c1, 0L) + tv)) -
+          log2((b2.getOrElse(bg, 0L) + 1.0) / (b1.getOrElse(c1, 0L) + bv))
+      }.sum
+      assert(math.abs(got(id.toLong) - expect) < 1e-9, s"id=$id")
+    }
+    // target-domain docs must out-weigh background-only docs
+    assert((0 to 2).map(i => got(i.toLong)).min >
+      (3 to 4).map(i => got(i.toLong)).max)
+    assert(got(5L) == 0.0 && got(6L) == 0.0, "docs without transitions weigh 2^0")
+  }
+
+  test("weightedSampleLogMd5 == weightedSampleMd5 membership when weights fit a double") {
+    val d = (0L until 400L).map(i => (i, (i % 17 + 1).toDouble))
+      .toDF("id", "w").withColumn("log2w", log2(col("w")))
+    val lin = Sampling.weightedSampleMd5(d, col("id"), col("w"), k = 40)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val logv = Sampling.weightedSampleLogMd5(d, col("id"), col("log2w"), k = 40)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(lin == logv, "log-space A-ES must select the same selection as linear space")
+    // extreme weights the linear formulation cannot represent still rank
+    val huge = Seq((1L, 100000.0), (2L, -100000.0), (3L, 0.0))
+      .toDF("id", "log2w")
+    val top = Sampling.weightedSampleLogMd5(huge, col("id"), col("log2w"), k = 3)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(top.head == 1L && top.last == 2L,
+      "2^100000 beats 2^0 beats 2^-100000 — no overflow/underflow collapse")
+  }
+
+  test("BM25: hand-computed two-term case; non-matching docs absent; top-k order") {
+    import graft.text.Bm25
+    val docs = Seq(
+      (1L, "cat dog cat"), (2L, "dog dog dog dog"), (3L, "bird bird"),
+      (4L, "cat"), (5L, "")).toDF("id", "text").repartition(2)
+    val got = Bm25.bm25TopK(docs, "id", "text", Seq("cat", "dog"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == Set(1L, 2L, 4L), "only matching docs are retrieved")
+    // local replay: N=5 docs (blank counts), avgdl=(3+4+2+1+0)/5=2.0
+    val n = 5.0; val avgdl = 2.0; val k1 = 1.2; val b = 0.75
+    def idf(dft: Long) = math.log((n - dft + 0.5) / (dft + 0.5) + 1.0)
+    def s(tf: Long, dl: Long, dft: Long) =
+      idf(dft) * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+    val expect = Map(
+      1L -> (s(2, 3, 2) + s(1, 3, 2)), // cat tf=2 dft=2; dog tf=1 dft=2
+      2L -> s(4, 4, 2), 4L -> s(1, 1, 2))
+    expect.foreach { case (id, e) => assert(math.abs(got(id) - e) < 1e-9, s"id=$id") }
+    // the scoring is deterministic at any parallelism
+    val again = Bm25.bm25TopK(docs.repartition(7), "id", "text", Seq("cat", "dog"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(again == got)
+  }
 }
