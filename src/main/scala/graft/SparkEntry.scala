@@ -493,15 +493,15 @@ object SparkEntry {
     // DuckDB over the same md5 buckets
     "q_dsir_select" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val h = new graft.runtime.CacheHandle
-      val target = LmScore.charBigramModel(d.where(col("lang") === "en"), "text", h)
-      val background = LmScore.charBigramModel(d, "text", h)
+      // model caches stay on the session-LRU lifetime (the registered-query
+      // convention): releasing before the lazy execution would forfeit them
+      val target = LmScore.charBigramModel(d.where(col("lang") === "en"), "text")
+      val background = LmScore.charBigramModel(d, "text")
       val w = LmScore.importanceLogWeights(d, "doc_id", "text", target, background)
-      val out = Sampling.weightedSampleLogMd5(w, col("doc_id"), col("log2_w"), k = 25)
+      Sampling.weightedSampleLogMd5(w, col("doc_id"), col("log2_w"), k = 25)
         .select(col("doc_id"), round(col("log2_w"), 6).as("log2_w"),
           round(col("gumbel_key"), 6).as("gumbel_key"))
         .orderBy("doc_id")
-      h.release(); out
     }),
     // BM25 ranked retrieval: the posting-list join restricted to the
     // query's terms (shuffle is O(matches)); idf/tf/length-norm replayed
@@ -526,6 +526,23 @@ object SparkEntry {
           col("sum_chars"),
           round(col("sum_tokens") / col("__tot"), 6).as("token_share"))
         .orderBy("lang", "source")
+    }),
+    // link-graph centrality (exact-integer PageRank, 3 iterations) over a
+    // deterministic synthetic link graph: each doc links to the 3 docs
+    // whose ids are md5-48(doc_id#j) mod N — the same edges and the same
+    // integer recurrence replayed by unrolled DuckDB CTEs
+    "q_pagerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val edges = docs.select(col("doc_id").as("src"),
+        explode(array((0 to 2).map { j =>
+          pmod(conv(substring(md5(concat(col("doc_id").cast("string"), lit(s"#$j"))),
+            1, 12), 16, 10).cast("long"), lit(n))
+        }: _*)).as("dst"))
+      graft.graph.PageRank.pageRank(edges, "src", "dst", iters = 3)
+        .select(col("node").as("doc_id"), col("rank_scaled"),
+          round(col("rank"), 6).as("rank"))
+        .orderBy("doc_id")
     }),
     // int8 embedding quantization: exact closed-form rounding replayed by
     // DuckDB element-for-element (codes comma-joined — the hash comparator
@@ -982,6 +999,29 @@ object SparkEntry {
     * empirically value-by-value). Produces CTE text ending at
     * `a${"$"}{iters+1}(vec_id, cid, s)` — the final assignment with its
     * cosine — ready to be extended with a SELECT. */
+  /** Unrolled exact-integer PageRank iterations over CTEs `e` (src, dst),
+    * `nodes`, `nn` (n), `odeg` — the recurrence of
+    * [[graft.graph.PageRank.pageRank]] verbatim (K = 2⁵⁰, d = 17/20).
+    * HUGEINT-safe: the inflow sum widens, the final r casts back. */
+  private def pagerankSql(iters: Int): String = {
+    val K = "1125899906842624" // 2^50 — same grid as PageRank's default
+    val sb = new StringBuilder
+    sb ++= s"r0 AS MATERIALIZED (SELECT node, $K // n AS r FROM nodes CROSS JOIN nn),\n"
+    for (t <- 1 to iters) {
+      sb ++=
+        s"""r$t AS MATERIALIZED (
+           |  SELECT nodes.node, CAST((3 * $K) // (20 * nn.n)
+           |      + (17 * coalesce(inf.s, 0)) // 20 AS BIGINT) AS r
+           |  FROM nodes CROSS JOIN nn LEFT JOIN (
+           |    SELECT e.dst AS node, sum(r${t - 1}.r // odeg.odeg) AS s
+           |    FROM e JOIN r${t - 1} ON r${t - 1}.node = e.src
+           |    JOIN odeg ON odeg.src = e.src
+           |    GROUP BY e.dst) inf ON inf.node = nodes.node)""".stripMargin
+      if (t < iters) sb ++= ",\n"
+    }
+    sb.result()
+  }
+
   private def kmeansSql(k: Int, dim: Int, iters: Int): String = {
     val S = "1125899906842624.0" // 2^50 — same constant as Similarity.kmeans
     val sb = new StringBuilder
@@ -1842,6 +1882,25 @@ object SparkEntry {
         |  round(CAST(sum_tokens AS DOUBLE) / tot, 6) AS token_share
         |FROM cells CROSS JOIN tot
         |ORDER BY lang, source""".stripMargin,
+    // exact-integer PageRank over the md5-derived link graph: identical
+    // edges, identical recurrence, 3 unrolled iterations
+    "q_pagerank" ->
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT doc_id AS src,
+         |    (CAST(list_sum(list_transform(range(1, 13),
+         |       k -> (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || '#' || CAST(j AS VARCHAR)), CAST(k AS INT), 1)) - 1)
+         |            * pow(16, 12 - k))) AS BIGINT)
+         |     % (SELECT count(*) FROM documents)) AS dst
+         |  FROM documents CROSS JOIN (SELECT unnest(range(0, 3)) AS j) js),
+         |nodes AS MATERIALIZED (
+         |  SELECT DISTINCT node FROM (
+         |    SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e) u),
+         |nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+         |odeg AS MATERIALIZED (SELECT src, count(*) AS odeg FROM e GROUP BY src),
+         |${pagerankSql(3)}
+         |SELECT node AS doc_id, r AS rank_scaled,
+         |  round(CAST(r AS DOUBLE) / 1125899906842624, 6) AS rank
+         |FROM r3 ORDER BY doc_id""".stripMargin,
     // quality replay (same chain as q_quality) -> row_number per source over
     // (quality DESC, doc_id) -> keep rn <= 3
     "q_domain_quota" ->

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.graph.PageRank
+
+/** Exact-integer PageRank: local replay, parallelism invariance, dangling
+  * and multigraph semantics. */
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Local replay of the documented integer recurrence. */
+  private def localPr(
+      edges: Seq[(Long, Long)], iters: Int, scaleBits: Int): Map[Long, Long] = {
+    val k = 1L << scaleBits
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size.toLong
+    val odeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val base = (3L * k) / (20L * n)
+    var r = nodes.map(_ -> k / n).toMap
+    for (_ <- 1 to iters) {
+      val inflow = edges
+        .map { case (s, d) => d -> r(s) / odeg(s) }
+        .groupBy(_._1).map { case (d, cs) => d -> cs.map(_._2).sum }
+      r = nodes.map(v => v -> (base + 17L * inflow.getOrElse(v, 0L) / 20L)).toMap
+    }
+    r
+  }
+
+  val edges: Seq[(Long, Long)] = Seq(
+    (0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L), (3L, 2L), (3L, 2L), // multi-edge 3->2
+    (4L, 0L), (2L, 5L)) // 5 is dangling (no out-edges)
+
+  test("pageRank == local integer replay bit-for-bit; parallelism-invariant") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val h = new graft.runtime.CacheHandle
+    def run(parts: Int): Map[Long, Long] =
+      PageRank.pageRank(edges.toDF("s", "d").repartition(parts), "s", "d",
+        iters = 4, scaleBits = 40, handle = h)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = run(1)
+    assert(got == run(9), "ranks must be bit-identical at any parallelism")
+    val expect = localPr(edges, 4, 40)
+    assert(got == expect, s"got $got, expected $expect")
+    // the hub (node 2: three in-edges incl. a doubled one) outranks everyone
+    assert(got(2L) == got.values.max)
+    // dangling node 5 receives but never emits; it still holds rank
+    assert(got(5L) > 0L)
+    h.release()
+    // the session is shared across suites: assert only OUR caches are gone
+    assert(spark.sparkContext.getPersistentRDDs.keySet.subsetOf(before),
+      "handle released all pageRank caches")
+  }
+
+  test("pageRank contracts: empty graph, negative ids, grid overflow abort") {
+    val h = new graft.runtime.CacheHandle
+    intercept[IllegalArgumentException] {
+      PageRank.pageRank(Seq.empty[(Long, Long)].toDF("s", "d"), "s", "d", 1, handle = h)
+    }
+    intercept[IllegalArgumentException] {
+      PageRank.pageRank(Seq((-1L, 2L)).toDF("s", "d"), "s", "d", 1, handle = h)
+    }
+    intercept[IllegalArgumentException] {
+      PageRank.pageRank(edges.toDF("s", "d"), "s", "d", 1, scaleBits = 2, handle = h)
+    }
+    h.release()
+  }
+}
