@@ -246,6 +246,11 @@ object ArrayMath {
       ColumnBridge.expression(codes), ColumnBridge.expression(scale),
       Literal.create(query.toArray, ArrayType(DoubleType, containsNull = false))))
 
+  /** all sign-LSH band signatures (array<long>, one per band) in one
+    * fused codegen loop — see [[SignBandSignatures]]. */
+  def signBandSigs(vec: Column, planes: Array[Array[Double]], bands: Int): Column =
+    ColumnBridge.column(SignBandSignatures(ColumnBridge.expression(vec), planes, bands))
+
   /** SQL registration: SELECT cosine_sim(emb, other) FROM ... */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

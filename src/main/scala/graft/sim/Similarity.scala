@@ -434,6 +434,23 @@ object Similarity {
     * only (vectors are joined back per CANDIDATE), and duplicates from
     * multi-band collisions are collapsed before the verify join.
     */
+  /** Reference twin of [[graft.functions.SignBandSignatures]]: the
+    * compositional band-signature chain (r fused cosines + when/shiftleft
+    * per band). Test-pinned bit-equal to the native expression
+    * (SimilaritySpec); not used in the hot path — at 32×8 production
+    * sizing its generated consume method exceeds the JVM 64 KB limit and
+    * the stage falls back to interpreted execution. */
+  private[graft] def bandSigsBuiltin(
+      vec: Column, planes: Array[Array[Double]], bands: Int): Column = {
+    val r = planes.length / bands
+    array((0 until bands).map { b =>
+      (0 until r).map { j =>
+        when(graft.functions.ArrayMath.cosineSimTo(vec, planes(b * r + j).toSeq) >= 0,
+          shiftleft(lit(1L), j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+  }
+
   def cosineNearDupPairs(
       df: DataFrame,
       idCol: String,
@@ -444,16 +461,14 @@ object Similarity {
       handle: graft.runtime.CacheHandle = new graft.runtime.CacheHandle
   ): DataFrame = {
     require(bands >= 1 && planes.length % bands == 0, "bands must divide the number of planes")
-    val r = planes.length / bands
-    val bandSigs = (0 until bands).map { b =>
-      (0 until r).map { j =>
-        when(graft.functions.ArrayMath.cosineSimTo(col(vecCol), planes(b * r + j).toSeq) >= 0,
-          shiftleft(lit(1L), j)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    }
+    // ONE fused expression for all bands×r sign tests: the compositional
+    // chain (bandSigsBuiltin, kept below as the spec twin) generates 64 KB+
+    // of consume code at the production 32×8 sizing and silently drops the
+    // whole stage to interpreted execution
     val banded = handle.track(df.select(
       col(idCol),
-      posexplode(array(bandSigs: _*)).as(Seq("band", "sig"))
+      posexplode(graft.functions.ArrayMath.signBandSigs(col(vecCol), planes, bands))
+        .as(Seq("band", "sig"))
     ).cache()) // both self-join sides re-execute the 16-band signature scan
                // otherwise (Catalyst shares no re-referenced subtree); the
                // banded table is docs×bands rows of (id, band, sig);

@@ -113,6 +113,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(banded > single, s"banded=$banded single=$single")
   }
 
+  test("native sign_band_sigs expression == compositional when/shiftleft chain, bit-for-bit") {
+    // edge rows ride along: zero vector (every cosine 0.0 >= 0 -> all bits
+    // set), NaN element (NaN cosine, SQL-greatest -> all bits set), and a
+    // length-mismatched vector (null cosine -> otherwise-branch -> all zero)
+    val edge = Seq(
+      (9001L, Array.fill(64)(0.0f)),
+      (9002L, Array.fill(64)(Float.NaN)),
+      (9003L, Array(1.0f, 2.0f, 3.0f)))
+    val d = (vecs ++ edge).toDF("id", "v")
+    val planes = Similarity.hyperplanes(64, 64)
+    val rows = d.select(col("id"),
+      ArrayMath.signBandSigs(col("v"), planes, 8).as("n"),
+      Similarity.bandSigsBuiltin(col("v"), planes, 8).as("b")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"id=${r.getLong(0)}")
+    }
+    val byId = rows.map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(byId(9001L).forall(_ == 255L), "zero vector sets every bit (0.0 >= 0)")
+    assert(byId(9002L).forall(_ == 255L), "NaN cosine is SQL-largest: every bit set")
+    assert(byId(9003L).forall(_ == 0L), "length mismatch -> all-zero signatures")
+  }
+
+  test("sign_band_sigs null semantics pinned directly: null vector / null element -> zeros, never null") {
+    val d = Seq(
+      (1L, Some(Seq[Option[Float]](Some(1f), Some(2f)))),
+      (2L, None),                                        // null vector
+      (3L, Some(Seq[Option[Float]](Some(1f), None)))     // null element
+    ).toDF("id", "v").select(col("id"), col("v").cast("array<float>").as("v"))
+    val planes = Similarity.hyperplanes(8, 2)
+    val got = d.select(col("id"), ArrayMath.signBandSigs(col("v"), planes, 4).as("s"))
+      .collect().map(r => r.getLong(0) -> (r.isNullAt(1), r.getSeq[Long](1))).toMap
+    assert(!got.values.exists(_._1), "result is never null")
+    assert(got(2L)._2.forall(_ == 0L) && got(3L)._2.forall(_ == 0L))
+    assert(got(1L)._2.exists(_ != 0L), "a well-formed vector produces real signatures")
+  }
+
   test("int8 quantization: codes in range, error bound scale/2, cosine preserved, zero/negative edges") {
     import graft.sim.Quantize
     // include negative components and an exact-zero vector
