@@ -486,6 +486,17 @@ object SparkEntry {
       LmScore.charBigramScore(t(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_id"), round(col("lm_bits"), 6).as("lm_bits"))
         .orderBy("doc_id")),
+    // fastText-style model-based quality gate, deterministic core: hashed
+    // bag-of-words Naive Bayes (md5-48 unigram buckets, add-one log-odds)
+    // trained on lang='en' as the seed class, scored map-side via the fused
+    // BucketWeightSum expression; training AND scoring replayed in DuckDB
+    "q_nb_quality" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val m = graft.text.NbQuality.fit(d, "text", col("lang") === "en", buckets = 4096)
+      graft.text.NbQuality.score(d, "doc_id", "text", m)
+        .select(col("doc_id"), round(col("log_odds"), 6).as("log_odds"))
+        .orderBy("doc_id")
+    }),
     // DSIR data selection (Xie et al. 2023): importance log-weights of a
     // target-domain char-bigram LM (the English subset) against the
     // background model (whole corpus), then Gumbel-top-k resampling in log
@@ -1801,6 +1812,37 @@ object SparkEntry {
         |JOIN m1 ON substr(bg.bg, 1, 1) = m1.c1
         |CROSS JOIN v
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // hashed-bag Naive Bayes replayed end-to-end: md5-48 unigram hashes mod
+    // 4096 (the digit-sum md5 formulation), exact per-(bucket,class) token
+    // counts, add-one log-odds weights, per-doc weight sum + doc-prior bias
+    "q_nb_quality" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, lang = 'en' AS pos,
+        |    (CAST(list_sum(list_transform(range(1, 13),
+        |       k -> (strpos('0123456789abcdef', substr(md5(tok), CAST(k AS INT), 1)) - 1)
+        |            * pow(16, 12 - k))) AS BIGINT) % 4096) AS b
+        |  FROM (SELECT doc_id, lang,
+        |          unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |        FROM documents) t),
+        |cnt AS MATERIALIZED (
+        |  SELECT b,
+        |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+        |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS cn
+        |  FROM toks GROUP BY b),
+        |tot AS MATERIALIZED (
+        |  SELECT CAST(sum(cp) AS BIGINT) AS pt, CAST(sum(cn) AS BIGINT) AS nt
+        |  FROM cnt),
+        |dc AS MATERIALIZED (
+        |  SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pd,
+        |         CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS nd
+        |  FROM documents)
+        |SELECT toks.doc_id,
+        |  round(ln(CAST(pd AS DOUBLE) / nd)
+        |    + sum(ln((cnt.cp + 1.0) / (tot.pt + 4096.0))
+        |        - ln((cnt.cn + 1.0) / (tot.nt + 4096.0))), 6) AS log_odds
+        |FROM toks JOIN cnt USING (b) CROSS JOIN tot CROSS JOIN dc
+        |GROUP BY toks.doc_id, pd, nd
+        |ORDER BY toks.doc_id""".stripMargin,
     // DSIR: two add-one bigram models (target = lang 'en', background =
     // all), per-doc summed log-likelihood ratio, Gumbel-top-k over the same
     // md5 buckets as q_weighted_sample (ln(-ln u) - log2_w*ln 2, ascending)

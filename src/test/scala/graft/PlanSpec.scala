@@ -102,6 +102,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"stratified sample must not shuffle:\n$p")
   }
 
+  test("NbQuality scoring is pure map-side: zero exchanges (weights ride as a referenced object)") {
+    // the fused BucketWeightSum kernel is the whole point: scoring must not
+    // explode tokens, join a model table, or shuffle anything
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val m = graft.text.NbQuality.Model(
+      Array.fill(64)(0.1), bias = 0.0, alpha = 1.0,
+      posTokens = 1, negTokens = 1, posDocs = 1, negDocs = 1)
+    val p = plan(graft.text.NbQuality.score(docs, "doc_id", "text", m))
+    assert(!p.contains("Exchange"), s"NbQuality.score must not shuffle:\n$p")
+    assert(!p.contains("Generate"), s"NbQuality.score must not explode tokens:\n$p")
+  }
+
   test("duplicateSpans reads the corpus parquet ONCE; all joins stay hash-based") {
     // the doc-level token+hash arrays are cached; grams, coverage and the
     // rebuild must all derive from that cache, not re-scan the input
