@@ -61,8 +61,13 @@ object StreamFeatures {
     * state); per-domain quotas and corpus shuffle are inherently
     * batch/global and stay on the batch path.
     *
-    * Adds `quality`, `lang_pred`, `clean_text` (PII-redacted), `split`;
-    * filters to `quality >= minQuality` and `lang_pred ∈ langs`, then (if
+    * Adds `quality`, `lang_pred`, `clean_text` (PII-redacted), `split`
+    * (and `nb_log_odds` when a classifier model is supplied); filters to
+    * `quality >= minQuality`, `lang_pred ∈ langs`, and (when `nbModel` is
+    * set) `nb_log_odds >= minLogOdds` — the batch-TRAINED model gates the
+    * stream map-side, the weights riding inside the fused
+    * [[graft.functions.BucketWeightSum]] expression (the standard
+    * train-offline / filter-online classifier deployment). Then (if
     * `sampleFractions` is non-empty) applies the per-language deterministic
     * downsampling filter. */
   def curationGates(
@@ -72,12 +77,18 @@ object StreamFeatures {
       minQuality: Double = 0.5,
       langs: Seq[String] = Seq("en"),
       sampleFractions: Map[String, Double] = Map.empty,
-      splits: Seq[(String, Double)] = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
+      splits: Seq[(String, Double)] = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1),
+      nbModel: Option[graft.text.NbQuality.Model] = None,
+      minLogOdds: Double = 0.0
   ): DataFrame = {
-    import graft.text.{Sampling, TextFeatures}
-    val gated = docs
+    import graft.text.{NbQuality, Sampling, TextFeatures}
+    val scored = docs
       .withColumn("quality", TextFeatures.qualityScore(col(textCol)))
       .withColumn("lang_pred", TextFeatures.langId(col(textCol)))
+    val classified = nbModel.fold(scored)(m =>
+      scored.withColumn("nb_log_odds", NbQuality.logOdds(col(textCol), m))
+        .where(col("nb_log_odds") >= minLogOdds))
+    val gated = classified
       .where(col("quality") >= minQuality &&
         col("lang_pred").isin(langs.map(_.asInstanceOf[Any]): _*))
       .withColumn("clean_text", TextFeatures.redactPii(col(textCol)))

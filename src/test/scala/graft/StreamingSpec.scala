@@ -101,6 +101,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming NB classifier gate: batch-trained model filters the stream map-side, batch parity") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamFeatures.Doc
+    // train OFFLINE on a labeled batch, deploy ONLINE as a stream gate —
+    // the standard classifier-filter deployment
+    val train = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog today", true),
+      (1L, "a well written clear paragraph about the weather today", true),
+      (2L, "buy cheap pills now click here cheap spam offer", false),
+      (3L, "click spam buy now cheap cheap pills", false)).toDF("id", "text", "pos")
+    val m = graft.text.NbQuality.fit(train, "text", col("pos"), buckets = 64)
+    val good = "the quick brown fox jumps over the lazy dog and walks home today again"
+    val bad = "buy cheap pills now click here for the spam offer and the cheap pills again"
+    val input = MemoryStream[Doc]
+    val gated = StreamFeatures.curationGates(input.toDF(), "doc_id", "text",
+      nbModel = Some(m), minLogOdds = 0.0)
+    val q = gated.writeStream.outputMode("append").format("memory").queryName("nbgate").start()
+    try {
+      input.addData(
+        Doc(1L, ts("2024-01-01 00:00:00"), good),
+        Doc(2L, ts("2024-01-01 00:00:10"), bad))
+      q.processAllAvailable()
+      val got = spark.sql("select * from nbgate").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("nb_log_odds")).toMap
+      assert(got.keySet == Set(1L), s"classifier gate keeps only the good doc, got $got")
+      // exact parity with the batch scoring path (same fused expression)
+      val batchScore = graft.text.NbQuality
+        .score(Seq((1L, good)).toDF("doc_id", "text"), "doc_id", "text", m)
+        .collect().head.getDouble(1)
+      assert(got(1L) == batchScore, "streaming/batch classifier score drift")
+      // still stateless: the weights ride in the expression, not in state
+      assert(!gated.queryExecution.analyzed.toString.toLowerCase.contains("statestore"))
+    } finally q.stop()
+  }
+
   test("streaming indexGate keeps exactly the batch indexMatches complement; stateless plan") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
