@@ -480,6 +480,19 @@ object SparkEntry {
         .select("doc_id", "n_toks", "global_start", "first_seq", "last_seq")
         .orderBy("doc_id")
     }),
+    // per-document chunking: overlapping maxTokens-token windows (stride =
+    // max − overlap), map-side Generate only; chunk text single-space
+    // rejoined (the rebuild convention) — replayed by DuckDB list_slice
+    "q_chunk_text" -> ((s, dir) =>
+      Packing.chunkByTokens(
+        t(s, dir, "documents").select("doc_id", "text"),
+        "text", maxTokens = 64, overlap = 16)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_text"), col("chunk_tokens"))
+        .orderBy("doc_id", "chunk_idx")),
+    // corpus vocabulary: exact top-k lowercased token counts, tie on token
+    "q_vocab_topk" -> ((s, dir) =>
+      TextFeatures.vocabTopK(t(s, dir, "documents"), "text", k = 100)
+        .orderBy(desc("freq"), col("token"))),
     // CCNet-style LM quality score: mean bits per char transition under the
     // corpus's own add-one char-bigram model — fully replayed in DuckDB
     "q_lm_score" -> ((s, dir) =>
@@ -1799,6 +1812,30 @@ object SparkEntry {
         |  CASE WHEN n_toks > 0 THEN global_start // 512 END AS first_seq,
         |  CASE WHEN n_toks > 0 THEN (global_start + n_toks - 1) // 512 END AS last_seq
         |FROM c ORDER BY doc_id""".stripMargin,
+    // per-doc chunking: 64-token windows, stride 48, list_slice clamps the
+    // tail exactly as Spark's slice length-overrun does
+    "q_chunk_text" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |    CASE WHEN len(toks) <= 64 THEN 1
+        |         ELSE (len(toks) - 64 + 47) // 48 + 1 END AS nc
+        |  FROM d),
+        |x AS (SELECT doc_id, toks, n, unnest(range(0, nc)) AS ci FROM c)
+        |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+        |  array_to_string(list_slice(toks, CAST(ci * 48 + 1 AS INT),
+        |    CAST(ci * 48 + 64 AS INT)), ' ') AS chunk_text,
+        |  CAST(least(64, n - ci * 48) AS BIGINT) AS chunk_tokens
+        |FROM x ORDER BY doc_id, chunk_idx""".stripMargin,
+    // exact top-k token counts; the (freq DESC, token) tiebreak makes the
+    // k-th boundary deterministic in both engines
+    "q_vocab_topk" ->
+      """SELECT token, CAST(count(*) AS BIGINT) AS freq
+        |FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |      FROM documents) t
+        |GROUP BY token ORDER BY freq DESC, token LIMIT 100""".stripMargin,
     // add-one char-bigram model over the corpus itself, mean bits/transition
     "q_lm_score" ->
       """WITH bg AS MATERIALIZED (

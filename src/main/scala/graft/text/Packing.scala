@@ -62,4 +62,44 @@ object Packing {
           floor((col("global_start") + col(tokensCol) - 1) / budget)))
       .drop("__pbkt", "__tp_base")
   }
+
+  /** Per-DOCUMENT chunking — the other standard sequence-prep shape (long
+    * docs sliced into overlapping windows for context-bounded training or
+    * retrieval indexing, each chunk staying inside its document): windows
+    * of `maxTokens` whitespace tokens advancing by `maxTokens − overlap`,
+    * the last window short, ≤-maxTokens docs passing through as one chunk.
+    * Chunk text is the window's tokens re-joined single-spaced (the
+    * q_dup_spans rebuild convention — whitespace normalizes).
+    *
+    * Pure map-side: split once, one bounded Generate per document (chunk
+    * count = ⌈(n − overlap) / stride⌉), slice/array_join inside codegen —
+    * no shuffle, no state; scales with input partitions alone. Null text →
+    * no chunks (the explode drops the row, matching every tokenizing
+    * operator here).
+    *
+    * Returns (input columns minus text) + `chunk_idx`, `chunk_text`,
+    * `chunk_tokens`. */
+  def chunkByTokens(
+      df: DataFrame,
+      text: String,
+      maxTokens: Int,
+      overlap: Int = 0): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"overlap must be in [0, maxTokens), got $overlap")
+    val stride = maxTokens - overlap
+    val n = size(col("__toks"))
+    // ceil((n - maxTokens) / stride) + 1 for n > maxTokens, else 1 chunk
+    val nChunks = when(n <= maxTokens, lit(1L))
+      .otherwise(expr(s"(size(__toks) - $maxTokens + $stride - 1) div $stride") + 1L)
+    df.withColumn("__toks", split(trim(col(text)), "\\s+"))
+      .withColumn("chunk_idx", explode(sequence(lit(0L), nChunks - 1L)))
+      .select(
+        df.columns.filter(_ != text).map(col).toSeq ++ Seq(
+          col("chunk_idx"),
+          array_join(slice(col("__toks"), (col("chunk_idx") * stride + 1).cast("int"),
+            lit(maxTokens)), " ").as("chunk_text"),
+          least(lit(maxTokens).cast("long"),
+            size(col("__toks")) - col("chunk_idx") * stride).as("chunk_tokens")): _*)
+  }
 }

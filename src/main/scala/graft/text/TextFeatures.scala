@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis primitives for a web-scale training-data pipeline: token
@@ -163,5 +163,22 @@ object TextFeatures {
       (acc, t) =>
         pmod(acc * 1000003L + pmod(conv(substring(md5(t), 1, 12), 16, 10).cast("long"), p), p)
     )
+  }
+
+  /** Corpus vocabulary: the k most frequent lowercased whitespace tokens
+    * with exact counts — the tokenizer-training / stopword-mining
+    * precursor. One explode + one hash agg: map-side partial combine
+    * collapses each partition to its distinct tokens (the "the" hot key
+    * arrives at the reducer as one row per partition, never salted), then
+    * TakeOrderedAndProject keeps the top-k — deterministic tiebreak on the
+    * token itself, no global sort. Empty-after-trim texts contribute their
+    * single empty token (the tokenize convention); null texts contribute
+    * nothing. */
+  def vocabTopK(df: DataFrame, text: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    df.select(explode(tokens(lower(col(text)))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), col("token"))
+      .limit(k)
   }
 }

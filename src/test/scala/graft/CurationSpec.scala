@@ -27,6 +27,58 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("chunkByTokens: local window replay, overlap reconstruction, short/empty/null edges") {
+    import graft.text.Packing
+    val mk = (n: Int) => (1 to n).map(i => s"t$i").mkString(" ")
+    val df = Seq(
+      (0L, mk(100)),                          // 100 > 64: chunks at 0, 48 (tail 52 tokens)
+      (1L, mk(64)),                           // exactly one full window
+      (2L, mk(65)),                           // one full + one 17-token tail (overlap 16)
+      (3L, "one two"),                        // short doc: single chunk
+      (4L, ""),                               // empty: single empty-token chunk
+      (5L, null.asInstanceOf[String]))        // null: no chunks
+      .toDF("doc_id", "text")
+    val got = Packing.chunkByTokens(df, "text", maxTokens = 64, overlap = 16)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getLong(3))).toMap
+    def localChunks(n: Int): Seq[(Int, Int)] = { // (startTok, len)
+      if (n <= 64) Seq((0, n))
+      else (0 until ((n - 64 + 47) / 48 + 1)).map(ci => (ci * 48, math.min(64, n - ci * 48)))
+    }
+    for ((id, n) <- Seq((0L, 100), (1L, 64), (2L, 65))) {
+      val want = localChunks(n)
+      val rows = got.filter(_._1._1 == id)
+      assert(rows.size == want.size, s"doc $id chunk count")
+      want.zipWithIndex.foreach { case ((start, len), ci) =>
+        val (txt, ct) = rows((id, ci.toLong))
+        assert(ct == len, s"doc $id chunk $ci token count")
+        assert(txt == (start + 1 to start + len).map(i => s"t$i").mkString(" "),
+          s"doc $id chunk $ci text")
+      }
+    }
+    // consecutive chunks overlap by exactly `overlap` tokens
+    val c0 = got((0L, 0L))._1.split(" ").toSeq
+    val c1 = got((0L, 1L))._1.split(" ").toSeq
+    assert(c0.takeRight(16) == c1.take(16), "overlap tokens shared between windows")
+    assert(got((3L, 0L)) == ("one two", 2L))
+    assert(got((4L, 0L)) == ("", 1L), "empty text = one empty token (tokenize convention)")
+    assert(!got.keySet.exists(_._1 == 5L), "null text produces no chunks")
+  }
+
+  test("vocabTopK: exact counts, deterministic boundary tie, parallelism-invariant") {
+    import graft.text.TextFeatures
+    val df = Seq(
+      (0L, "the The THE apple banana"),
+      (1L, "the apple cherry cherry"),
+      (2L, "Apple banana date")).toDF("doc_id", "text")
+    def run(parts: Int) = TextFeatures.vocabTopK(df.repartition(parts), "text", k = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val got = run(1)
+    // the=4, apple=3, then (banana=2, cherry=2) tie broken by token asc
+    assert(got == Seq(("the", 4L), ("apple", 3L), ("banana", 2L), ("cherry", 2L)), got.toString)
+    assert(run(7) == got, "top-k must not depend on partitioning")
+  }
+
   test("splitByHash: different seeds give different assignments, same seed identical") {
     val s1 = docs.select(Sampling.splitByHash(col("id"), fractions, seed = 1).as("s"))
       .collect().map(_.getString(0)).toSeq
