@@ -518,9 +518,9 @@ object SparkEntry {
     "q_dsir_select" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       // model caches stay on the session-LRU lifetime (the registered-query
-      // convention): releasing before the lazy execution would forfeit them
-      val target = LmScore.charBigramModel(d.where(col("lang") === "en"), "text")
-      val background = LmScore.charBigramModel(d, "text")
+      // convention): releasing before the lazy execution would forfeit them.
+      // Both models from ONE corpus scan (charBigramModels).
+      val (target, background) = LmScore.charBigramModels(d, "text", col("lang") === "en")
       val w = LmScore.importanceLogWeights(d, "doc_id", "text", target, background)
       Sampling.weightedSampleLogMd5(w, col("doc_id"), col("log2_w"), k = 25)
         .select(col("doc_id"), round(col("log2_w"), 6).as("log2_w"),

@@ -1,0 +1,21 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+
+/** Parallelism guard for expensive per-row projections (char-bigram
+  * explodes, token hashing): when the source arrives UNDER-SPLIT — fewer
+  * partitions than the session's shuffle parallelism, e.g. one small
+  * parquet file = one input split — every pre-shuffle expression runs on
+  * that partition count no matter how many cores the session has (the
+  * round-3 lesson: map-side partial aggregation happens BEFORE the shuffle,
+  * on the input splits). `fanOut` repartitions to session parallelism in
+  * exactly that case and is the IDENTITY otherwise, so a real corpus
+  * (thousands of splits) never pays a raw-text shuffle for it.
+  */
+object Partitions {
+
+  def fanOut(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+  }
+}

@@ -56,7 +56,7 @@ object LmScore {
       text: String,
       handle: graft.runtime.CacheHandle = new graft.runtime.CacheHandle
   ): (DataFrame, DataFrame, Long) = {
-    val bg = df.select(explode(charBigrams(col(text))).as("bg"))
+    val bg = graft.core.Partitions.fanOut(df).select(explode(charBigrams(col(text))).as("bg"))
     val m2 = handle.track(bg.groupBy("bg").agg(count(lit(1)).as("c2")).cache())
     val m1 = handle.track(
       m2.groupBy(substring(col("bg"), 1, 1).as("c1")).agg(sum("c2").as("n1")).cache())
@@ -76,7 +76,8 @@ object LmScore {
       model: (DataFrame, DataFrame, Long)
   ): DataFrame = {
     val (m2, m1, v) = model
-    val bg = df.select(col(id), explode(charBigrams(col(text))).as("bg"))
+    val bg = graft.core.Partitions.fanOut(df)
+      .select(col(id), explode(charBigrams(col(text))).as("bg"))
     bg
       .join(broadcast(m2), Seq("bg"), "left")
       .withColumn("c1", substring(col("bg"), 1, 1))
@@ -85,6 +86,40 @@ object LmScore {
         (coalesce(col("c2"), lit(0L)) + 1.0) / (coalesce(col("n1"), lit(0L)) + v))
       .groupBy(col(id))
       .agg(avg(-log2(col("p"))).as("lm_bits"))
+  }
+
+  /** Target + background models from ONE corpus scan — the DSIR pair
+    * ([[importanceLogWeights]]) built separately costs two full
+    * explode-bigram passes; here a single pass counts (total, in-target)
+    * per bigram and both model families derive from the cached
+    * |alphabet|²-row counts table. Bit-identical to
+    * `(charBigramModel(df.where(pred)), charBigramModel(df))` — exact
+    * integer counts either way (spec-pinned). Null predicate rows count as
+    * background-only, matching the `where` formulation. */
+  def charBigramModels(
+      df: DataFrame,
+      text: String,
+      targetPred: Column,
+      handle: graft.runtime.CacheHandle = new graft.runtime.CacheHandle
+  ): ((DataFrame, DataFrame, Long), (DataFrame, DataFrame, Long)) = {
+    val bg = graft.core.Partitions.fanOut(df)
+      .select(coalesce(targetPred.cast("boolean"), lit(false)).as("__t"),
+      explode(charBigrams(col(text))).as("bg"))
+    val m2all = handle.track(bg.groupBy("bg").agg(
+      count(lit(1)).as("c2"),
+      sum(when(col("__t"), 1L).otherwise(0L)).as("tc2")).cache())
+    val b2 = m2all.select(col("bg"), col("c2"))
+    val b1 = handle.track(
+      b2.groupBy(substring(col("bg"), 1, 1).as("c1")).agg(sum("c2").as("n1")).cache())
+    val bv = m2all.select(substring(col("bg"), 2, 1)).distinct().count()
+    // target rows = bigrams SEEN in the target subset, exactly the groupBy
+    // of the filtered corpus (zero-count bigrams produce no row there)
+    val t2 = handle.track(
+      m2all.where(col("tc2") > 0).select(col("bg"), col("tc2").as("c2")).cache())
+    val t1 = handle.track(
+      t2.groupBy(substring(col("bg"), 1, 1).as("c1")).agg(sum("c2").as("n1")).cache())
+    val tv = t2.select(substring(col("bg"), 2, 1)).distinct().count()
+    ((t2, t1, tv), (b2, b1, bv))
   }
 
   /** Self-scoring convenience: model and scores from the same corpus. */
@@ -126,7 +161,8 @@ object LmScore {
   ): DataFrame = {
     val (t2, t1, tv) = target
     val (b2, b1, bv) = background
-    val bg = df.select(col(id), explode(charBigrams(col(text))).as("bg"))
+    val bg = graft.core.Partitions.fanOut(df)
+      .select(col(id), explode(charBigrams(col(text))).as("bg"))
       .withColumn("c1", substring(col("bg"), 1, 1))
     val scored = bg
       .join(broadcast(t2.select(col("bg"), col("c2").as("tc2"))), Seq("bg"), "left")

@@ -929,6 +929,23 @@ class CurationSpec extends AnyFunSuite {
     assert(got(5L) == 0.0 && got(6L) == 0.0, "docs without transitions weigh 2^0")
   }
 
+  test("charBigramModels (one-scan pair) == separate charBigramModel builds, exactly") {
+    import graft.text.LmScore
+    val corpus = Seq("aaab aaab", "abab zzzy", "zyyz x", "", "qq")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text").repartition(3)
+    val h = new graft.runtime.CacheHandle
+    def tables(m: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, Long)) = (
+      m._1.collect().map(r => r.getString(0) -> r.getLong(1)).toMap,
+      m._2.collect().map(r => r.getString(0) -> r.getLong(1)).toMap,
+      m._3)
+    val (fusedT, fusedB) = LmScore.charBigramModels(corpus, "text", col("id") < 2, h)
+    val sepT = LmScore.charBigramModel(corpus.where(col("id") < 2), "text", h)
+    val sepB = LmScore.charBigramModel(corpus, "text", h)
+    assert(tables(fusedT) == tables(sepT), "target model drift")
+    assert(tables(fusedB) == tables(sepB), "background model drift")
+    h.release()
+  }
+
   test("weightedSampleLogMd5 == weightedSampleMd5 membership when weights fit a double") {
     val d = (0L until 400L).map(i => (i, (i % 17 + 1).toDouble))
       .toDF("id", "w").withColumn("log2w", log2(col("w")))
