@@ -11,6 +11,13 @@ import org.apache.spark.sql.DataFrame
   * on the input splits). `fanOut` repartitions to session parallelism in
   * exactly that case and is the IDENTITY otherwise, so a real corpus
   * (thousands of splits) never pays a raw-text shuffle for it.
+  *
+  * MEASURED GUIDANCE (round 5): apply only where the pre-shuffle per-row
+  * work dominates the query — the LmScore char-bigram explode (~300 rows ×
+  * string alloc per doc) went 2.9 → 1.2 s; but on cheap projections the
+  * extra exchange + stage costs ~0.1–0.3 s and LOSES at bench scale (the
+  * whole dedup/sim family regressed +0.05…+0.38 s per query and was
+  * reverted). When in doubt, measure with QBench before and after.
   */
 object Partitions {
 

@@ -60,11 +60,8 @@ object NbQuality {
     require(buckets >= 2 && buckets <= MaxBuckets,
       s"buckets must be in [2, $MaxBuckets], got $buckets")
     require(alpha > 0.0, s"alpha must be positive, got $alpha")
-    // fanOut: token hashing + map-side combine run on the INPUT splits —
-    // an under-split source would hash the whole corpus on one core
-    val lab = graft.core.Partitions.fanOut(df)
-      .select(coalesce(positive.cast("boolean"), lit(false)).as("__pos"),
-        col(text).as("__t"))
+    val lab = df.select(coalesce(positive.cast("boolean"), lit(false)).as("__pos"),
+      col(text).as("__t"))
     // one corpus scan; shuffle bounded by 2B count rows after partial agg
     val cnt = lab
       .select(col("__pos"), explode(explodeHashes(col("__t"))).as("__h"))

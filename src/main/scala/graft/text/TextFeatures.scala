@@ -176,8 +176,7 @@ object TextFeatures {
     * nothing. */
   def vocabTopK(df: DataFrame, text: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    graft.core.Partitions.fanOut(df)
-      .select(explode(tokens(lower(col(text)))).as("token"))
+    df.select(explode(tokens(lower(col(text)))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("freq"))
       .orderBy(desc("freq"), col("token"))
       .limit(k)
