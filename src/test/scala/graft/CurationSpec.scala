@@ -65,6 +65,42 @@ class CurationSpec extends AnyFunSuite {
     assert(!got.keySet.exists(_._1 == 5L), "null text produces no chunks")
   }
 
+  test("chunkByTokens reconstruction property: 200 random docs, 3 window shapes") {
+    import graft.text.Packing
+    val rng = new scala.util.Random(11)
+    // token counts hit every regime: below, at, just above, and far above
+    // the window, for several (maxTokens, overlap) shapes incl. overlap 0
+    val docs = (0 until 200).map { i =>
+      val n = rng.nextInt(180) + 1
+      (i.toLong, (0 until n).map(j => s"w${rng.nextInt(50)}_$j").mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text").repartition(7)
+    for ((mt, ov) <- Seq((32, 0), (32, 8), (7, 6))) {
+      val stride = mt - ov
+      val got = Packing.chunkByTokens(df, "text", mt, ov).collect()
+        .groupBy(_.getLong(0)).view
+        .mapValues(_.sortBy(_.getLong(1)).map(r => (r.getString(2), r.getLong(3))).toSeq)
+        .toMap
+      docs.foreach { case (id, text) =>
+        val toks = text.split(" ").toSeq
+        val n = toks.size
+        val chunks = got(id)
+        val wantN = if (n <= mt) 1 else (n - mt + stride - 1) / stride + 1
+        assert(chunks.size == wantN, s"doc $id shape ($mt,$ov): ${chunks.size} != $wantN")
+        chunks.zipWithIndex.foreach { case ((txt, ct), ci) =>
+          val want = toks.slice(ci * stride, ci * stride + mt)
+          assert(txt == want.mkString(" ") && ct == want.size,
+            s"doc $id chunk $ci shape ($mt,$ov)")
+        }
+        // reconstruction: first `stride` tokens of each chunk + the final
+        // chunk's tail reassemble the original token stream exactly
+        val rebuilt = chunks.dropRight(1).flatMap(_._1.split(" ").take(stride)) ++
+          chunks.last._1.split(" ")
+        assert(rebuilt == toks, s"doc $id reconstruction ($mt,$ov)")
+      }
+    }
+  }
+
   test("vocabTopK: exact counts, deterministic boundary tie, parallelism-invariant") {
     import graft.text.TextFeatures
     val df = Seq(
