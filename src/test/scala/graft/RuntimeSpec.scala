@@ -118,6 +118,44 @@ class RuntimeSpec extends AnyFunSuite {
       "fresh step-file mtime must protect a fit whose dir mtime is stale")
   }
 
+  test("kmeansResumable: bit-exact resume from a mid-run checkpoint; shape guard; idempotent save") {
+    import graft.sim.Similarity
+    import graft.runtime.IterativeCheckpoint
+    val rng = new scala.util.Random(3)
+    val vecs = (0 until 300).map(i => (i.toLong, Array.fill(8)(rng.nextFloat())))
+      .toDF("id", "v").repartition(5).cache()
+    vecs.count()
+    val init = (0 until 4).map(_ => Seq.fill(8)(rng.nextDouble()))
+    val want = Similarity.kmeans(vecs, "v", init, iters = 3)
+
+    // fresh resumable run == plain kmeans, to the bit
+    val d1 = java.nio.file.Files.createTempDirectory("km-full").toString
+    assert(Similarity.kmeansResumable(vecs, "v", init, 3, d1) == want)
+
+    // crash after iteration 1, resume to 3 — and pass a PERTURBED init of
+    // the same shape: matching `want` proves iteration 1 really came from
+    // the checkpoint, not from re-running the new init
+    val d2 = java.nio.file.Files.createTempDirectory("km-part").toString
+    Similarity.kmeansResumable(vecs, "v", init, 1, d2)
+    val perturbed = init.map(_.map(_ + 100.0))
+    assert(Similarity.kmeansResumable(vecs, "v", perturbed, 3, d2) == want,
+      "resume must continue from the checkpointed centroids")
+
+    // resuming at the target iteration recomputes nothing and returns it
+    assert(Similarity.kmeansResumable(vecs, "v", perturbed, 3, d2) == want)
+
+    // shape guard: a checkpoint from a different k aborts
+    intercept[IllegalArgumentException](
+      Similarity.kmeansResumable(vecs, "v", init.take(2), 3, d2))
+
+    // idempotent save: first writer wins, a duplicate payload is discarded
+    val d3 = java.nio.file.Files.createTempDirectory("km-idem").toString
+    IterativeCheckpoint.save(spark, d3, 1, """{"a":1}""")
+    IterativeCheckpoint.save(spark, d3, 1, """{"a":2}""")
+    assert(IterativeCheckpoint.latest(spark, d3).contains(1 -> """{"a":1}"""))
+    vecs.unpersist()
+  }
+
   test("partition metrics: digests are order-insensitive and detect change") {
     val df = spark.range(1000).select(col("id"), (col("id") % 7).as("v"))
     val d1 = Lineage.contentDigest(df)
