@@ -37,15 +37,12 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
-  def pageRank(
-      edges: DataFrame,
-      srcCol: String,
-      dstCol: String,
-      iters: Int,
-      scaleBits: Int = 50,
-      handle: graft.runtime.CacheHandle = new graft.runtime.CacheHandle
-  ): DataFrame = {
-    require(iters >= 1, "pageRank needs at least one iteration")
+  private case class Graph(
+      e: DataFrame, nodes: DataFrame, outdeg: DataFrame, n: Long, base: Long, k: Long)
+
+  private def prepare(
+      edges: DataFrame, srcCol: String, dstCol: String, scaleBits: Int,
+      handle: graft.runtime.CacheHandle): Graph = {
     require(scaleBits >= 20 && scaleBits <= 55, "scaleBits must be in [20, 55]")
     val k = 1L << scaleBits
     val e = handle.track(
@@ -65,24 +62,94 @@ object PageRank {
     require(nodes.where(col("node") < 0).isEmpty,
       "pageRank needs non-negative node ids (integer div == floor only there)")
     val outdeg = handle.track(e.groupBy("src").agg(count(lit(1)).as("odeg")).cache())
-    val base = (3L * k) / (20L * n)
-    var ranks = handle.track(nodes.select(col("node"), lit(k / n).as("r")).cache())
-    for (_ <- 1 to iters) {
-      val inflow = e
-        .join(ranks.withColumnRenamed("node", "src"), "src")
-        .join(outdeg, "src")
-        .groupBy(col("dst").as("node"))
-        .agg(sum(expr("r div odeg")).as("inflow"))
-      val next = handle.track(
-        nodes
-          .join(inflow, Seq("node"), "left")
-          .select(col("node"),
-            (lit(base) + expr("(17 * coalesce(inflow, 0L)) div 20")).as("r"))
-          .cache())
-      next.count() // materialize: lineage stays one iteration deep
-      ranks = next
-    }
-    ranks.select(col("node"), col("r").as("rank_scaled"),
-      (col("r").cast("double") / k).as("rank"))
+    Graph(e, nodes, outdeg, n, (3L * k) / (20L * n), k)
   }
+
+  /** One iteration of the integer recurrence; caches + materializes the
+    * next rank table so lineage stays one iteration deep. */
+  private def step(
+      g: Graph, ranks: DataFrame, handle: graft.runtime.CacheHandle): DataFrame = {
+    val inflow = g.e
+      .join(ranks.withColumnRenamed("node", "src"), "src")
+      .join(g.outdeg, "src")
+      .groupBy(col("dst").as("node"))
+      .agg(sum(expr("r div odeg")).as("inflow"))
+    val next = handle.track(
+      g.nodes
+        .join(inflow, Seq("node"), "left")
+        .select(col("node"),
+          (lit(g.base) + expr("(17 * coalesce(inflow, 0L)) div 20")).as("r"))
+        .cache())
+    next.count()
+    next
+  }
+
+  private def finish(g: Graph, ranks: DataFrame): DataFrame =
+    ranks.select(col("node"), col("r").as("rank_scaled"),
+      (col("r").cast("double") / g.k).as("rank"))
+
+  def pageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int,
+      scaleBits: Int = 50,
+      handle: graft.runtime.CacheHandle = new graft.runtime.CacheHandle
+  ): DataFrame = {
+    require(iters >= 1, "pageRank needs at least one iteration")
+    val g = prepare(edges, srcCol, dstCol, scaleBits, handle)
+    var ranks = handle.track(g.nodes.select(col("node"), lit(g.k / g.n).as("r")).cache())
+    for (_ <- 1 to iters) ranks = step(g, ranks, handle)
+    finish(g, ranks)
+  }
+
+  /** [[pageRank]] with per-iteration checkpoints (the north-rule resume
+    * contract for the LONG iterative job — at 10¹² nodes each sweep is
+    * hours, and the rank state is O(N), so losing a run to a crash is the
+    * expensive failure). After each iteration the integer rank table is
+    * written as parquet under `checkpointDir/iter_<k>` and then marked
+    * complete via [[graft.runtime.IterativeCheckpoint]] (marker AFTER data:
+    * an unmarked partial write is ignored and overwritten on resume). A
+    * restarted run reloads the highest MARKED iteration and continues —
+    * exact longs, so the resumed run is bit-identical to the uninterrupted
+    * one (GraphSpec). A marker whose (n, scaleBits) disagree with the
+    * prepared graph aborts. */
+  def pageRankResumable(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int,
+      checkpointDir: String,
+      scaleBits: Int = 50,
+      handle: graft.runtime.CacheHandle = new graft.runtime.CacheHandle
+  ): DataFrame = {
+    import graft.runtime.IterativeCheckpoint
+    require(iters >= 1, "pageRank needs at least one iteration")
+    val g = prepare(edges, srcCol, dstCol, scaleBits, handle)
+    val spark = edges.sparkSession
+    var done = 0
+    var ranks: DataFrame = null
+    IterativeCheckpoint.latest(spark, checkpointDir).foreach { case (it, json) =>
+      require(it <= iters, s"checkpoint is at iteration $it but only $iters requested")
+      require(json == marker(g, scaleBits),
+        s"checkpoint $json does not match this graph (${marker(g, scaleBits)})")
+      done = it
+      ranks = handle.track(
+        spark.read.parquet(s"$checkpointDir/iter_$it").select("node", "r").cache())
+      ranks.count()
+    }
+    if (done == 0) {
+      ranks = handle.track(g.nodes.select(col("node"), lit(g.k / g.n).as("r")).cache())
+    }
+    for (it <- done + 1 to iters) {
+      ranks = step(g, ranks, handle)
+      // data first (overwrite clears any unmarked partial), marker second
+      ranks.write.mode("overwrite").parquet(s"$checkpointDir/iter_$it")
+      IterativeCheckpoint.save(spark, checkpointDir, it, marker(g, scaleBits))
+    }
+    finish(g, ranks)
+  }
+
+  private def marker(g: Graph, scaleBits: Int): String =
+    s"""{"n":${g.n},"scaleBits":$scaleBits}"""
 }

@@ -53,6 +53,30 @@ class GraphSpec extends AnyFunSuite {
       "handle released all pageRank caches")
   }
 
+  test("pageRankResumable: bit-exact resume from a marked checkpoint; marker guard") {
+    val h = new graft.runtime.CacheHandle
+    def ranksOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = ranksOf(PageRank.pageRank(edges.toDF("s", "d"), "s", "d", 4, 40, h))
+
+    val d1 = java.nio.file.Files.createTempDirectory("pr-full").toString
+    assert(ranksOf(PageRank.pageRankResumable(
+      edges.toDF("s", "d"), "s", "d", 4, d1, 40, h)) == want)
+
+    // crash after 2 of 4, resume — continues from the marked parquet
+    val d2 = java.nio.file.Files.createTempDirectory("pr-part").toString
+    PageRank.pageRankResumable(edges.toDF("s", "d"), "s", "d", 2, d2, 40, h).collect()
+    assert(ranksOf(PageRank.pageRankResumable(
+      edges.toDF("s", "d"), "s", "d", 4, d2, 40, h)) == want)
+
+    // a checkpoint from a different graph shape aborts
+    intercept[IllegalArgumentException] {
+      PageRank.pageRankResumable(
+        edges.take(3).toDF("s", "d"), "s", "d", 4, d2, 40, h)
+    }
+    h.release()
+  }
+
   test("pageRank contracts: empty graph, negative ids, grid overflow abort") {
     val h = new graft.runtime.CacheHandle
     intercept[IllegalArgumentException] {
