@@ -471,6 +471,33 @@ object SparkEntry {
             Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)).as("split"))
         .orderBy("doc_id")
     }),
+    // end-to-end TRAINING-SEQUENCE PREP: language gate -> trained NB
+    // classifier gate (fit on the full corpus, lang='en' seed, the
+    // q_nb_quality model) -> exact dedup -> 64-token chunking -> global
+    // sequence packing of the chunk stream. Every stage deterministic and
+    // replayed in one DuckDB statement
+    "q_training_prep" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val m = graft.text.NbQuality.fit(d, "text", col("lang") === "en", buckets = 4096)
+      // relative gate: keep docs scoring >= the corpus median (top half) —
+      // the practical classifier-filter deployment; the absolute scale of
+      // NB log-odds is corpus-dependent. approxQuantile(err=0) returns an
+      // exact data value == DuckDB quantile_disc (the repo convention).
+      val scored = graft.text.NbQuality.score(d, "doc_id", "text", m).cache()
+      val thr = scored.stat.approxQuantile("log_odds", Array(0.5), 0.0)(0)
+      val gated = d.join(
+        scored.where(col("log_odds") >= thr).select("doc_id"), "doc_id")
+        .where(col("lang") === "en")
+      val deduped = Dedup.exact(gated, TextFeatures.fingerprintMd5(col("text")), col("doc_id"))
+      val chunks = Packing.chunkByTokens(
+        deduped.select("doc_id", "text"), "text", maxTokens = 64, overlap = 0)
+        .select((col("doc_id") * 1024 + col("chunk_idx")).as("chunk_id"),
+          col("doc_id"), col("chunk_idx"), col("chunk_tokens"))
+      Packing.packSequences(chunks, "chunk_id", "chunk_tokens", budget = 128)
+        .select("chunk_id", "doc_id", "chunk_idx", "chunk_tokens",
+          "global_start", "first_seq", "last_seq")
+        .orderBy("chunk_id")
+    }),
     // sequence packing (concat-and-chunk): exact global token offsets via
     // the two-phase bucketed prefix sum; DuckDB replays with one window
     "q_pack_sequences" -> ((s, dir) => {
@@ -1812,6 +1839,68 @@ object SparkEntry {
         |  CASE WHEN n_toks > 0 THEN global_start // 512 END AS first_seq,
         |  CASE WHEN n_toks > 0 THEN (global_start + n_toks - 1) // 512 END AS last_seq
         |FROM c ORDER BY doc_id""".stripMargin,
+    // training prep replayed end-to-end: NB model (the q_nb_quality CTEs) ->
+    // lang+score gate -> md5-dedup row_number -> 64-token chunk counts ->
+    // one global packing window (small scale; the engine's two-phase
+    // prefix sum equals it, spec-pinned)
+    "q_training_prep" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, lang = 'en' AS pos,
+        |    (CAST(list_sum(list_transform(range(1, 13),
+        |       k -> (strpos('0123456789abcdef', substr(md5(tok), CAST(k AS INT), 1)) - 1)
+        |            * pow(16, 12 - k))) AS BIGINT) % 4096) AS b
+        |  FROM (SELECT doc_id, lang,
+        |          unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |        FROM documents) t),
+        |cnt AS MATERIALIZED (
+        |  SELECT b,
+        |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+        |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS cn
+        |  FROM toks GROUP BY b),
+        |tot AS MATERIALIZED (
+        |  SELECT CAST(sum(cp) AS BIGINT) AS pt, CAST(sum(cn) AS BIGINT) AS nt
+        |  FROM cnt),
+        |dc AS MATERIALIZED (
+        |  SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pd,
+        |         CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS nd
+        |  FROM documents),
+        |score AS MATERIALIZED (
+        |  SELECT toks.doc_id,
+        |    ln(CAST(pd AS DOUBLE) / nd)
+        |      + sum(ln((cnt.cp + 1.0) / (tot.pt + 4096.0))
+        |          - ln((cnt.cn + 1.0) / (tot.nt + 4096.0))) AS lo
+        |  FROM toks JOIN cnt USING (b) CROSS JOIN tot CROSS JOIN dc
+        |  GROUP BY toks.doc_id, pd, nd),
+        |thr AS MATERIALIZED (SELECT quantile_disc(lo, 0.5) AS t FROM score),
+        |gate AS MATERIALIZED (
+        |  SELECT d.doc_id, d.text FROM documents d JOIN score USING (doc_id)
+        |  CROSS JOIN thr
+        |  WHERE d.lang = 'en' AND score.lo >= thr.t),
+        |ded AS MATERIALIZED (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text,
+        |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM gate) t WHERE rn = 1),
+        |dts AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tks FROM ded),
+        |ck AS MATERIALIZED (
+        |  SELECT doc_id, len(tks) AS n,
+        |    unnest(range(0, CASE WHEN len(tks) <= 64 THEN 1
+        |                        ELSE (len(tks) - 64 + 63) // 64 + 1 END)) AS ci
+        |  FROM dts),
+        |chunk AS MATERIALIZED (
+        |  SELECT doc_id * 1024 + ci AS chunk_id, doc_id,
+        |    CAST(ci AS BIGINT) AS chunk_idx,
+        |    CAST(least(64, n - ci * 64) AS BIGINT) AS chunk_tokens
+        |  FROM ck),
+        |packed AS (
+        |  SELECT chunk_id, doc_id, chunk_idx, chunk_tokens,
+        |    CAST(coalesce(sum(chunk_tokens) OVER (ORDER BY chunk_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS global_start
+        |  FROM chunk)
+        |SELECT chunk_id, doc_id, chunk_idx, chunk_tokens, global_start,
+        |  CASE WHEN chunk_tokens > 0 THEN global_start // 128 END AS first_seq,
+        |  CASE WHEN chunk_tokens > 0 THEN (global_start + chunk_tokens - 1) // 128 END AS last_seq
+        |FROM packed ORDER BY chunk_id""".stripMargin,
     // per-doc chunking: 64-token windows, stride 48, list_slice clamps the
     // tail exactly as Spark's slice length-overrun does
     "q_chunk_text" ->
