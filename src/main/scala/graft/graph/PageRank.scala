@@ -141,13 +141,31 @@ object PageRank {
     if (done == 0) {
       ranks = handle.track(g.nodes.select(col("node"), lit(g.k / g.n).as("r")).cache())
     }
+    // a resumed run may find older iterations a crash left behind — prune
+    // everything below the one we resumed from (see prune ordering below)
+    prune(spark, checkpointDir, below = done)
     for (it <- done + 1 to iters) {
       ranks = step(g, ranks, handle)
       // data first (overwrite clears any unmarked partial), marker second
       ranks.write.mode("overwrite").parquet(s"$checkpointDir/iter_$it")
       IterativeCheckpoint.save(spark, checkpointDir, it, marker(g, scaleBits))
+      // the rank table is O(N) — keep only the newest iteration's data.
+      // Deletion is marker FIRST, then parquet: a crash in between leaves
+      // an unmarked orphan dir (space, reclaimed by the next prune), never
+      // a marked iteration whose data is gone.
+      prune(spark, checkpointDir, below = it)
     }
     finish(g, ranks)
+  }
+
+  private def prune(spark: org.apache.spark.sql.SparkSession,
+      checkpointDir: String, below: Int): Unit = {
+    import graft.runtime.IterativeCheckpoint
+    IterativeCheckpoint.iterations(spark, checkpointDir).filter(_ < below).foreach { j =>
+      IterativeCheckpoint.deleteMarker(spark, checkpointDir, j)
+      val p = new org.apache.hadoop.fs.Path(s"$checkpointDir/iter_$j")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
   }
 
   private def marker(g: Graph, scaleBits: Int): String =

@@ -43,6 +43,24 @@ object IterativeCheckpoint {
     }
   }
 
+  /** Delete iteration k's marker (callers owning side data delete that
+    * themselves first — marker-last on write, marker-first on delete would
+    * resurrect a half-deleted iteration, so deletion is marker FIRST). */
+  def deleteMarker(spark: SparkSession, dir: String, iter: Int): Unit = {
+    val (fs, root) = fsDir(spark, dir)
+    fs.delete(new HPath(root, s"iter_$iter.json"), false)
+  }
+
+  /** All marked iterations under `dir` (ascending). */
+  def iterations(spark: SparkSession, dir: String): Seq[Int] = {
+    val (fs, root) = fsDir(spark, dir)
+    if (!fs.exists(root)) return Seq.empty
+    fs.listStatus(root).toSeq.flatMap(_.getPath.getName match {
+      case IterFile(k) => Some(k.toInt)
+      case _           => None
+    }).sorted
+  }
+
   /** Highest complete iteration under `dir`, with its payload. */
   def latest(spark: SparkSession, dir: String): Option[(Int, String)] = {
     val (fs, root) = fsDir(spark, dir)

@@ -74,6 +74,14 @@ class GraphSpec extends AnyFunSuite {
       PageRank.pageRankResumable(
         edges.take(3).toDF("s", "d"), "s", "d", 4, d2, 40, h)
     }
+
+    // pruning: only the newest iteration's marker + rank table survive
+    // (the rank table is O(N); keeping every sweep is the storage hazard)
+    val kept = graft.runtime.IterativeCheckpoint.iterations(spark, d2)
+    assert(kept == Seq(4), s"only the last iteration stays marked, got $kept")
+    val dataDirs = new java.io.File(d2).listFiles().map(_.getName)
+      .filter(_.startsWith("iter_")).filterNot(_.endsWith(".json")).toSeq
+    assert(dataDirs == Seq("iter_4"), s"older rank tables pruned, got $dataDirs")
     h.release()
   }
 
