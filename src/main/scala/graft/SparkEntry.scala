@@ -595,6 +595,18 @@ object SparkEntry {
           round(col("rank"), 6).as("rank"))
         .orderBy("doc_id")
     }),
+    // per-node link statistics over the same md5-derived edge fixture as
+    // q_pagerank: degrees, distinct neighbors, reciprocal links
+    "q_link_stats" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val edges = docs.select(col("doc_id").as("src"),
+        explode(array((0 to 2).map { j =>
+          pmod(conv(substring(md5(concat(col("doc_id").cast("string"), lit(s"#$j"))),
+            1, 12), 16, 10).cast("long"), lit(n))
+        }: _*)).as("dst"))
+      graft.graph.PageRank.linkStats(edges, "src", "dst").orderBy("node")
+    }),
     // int8 embedding quantization: exact closed-form rounding replayed by
     // DuckDB element-for-element (codes comma-joined — the hash comparator
     // handles scalar columns only; element order is preserved in the string)
@@ -2050,6 +2062,35 @@ object SparkEntry {
         |  round(CAST(sum_tokens AS DOUBLE) / tot, 6) AS token_share
         |FROM cells CROSS JOIN tot
         |ORDER BY lang, source""".stripMargin,
+    // link stats over the q_pagerank edge fixture: degrees, distinct
+    // neighbors, reciprocal distinct links
+    "q_link_stats" ->
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT doc_id AS src,
+         |    (CAST(list_sum(list_transform(range(1, 13),
+         |       k -> (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || '#' || CAST(j AS VARCHAR)), CAST(k AS INT), 1)) - 1)
+         |            * pow(16, 12 - k))) AS BIGINT)
+         |     % (SELECT count(*) FROM documents)) AS dst
+         |  FROM documents CROSS JOIN (SELECT unnest(range(0, 3)) AS j) js),
+         |de AS MATERIALIZED (SELECT DISTINCT src, dst FROM e),
+         |nodes AS (SELECT DISTINCT node FROM (
+         |  SELECT src AS node FROM de UNION ALL SELECT dst AS node FROM de) u),
+         |outs AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS oe FROM e GROUP BY 1),
+         |ins AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS ie FROM e GROUP BY 1),
+         |douts AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS od FROM de GROUP BY 1),
+         |dins AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS idn FROM de GROUP BY 1),
+         |recip AS (
+         |  SELECT f.src AS node, CAST(count(*) AS BIGINT) AS rc
+         |  FROM de f JOIN de b ON b.src = f.dst AND b.dst = f.src GROUP BY 1)
+         |SELECT nodes.node,
+         |  coalesce(oe, 0) AS out_edges, coalesce(ie, 0) AS in_edges,
+         |  coalesce(od, 0) AS out_distinct, coalesce(idn, 0) AS in_distinct,
+         |  coalesce(rc, 0) AS reciprocal
+         |FROM nodes
+         |LEFT JOIN outs USING (node) LEFT JOIN ins USING (node)
+         |LEFT JOIN douts USING (node) LEFT JOIN dins USING (node)
+         |LEFT JOIN recip USING (node)
+         |ORDER BY node""".stripMargin,
     // exact-integer PageRank over the md5-derived link graph: identical
     // edges, identical recurrence, 3 unrolled iterations
     "q_pagerank" ->

@@ -170,4 +170,55 @@ object PageRank {
 
   private def marker(g: Graph, scaleBits: Int): String =
     s"""{"n":${g.n},"scaleBits":$scaleBits}"""
+
+  /** Per-node link statistics — the crawl-frontier / link-farm
+    * observability companion to [[pageRank]]: out/in edge counts, distinct
+    * neighbor counts, and the RECIPROCAL distinct-link count (u→v where
+    * v→u also exists — mutual-link density is the classic link-farm
+    * signal). Scale shape: one distinct-edge projection, two
+    * map-side-combining groupBys and one self-equi-join of the distinct
+    * edge table with itself (shuffle O(E)); the node spine keeps
+    * zero-degree sides via outer joins, so every node appears once.
+    * Multi-edges count in `out_edges`/`in_edges` and collapse in the
+    * distinct/reciprocal columns. */
+  def linkStats(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      handle: graft.runtime.CacheHandle = new graft.runtime.CacheHandle
+  ): DataFrame = {
+    val e = handle.track(
+      edges
+        .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+        .where(col("src").isNotNull && col("dst").isNotNull)
+        .cache())
+    val de = handle.track(e.distinct().cache())
+    val outs = e.groupBy(col("src").as("node")).agg(
+      count(lit(1)).as("out_edges"))
+    val ins = e.groupBy(col("dst").as("node")).agg(
+      count(lit(1)).as("in_edges"))
+    val douts = de.groupBy(col("src").as("node")).agg(
+      count(lit(1)).as("out_distinct"))
+    val dins = de.groupBy(col("dst").as("node")).agg(
+      count(lit(1)).as("in_distinct"))
+    val recip = de.as("f")
+      .join(de.select(col("src").as("dst"), col("dst").as("src")).as("b"),
+        Seq("src", "dst"))
+      .groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("reciprocal"))
+    val nodes = de.select(col("src").as("node"))
+      .union(de.select(col("dst").as("node"))).distinct()
+    nodes
+      .join(outs, Seq("node"), "left")
+      .join(ins, Seq("node"), "left")
+      .join(douts, Seq("node"), "left")
+      .join(dins, Seq("node"), "left")
+      .join(recip, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("out_edges"), lit(0L)).as("out_edges"),
+        coalesce(col("in_edges"), lit(0L)).as("in_edges"),
+        coalesce(col("out_distinct"), lit(0L)).as("out_distinct"),
+        coalesce(col("in_distinct"), lit(0L)).as("in_distinct"),
+        coalesce(col("reciprocal"), lit(0L)).as("reciprocal"))
+  }
 }

@@ -85,6 +85,21 @@ class GraphSpec extends AnyFunSuite {
     h.release()
   }
 
+  test("linkStats: hand-computed degrees, multi-edge collapse, reciprocity") {
+    val h = new graft.runtime.CacheHandle
+    // edges fixture: 3->2 doubled; reciprocal pair 0<->2 (0->2 and 2->0)
+    val got = PageRank.linkStats(edges.toDF("s", "d"), "s", "d", h)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    h.release()
+    // node -> (out_edges, in_edges, out_distinct, in_distinct, reciprocal)
+    assert(got(0L) == ((2L, 2L, 2L, 2L, 1L)), got(0L).toString)   // 0->2 & 2->0 mutual
+    assert(got(2L) == ((2L, 4L, 2L, 3L, 1L)), got(2L).toString)   // in: 0,1,3,3; distinct 3
+    assert(got(3L) == ((2L, 0L, 1L, 0L, 0L)), got(3L).toString)   // doubled 3->2 collapses
+    assert(got(5L) == ((0L, 1L, 0L, 1L, 0L)), got(5L).toString)   // dangling sink
+    assert(got.keySet == Set(0L, 1L, 2L, 3L, 4L, 5L), "every node appears once")
+  }
+
   test("pageRank contracts: empty graph, negative ids, grid overflow abort") {
     val h = new graft.runtime.CacheHandle
     intercept[IllegalArgumentException] {
