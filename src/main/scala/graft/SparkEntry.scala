@@ -491,7 +491,10 @@ object SparkEntry {
       val deduped = Dedup.exact(gated, TextFeatures.fingerprintMd5(col("text")), col("doc_id"))
       val chunks = Packing.chunkByTokens(
         deduped.select("doc_id", "text"), "text", maxTokens = 64, overlap = 0)
-        .select((col("doc_id") * 1024 + col("chunk_idx")).as("chunk_id"),
+        // chunk_id = doc_id·2²⁰ + idx: collision-free for any document
+        // under 2²⁰ chunks (= 64 M tokens at this window) and any doc_id
+        // under 2⁴³ — packSequences requires unique ids
+        .select((col("doc_id") * lit(1048576L) + col("chunk_idx")).as("chunk_id"),
           col("doc_id"), col("chunk_idx"), col("chunk_tokens"))
       Packing.packSequences(chunks, "chunk_id", "chunk_tokens", budget = 128)
         .select("chunk_id", "doc_id", "chunk_idx", "chunk_tokens",
@@ -1900,7 +1903,7 @@ object SparkEntry {
         |                        ELSE (len(tks) - 64 + 63) // 64 + 1 END)) AS ci
         |  FROM dts),
         |chunk AS MATERIALIZED (
-        |  SELECT doc_id * 1024 + ci AS chunk_id, doc_id,
+        |  SELECT doc_id * 1048576 + ci AS chunk_id, doc_id,
         |    CAST(ci AS BIGINT) AS chunk_idx,
         |    CAST(least(64, n - ci * 64) AS BIGINT) AS chunk_tokens
         |  FROM ck),
