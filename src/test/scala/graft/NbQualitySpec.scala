@@ -104,6 +104,27 @@ class NbQualitySpec extends AnyFunSuite {
     intercept[IllegalArgumentException](NbQuality.fit(ok, "text", col("pos"), alpha = 0.0))
   }
 
+  test("label-flip antisymmetry: swapping classes negates weights and bias exactly") {
+    val df = corpus.toDF("id", "text", "pos")
+    val m = NbQuality.fit(df, "text", col("pos"), buckets = B, alpha = alpha)
+    val flipped = NbQuality.fit(df, "text", !col("pos"), buckets = B, alpha = alpha)
+    assert(flipped.bias == -m.bias)
+    assert(flipped.weights.toSeq == m.weights.map(-_).toSeq,
+      "w'(b) = -w(b): the same two logs, negated — bit-exact")
+    assert(flipped.posTokens == m.negTokens && flipped.negTokens == m.posTokens)
+  }
+
+  test("score additivity: concatenated docs score as the sum of their token weights") {
+    val df = corpus.toDF("id", "text", "pos")
+    val m = NbQuality.fit(df, "text", col("pos"), buckets = B, alpha = alpha)
+    val a = "the quick brown fox"; val b = "buy cheap pills now"
+    val s = NbQuality.score(
+      Seq((1L, a), (2L, b), (3L, s"$a $b")).toDF("id", "text"), "id", "text", m)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(s(3L) - (s(1L) + s(2L) - m.bias)) < 1e-9,
+      "score(a ++ b) = score(a) + score(b) - bias (one bias, same token weights)")
+  }
+
   test("BucketWeightSum kernel: ascending sum, floorMod bucketing, empty=0, null element poisons") {
     val w = Array(0.5, -1.25, 2.0, 0.125)
     val df = Seq(

@@ -137,6 +137,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming chunking: chunkByTokens is stateless and matches batch on a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamFeatures.Doc
+    val long = (1 to 25).map(i => s"tok$i").mkString(" ")
+    val input = MemoryStream[Doc]
+    val chunked = graft.text.Packing.chunkByTokens(
+      input.toDF().select(col("doc_id"), col("text")), "text", maxTokens = 10, overlap = 2)
+    val q = chunked.writeStream.outputMode("append").format("memory")
+      .queryName("chunks").start()
+    try {
+      input.addData(Doc(1L, ts("2024-01-01 00:00:00"), long),
+        Doc(2L, ts("2024-01-01 00:00:01"), "short doc"))
+      q.processAllAvailable()
+      val got = spark.sql("select * from chunks").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getLong(3))).toMap
+      val batch = graft.text.Packing.chunkByTokens(
+        Seq((1L, long), (2L, "short doc")).toDF("doc_id", "text"), "text", 10, 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getLong(3))).toMap
+      assert(got == batch, "streaming/batch chunk drift")
+      assert(got.count(_._1._1 == 1L) == 3, "25 tokens at window 10 stride 8 = 3 chunks")
+      assert(!chunked.queryExecution.analyzed.toString.toLowerCase.contains("statestore"))
+    } finally q.stop()
+  }
+
   test("streaming indexGate keeps exactly the batch indexMatches complement; stateless plan") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
