@@ -598,6 +598,20 @@ object SparkEntry {
           round(col("rank"), 6).as("rank"))
         .orderBy("doc_id")
     }),
+    // HITS hubs/authorities: exact-integer downshift normalization over
+    // the q_pagerank edge fixture — the same integer comparisons and
+    // divisions unrolled in SQL
+    "q_hits" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val edges = docs.select(col("doc_id").as("src"),
+        explode(array((0 to 2).map { j =>
+          pmod(conv(substring(md5(concat(col("doc_id").cast("string"), lit(s"#$j"))),
+            1, 12), 16, 10).cast("long"), lit(n))
+        }: _*)).as("dst"))
+      graft.graph.PageRank.hits(edges, "src", "dst", iters = 3, scaleBits = 40)
+        .orderBy("node")
+    }),
     // per-node link statistics over the same md5-derived edge fixture as
     // q_pagerank: degrees, distinct neighbors, reciprocal links
     "q_link_stats" -> ((s, dir) => {
@@ -1083,6 +1097,43 @@ object SparkEntry {
            |    FROM e JOIN r${t - 1} ON r${t - 1}.node = e.src
            |    JOIN odeg ON odeg.src = e.src
            |    GROUP BY e.dst) inf ON inf.node = nodes.node)""".stripMargin
+      if (t < iters) sb ++= ",\n"
+    }
+    sb.result()
+  }
+
+  /** Unrolled exact-integer HITS iterations over CTEs `e` (src, dst) and
+    * `nodes` — the recurrence of [[graft.graph.PageRank.hits]] verbatim:
+    * per half-step, BIGINT inflow sums, shift = #{k ≥ 0 : max ≥ 2^(s+k)}
+    * (== bitlen(max) − s clamped at 0), and `//` by the exact 2^shift
+    * literal (floor division of non-negatives == shiftright). */
+  private def hitsSql(iters: Int, scaleBits: Int): String = {
+    val maxShift = 62 - scaleBits
+    def shiftSum(mx: String): String =
+      (0 to maxShift).map(k =>
+        s"(CASE WHEN $mx >= ${java.math.BigInteger.ONE.shiftLeft(scaleBits + k)} THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+    def divCase(sh: String): String =
+      "CASE " + (0 to maxShift).map(k => s"WHEN $sh = $k THEN ${1L << k}").mkString(" ") + " END"
+    val sb = new StringBuilder
+    sb ++= s"h0 AS MATERIALIZED (SELECT node, ${1L << scaleBits} AS s FROM nodes),\n"
+    for (t <- 1 to iters) {
+      def half(out: String, in: String, from: String, to: String): Unit = {
+        sb ++=
+          s"""${out}raw AS MATERIALIZED (
+             |  SELECT e.$to AS node, CAST(sum($in.s) AS BIGINT) AS raw
+             |  FROM e JOIN $in ON $in.node = e.$from GROUP BY e.$to),
+             |${out}sh AS MATERIALIZED (
+             |  SELECT (${shiftSum("mx")}) AS sh
+             |  FROM (SELECT max(raw) AS mx FROM ${out}raw) q),
+             |$out AS MATERIALIZED (
+             |  SELECT nodes.node,
+             |    coalesce(${out}raw.raw, 0) // (${divCase(s"${out}sh.sh")}) AS s
+             |  FROM nodes LEFT JOIN ${out}raw USING (node) CROSS JOIN ${out}sh)""".stripMargin
+      }
+      half(s"a$t", s"h${t - 1}", "src", "dst")
+      sb ++= ",\n"
+      half(s"h$t", s"a$t", "dst", "src")
       if (t < iters) sb ++= ",\n"
     }
     sb.result()
@@ -2065,6 +2116,22 @@ object SparkEntry {
         |  round(CAST(sum_tokens AS DOUBLE) / tot, 6) AS token_share
         |FROM cells CROSS JOIN tot
         |ORDER BY lang, source""".stripMargin,
+    // exact-integer HITS over the md5-derived link graph: identical sums,
+    // shifts and divisions, 3 unrolled iterations
+    "q_hits" ->
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT doc_id AS src,
+         |    (CAST(list_sum(list_transform(range(1, 13),
+         |       k -> (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || '#' || CAST(j AS VARCHAR)), CAST(k AS INT), 1)) - 1)
+         |            * pow(16, 12 - k))) AS BIGINT)
+         |     % (SELECT count(*) FROM documents)) AS dst
+         |  FROM documents CROSS JOIN (SELECT unnest(range(0, 3)) AS j) js),
+         |nodes AS MATERIALIZED (
+         |  SELECT DISTINCT node FROM (
+         |    SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e) u),
+         |${hitsSql(3, 40)}
+         |SELECT h3.node, h3.s AS hub_scaled, a3.s AS auth_scaled
+         |FROM h3 JOIN a3 USING (node) ORDER BY node""".stripMargin,
     // link stats over the q_pagerank edge fixture: degrees, distinct
     // neighbors, reciprocal distinct links
     "q_link_stats" ->

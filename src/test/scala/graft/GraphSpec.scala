@@ -85,6 +85,50 @@ class GraphSpec extends AnyFunSuite {
     h.release()
   }
 
+  /** Local replay of the integer HITS recurrence (downshift normalization). */
+  private def localHits(
+      edges: Seq[(Long, Long)], iters: Int, s: Int): Map[Long, (Long, Long)] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    def shift(mx: Long): Int =
+      math.max(0, (64 - java.lang.Long.numberOfLeadingZeros(mx)) - s)
+    def half(scores: Map[Long, Long], along: Seq[(Long, Long)]): Map[Long, Long] = {
+      val raw = along.groupBy(_._2).map { case (to, es) =>
+        to -> es.map(e => scores(e._1)).sum
+      }
+      val sh = shift(raw.values.max)
+      nodes.map(v => v -> (raw.getOrElse(v, 0L) >> sh)).toMap
+    }
+    var hub = nodes.map(_ -> (1L << s)).toMap
+    var auth = Map.empty[Long, Long]
+    for (_ <- 1 to iters) {
+      auth = half(hub, edges)                        // along u→v
+      hub = half(auth, edges.map { case (u, v) => (v, u) }) // back v→u
+    }
+    nodes.map(v => v -> (hub(v), auth(v))).toMap
+  }
+
+  test("hits == local integer replay bit-for-bit; parallelism-invariant; hub/auth separation") {
+    val h = new graft.runtime.CacheHandle
+    def run(parts: Int): Map[Long, (Long, Long)] =
+      PageRank.hits(edges.toDF("s", "d").repartition(parts), "s", "d",
+        iters = 3, scaleBits = 40, handle = h)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = run(1)
+    assert(got == run(9), "scores must be bit-identical at any parallelism")
+    val expect = localHits(edges, 3, 40)
+    assert(got == expect, s"got $got, expected $expect")
+    // node 2 (three in-links incl. the doubled 3->2) is the top authority;
+    // node 3 (two links into the top authority) is the top hub
+    assert(got(2L)._2 == got.values.map(_._2).max, "top authority")
+    assert(got(3L)._1 == got.values.map(_._1).max, "top hub")
+    // dangling node 5 emits nothing: hub 0
+    assert(got(5L)._1 == 0L)
+    h.release()
+    intercept[IllegalArgumentException] {
+      PageRank.hits(edges.toDF("s", "d"), "s", "d", iters = 0)
+    }
+  }
+
   test("linkStats: hand-computed degrees, multi-edge collapse, reciprocity") {
     val h = new graft.runtime.CacheHandle
     // edges fixture: 3->2 doubled; reciprocal pair 0<->2 (0->2 and 2->0)
