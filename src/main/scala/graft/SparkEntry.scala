@@ -600,7 +600,11 @@ object SparkEntry {
     }),
     // HITS hubs/authorities: exact-integer downshift normalization over
     // the q_pagerank edge fixture — the same integer comparisons and
-    // divisions unrolled in SQL
+    // divisions unrolled in SQL. Bench note: at sf scale this query is
+    // bound by its ~8 SEQUENTIAL driver actions (one max-collect per
+    // half-step is inherent to the shift rule) × the ~0.5 s fixed job
+    // floor — at deployment scale those driver round-trips amortize to
+    // nothing against the O(E) half-step jobs
     "q_hits" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"))
       val n = docs.count()

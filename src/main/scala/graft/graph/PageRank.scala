@@ -56,10 +56,13 @@ object PageRank {
         .union(e.select(col("dst").as("node")))
         .distinct()
         .cache())
-    val n = nodes.count()
+    // ONE validation action (count + min in the same job — these tiny
+    // sequential driver jobs are the measured floor of the graph queries)
+    val stats = nodes.agg(count(lit(1)), min("node")).collect()(0)
+    val n = stats.getLong(0)
     require(n >= 1, "pageRank needs a non-empty graph")
     require(n <= k, s"node count $n exceeds the 2^$scaleBits rank grid")
-    require(nodes.where(col("node") < 0).isEmpty,
+    require(stats.getLong(1) >= 0,
       "pageRank needs non-negative node ids (integer div == floor only there)")
     val outdeg = handle.track(e.groupBy("src").agg(count(lit(1)).as("odeg")).cache())
     Graph(e, nodes, outdeg, n, (3L * k) / (20L * n), k)
@@ -211,10 +214,10 @@ object PageRank {
     require(scaleBits >= 20 && scaleBits <= 50, "scaleBits must be in [20, 50]")
     val g = prepare(edges, srcCol, dstCol, scaleBits, handle)
     val spark = edges.sparkSession
-    val maxDeg = math.max(
-      g.outdeg.agg(max("odeg")).collect()(0).getLong(0),
-      g.e.groupBy("dst").agg(count(lit(1)).as("ideg"))
-        .agg(max("ideg")).collect()(0).getLong(0))
+    // one action for both degree maxima (union of the two degree tables)
+    val maxDeg = g.outdeg.select(col("odeg").as("d"))
+      .union(g.e.groupBy("dst").agg(count(lit(1)).as("d")).select("d"))
+      .agg(max("d")).collect()(0).getLong(0)
     require(maxDeg < (1L << (62 - scaleBits)),
       s"max degree $maxDeg would overflow the 2^$scaleBits HITS grid — lower scaleBits")
     def shiftOf(maxRaw: Long): Int = {
