@@ -2155,7 +2155,8 @@ object SparkEntry {
          |dins AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS idn FROM de GROUP BY 1),
          |recip AS (
          |  SELECT f.src AS node, CAST(count(*) AS BIGINT) AS rc
-         |  FROM de f JOIN de b ON b.src = f.dst AND b.dst = f.src GROUP BY 1)
+         |  FROM de f JOIN de b ON b.src = f.dst AND b.dst = f.src
+         |  WHERE f.src <> f.dst GROUP BY 1)
          |SELECT nodes.node,
          |  coalesce(oe, 0) AS out_edges, coalesce(ie, 0) AS in_edges,
          |  coalesce(od, 0) AS out_distinct, coalesce(idn, 0) AS in_distinct,

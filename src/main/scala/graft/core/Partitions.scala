@@ -22,6 +22,18 @@ import org.apache.spark.sql.DataFrame
 object Partitions {
 
   def fanOut(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    // guard: on a plan that already shuffles, `df.rdd` under AQE EXECUTES
+    // every upstream exchange at plan-construction time and then discards
+    // the work — and post-shuffle parallelism is already the session's, so
+    // fanning out would be pointless anyway. Only scan-shaped plans
+    // (project/filter/generate over sources) are inspected and fanned.
+    val shuffles = df.queryExecution.optimizedPlan.exists {
+      case _: Join | _: Aggregate | _: Window | _: Sort => true
+      case _: RepartitionOperation                      => true
+      case _                                            => false
+    }
+    if (shuffles) return df
     val want = df.sparkSession.sessionState.conf.numShufflePartitions
     if (df.rdd.getNumPartitions < want) df.repartition(want) else df
   }

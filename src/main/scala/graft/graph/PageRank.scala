@@ -102,7 +102,14 @@ object PageRank {
     require(iters >= 1, "pageRank needs at least one iteration")
     val g = prepare(edges, srcCol, dstCol, scaleBits, handle)
     var ranks = handle.track(g.nodes.select(col("node"), lit(g.k / g.n).as("r")).cache())
-    for (_ <- 1 to iters) ranks = step(g, ranks, handle)
+    for (_ <- 1 to iters) {
+      val next = step(g, ranks, handle) // step() materializes `next`
+      // superseded rank tables otherwise stay pinned until release() —
+      // O(iters·N) storage AND a growing CacheManager sameResult scan per
+      // action (the halfStep lesson below)
+      ranks.unpersist(blocking = false)
+      ranks = next
+    }
     finish(g, ranks)
   }
 
@@ -115,8 +122,14 @@ object PageRank {
     * an unmarked partial write is ignored and overwritten on resume). A
     * restarted run reloads the highest MARKED iteration and continues —
     * exact longs, so the resumed run is bit-identical to the uninterrupted
-    * one (GraphSpec). A marker whose (n, scaleBits) disagree with the
-    * prepared graph aborts. */
+    * one (GraphSpec). The marker fingerprints the GRAPH, not just its
+    * shape — (n, scaleBits, edge count, an order-independent exact digest
+    * of the edge multiset) — so a checkpoint directory from a different
+    * edge set aborts instead of silently continuing the wrong run. After
+    * each write the live rank lineage is RE-ROOTED on the just-written
+    * parquet, so pruning the previous iteration can never strand a cache
+    * recomputation (cache loss walks back to durable data, not to a
+    * deleted file). */
   def pageRankResumable(
       edges: DataFrame,
       srcCol: String,
@@ -130,12 +143,17 @@ object PageRank {
     require(iters >= 1, "pageRank needs at least one iteration")
     val g = prepare(edges, srcCol, dstCol, scaleBits, handle)
     val spark = edges.sparkSession
+    // order-independent exact edge digest: decimal(38,0) sum of per-edge
+    // hashes (the runtime/Lineage accumulation convention — a long sum
+    // would overflow ANSI-fatally at corpus scale)
+    val fpRow = g.e.agg(count(lit(1)),
+      sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)"))).collect()(0)
+    val mk = marker(g, scaleBits, fpRow.getLong(0), fpRow.getDecimal(1).toBigInteger.toString)
     var done = 0
     var ranks: DataFrame = null
     IterativeCheckpoint.latest(spark, checkpointDir).foreach { case (it, json) =>
       require(it <= iters, s"checkpoint is at iteration $it but only $iters requested")
-      require(json == marker(g, scaleBits),
-        s"checkpoint $json does not match this graph (${marker(g, scaleBits)})")
+      require(json == mk, s"checkpoint $json does not match this graph ($mk)")
       done = it
       ranks = handle.track(
         spark.read.parquet(s"$checkpointDir/iter_$it").select("node", "r").cache())
@@ -148,31 +166,54 @@ object PageRank {
     // everything below the one we resumed from (see prune ordering below)
     prune(spark, checkpointDir, below = done)
     for (it <- done + 1 to iters) {
-      ranks = step(g, ranks, handle)
+      val stepped = step(g, ranks, handle) // materialized by step()
       // data first (overwrite clears any unmarked partial), marker second
-      ranks.write.mode("overwrite").parquet(s"$checkpointDir/iter_$it")
-      IterativeCheckpoint.save(spark, checkpointDir, it, marker(g, scaleBits))
+      stepped.write.mode("overwrite").parquet(s"$checkpointDir/iter_$it")
+      IterativeCheckpoint.save(spark, checkpointDir, it, mk)
+      // RE-ROOT on the durable copy before pruning: the new cache's
+      // lineage bottoms on iter_<it>'s parquet, so losing cache blocks
+      // after iter_<it-1> is deleted recomputes from disk, never from the
+      // pruned file. Superseded caches unpersist immediately (O(iters·N)
+      // pin + per-action CacheManager scan otherwise).
+      stepped.unpersist(blocking = false)
+      ranks.unpersist(blocking = false)
+      ranks = handle.track(
+        spark.read.parquet(s"$checkpointDir/iter_$it").select("node", "r").cache())
       // the rank table is O(N) — keep only the newest iteration's data.
       // Deletion is marker FIRST, then parquet: a crash in between leaves
-      // an unmarked orphan dir (space, reclaimed by the next prune), never
-      // a marked iteration whose data is gone.
+      // an unmarked orphan dir, reclaimed by the next prune (prune lists
+      // DATA directories as well as markers for exactly this reason);
+      // never a marked iteration whose data is gone.
       prune(spark, checkpointDir, below = it)
     }
     finish(g, ranks)
   }
 
+  /** Delete every iteration artifact below `below` — markers AND data
+    * directories, including unmarked orphans from a crash mid-delete or
+    * mid-write (marker first, then data; see call sites). */
   private def prune(spark: org.apache.spark.sql.SparkSession,
       checkpointDir: String, below: Int): Unit = {
-    import graft.runtime.IterativeCheckpoint
-    IterativeCheckpoint.iterations(spark, checkpointDir).filter(_ < below).foreach { j =>
-      IterativeCheckpoint.deleteMarker(spark, checkpointDir, j)
-      val p = new org.apache.hadoop.fs.Path(s"$checkpointDir/iter_$j")
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val root = new org.apache.hadoop.fs.Path(checkpointDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val Marker = "iter_(\\d+)\\.json".r
+    val Data = "iter_(\\d+)".r
+    fs.listStatus(root).foreach { st =>
+      val k = st.getPath.getName match {
+        case Marker(j) => Some(j.toInt)
+        case Data(j)   => Some(j.toInt)
+        case _         => None
+      }
+      k.filter(_ < below).foreach { j =>
+        graft.runtime.IterativeCheckpoint.deleteMarker(spark, checkpointDir, j)
+        fs.delete(new org.apache.hadoop.fs.Path(root, s"iter_$j"), true)
+      }
     }
   }
 
-  private def marker(g: Graph, scaleBits: Int): String =
-    s"""{"n":${g.n},"scaleBits":$scaleBits}"""
+  private def marker(g: Graph, scaleBits: Int, edgeCount: Long, digest: String): String =
+    s"""{"n":${g.n},"scaleBits":$scaleBits,"edges":$edgeCount,"digest":"$digest"}"""
 
   /** HITS hubs-and-authorities (Kleinberg) in EXACT INTEGER arithmetic —
     * the second link-centrality signal curation uses (authorities ≈
@@ -236,21 +277,25 @@ object PageRank {
         .groupBy(col(toCol).as("node"))
         .agg(sum("s").as("raw"))
       val maxRaw = raw.agg(max("raw")).collect()(0).getLong(0)
-      // cached but NOT eagerly counted: the next half-step's max-collect
-      // (or the caller's first action) fills this cache — halving the
-      // sequential driver-action count; execution never reaches deeper
-      // than the previous half-step's cache either way
-      handle.track(
+      val out = handle.track(
         g.nodes.join(raw, Seq("node"), "left")
           .select(col("node"),
             shiftright(coalesce(col("raw"), lit(0L)), shiftOf(maxRaw)).as("s"))
           .cache())
+      out.count() // materialize BEFORE the caller unpersists out's input
+      out
     }
     var hub = handle.track(g.nodes.select(col("node"), lit(g.k).as("s")).cache())
     var auth: DataFrame = null
     for (_ <- 1 to iters) {
-      auth = halfStep(hub, "src", "dst")   // auth(v) = Σ_{u→v} hub(u)
-      hub = halfStep(auth, "dst", "src")   // hub(u) = Σ_{u→v} auth(v)
+      val a2 = halfStep(hub, "src", "dst") // auth(v) = Σ_{u→v} hub(u)
+      // superseded score tables unpersist as soon as their successor is
+      // materialized — O(iters·N) pin + growing CacheManager scan otherwise
+      if (auth != null) auth.unpersist(blocking = false)
+      auth = a2
+      val h2 = halfStep(auth, "dst", "src") // hub(u) = Σ_{u→v} auth(v)
+      hub.unpersist(blocking = false)
+      hub = h2
     }
     hub.select(col("node"), col("s").as("hub_scaled"))
       .join(auth.select(col("node"), col("s").as("auth_scaled")), "node")
@@ -286,7 +331,11 @@ object PageRank {
       count(lit(1)).as("out_distinct"))
     val dins = de.groupBy(col("dst").as("node")).agg(
       count(lit(1)).as("in_distinct"))
-    val recip = de.as("f")
+    // self-loops are excluded from reciprocity: a page linking to itself is
+    // not mutual-link density (the link-farm signal this column measures);
+    // they still count in the degree columns, like pageRank's "self-loops
+    // participate normally" convention
+    val recip = de.where(col("src") =!= col("dst")).as("f")
       .join(de.select(col("src").as("dst"), col("dst").as("src")).as("b"),
         Seq("src", "dst"))
       .groupBy(col("src").as("node"))

@@ -62,24 +62,16 @@ object IterativeCheckpoint {
   }
 
   /** Highest complete iteration under `dir`, with its payload. */
-  def latest(spark: SparkSession, dir: String): Option[(Int, String)] = {
-    val (fs, root) = fsDir(spark, dir)
-    if (!fs.exists(root)) return None
-    val iters = fs.listStatus(root).toSeq.flatMap(_.getPath.getName match {
-      case IterFile(k) => Some(k.toInt)
-      case _           => None
-    })
-    if (iters.isEmpty) None
-    else {
-      val k = iters.max
+  def latest(spark: SparkSession, dir: String): Option[(Int, String)] =
+    iterations(spark, dir).lastOption.map { k =>
+      val (fs, root) = fsDir(spark, dir)
       val in = fs.open(new HPath(root, s"iter_$k.json"))
       try {
         val bytes = new java.io.ByteArrayOutputStream()
         val buf = new Array[Byte](65536)
         var n = in.read(buf)
         while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-        Some(k -> new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
+        k -> new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
       } finally in.close()
     }
-  }
 }

@@ -74,6 +74,12 @@ class GraphSpec extends AnyFunSuite {
       PageRank.pageRankResumable(
         edges.take(3).toDF("s", "d"), "s", "d", 4, d2, 40, h)
     }
+    // and so does one from DIFFERENT EDGES with the same node set and
+    // count — the marker digests the edge multiset, not just the shape
+    val retargeted = edges.updated(2, (1L, 0L)) // (1,2) -> (1,0)
+    intercept[IllegalArgumentException] {
+      PageRank.pageRankResumable(retargeted.toDF("s", "d"), "s", "d", 4, d2, 40, h)
+    }
 
     // pruning: only the newest iteration's marker + rank table survive
     // (the rank table is O(N); keeping every sweep is the storage hazard)
@@ -129,10 +135,11 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
-  test("linkStats: hand-computed degrees, multi-edge collapse, reciprocity") {
+  test("linkStats: hand-computed degrees, multi-edge collapse, reciprocity, self-loop rule") {
     val h = new graft.runtime.CacheHandle
-    // edges fixture: 3->2 doubled; reciprocal pair 0<->2 (0->2 and 2->0)
-    val got = PageRank.linkStats(edges.toDF("s", "d"), "s", "d", h)
+    // edges fixture: 3->2 doubled; reciprocal pair 0<->2; plus a 4->4
+    // self-loop (counts in degrees, excluded from reciprocity)
+    val got = PageRank.linkStats((edges :+ (4L, 4L)).toDF("s", "d"), "s", "d", h)
       .collect().map(r => r.getLong(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
     h.release()
@@ -141,6 +148,7 @@ class GraphSpec extends AnyFunSuite {
     assert(got(2L) == ((2L, 4L, 2L, 3L, 1L)), got(2L).toString)   // in: 0,1,3,3; distinct 3
     assert(got(3L) == ((2L, 0L, 1L, 0L, 0L)), got(3L).toString)   // doubled 3->2 collapses
     assert(got(5L) == ((0L, 1L, 0L, 1L, 0L)), got(5L).toString)   // dangling sink
+    assert(got(4L) == ((2L, 1L, 2L, 1L, 0L)), got(4L).toString)   // self-loop: degrees yes, reciprocity no
     assert(got.keySet == Set(0L, 1L, 2L, 3L, 4L, 5L), "every node appears once")
   }
 
