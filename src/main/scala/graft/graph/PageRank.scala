@@ -277,26 +277,30 @@ object PageRank {
         .groupBy(col(toCol).as("node"))
         .agg(sum("s").as("raw"))
       val maxRaw = raw.agg(max("raw")).collect()(0).getLong(0)
-      val out = handle.track(
+      // cached but NOT eagerly counted: the NEXT half-step's max-collect
+      // reads this table and fills its cache (halving the sequential
+      // driver-action count, ~0.5 s each at bench SF)
+      handle.track(
         g.nodes.join(raw, Seq("node"), "left")
           .select(col("node"),
             shiftright(coalesce(col("raw"), lit(0L)), shiftOf(maxRaw)).as("s"))
           .cache())
-      out.count() // materialize BEFORE the caller unpersists out's input
-      out
     }
-    var hub = handle.track(g.nodes.select(col("node"), lit(g.k).as("s")).cache())
-    var auth: DataFrame = null
+    // LAG-2 unpersist: producing table t_k materializes t_{k-1} (the
+    // max-collect reads it), so t_{k-2} is then both SUPERSEDED and no
+    // longer reachable by any pending lazy cache fill — unpersisting it
+    // bounds pinned state to 3 tables instead of O(iters) (the CacheManager
+    // sameResult lesson) without paying an eager count per half-step.
+    val made = scala.collection.mutable.ArrayBuffer[DataFrame](
+      handle.track(g.nodes.select(col("node"), lit(g.k).as("s")).cache()))
     for (_ <- 1 to iters) {
-      val a2 = halfStep(hub, "src", "dst") // auth(v) = Σ_{u→v} hub(u)
-      // superseded score tables unpersist as soon as their successor is
-      // materialized — O(iters·N) pin + growing CacheManager scan otherwise
-      if (auth != null) auth.unpersist(blocking = false)
-      auth = a2
-      val h2 = halfStep(auth, "dst", "src") // hub(u) = Σ_{u→v} auth(v)
-      hub.unpersist(blocking = false)
-      hub = h2
+      made += halfStep(made.last, "src", "dst") // auth(v) = Σ_{u→v} hub(u)
+      if (made.size >= 3) made(made.size - 3).unpersist(blocking = false)
+      made += halfStep(made.last, "dst", "src") // hub(u) = Σ_{u→v} auth(v)
+      if (made.size >= 3) made(made.size - 3).unpersist(blocking = false)
     }
+    val hub = made.last
+    val auth = made(made.size - 2)
     hub.select(col("node"), col("s").as("hub_scaled"))
       .join(auth.select(col("node"), col("s").as("auth_scaled")), "node")
   }
