@@ -114,6 +114,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Generate"), s"NbQuality.score must not explode tokens:\n$p")
   }
 
+  test("chunkByTokens is pure map-side: zero exchanges, one Generate") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val p = plan(graft.text.Packing.chunkByTokens(docs, "text", maxTokens = 64, overlap = 16))
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
+  }
+
+  test("vocabTopK executes as TakeOrderedAndProject (no global sort)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.text.TextFeatures.vocabTopK(docs, "text", k = 100))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not globally sort:\n$p")
+  }
+
   test("duplicateSpans reads the corpus parquet ONCE; all joins stay hash-based") {
     // the doc-level token+hash arrays are cached; grams, coverage and the
     // rebuild must all derive from that cache, not re-scan the input
