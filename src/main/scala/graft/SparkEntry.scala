@@ -57,6 +57,22 @@ object SparkEntry {
     else v.map(x => math.floor(x / ma * 127.0 + 0.5) * (ma / 127.0))
   }
 
+  /** The shared md5-derived synthetic link graph of q_pagerank / q_hits /
+    * q_link_stats: each doc links to the 3 docs whose ids are
+    * md5-48(doc_id#j) mod N. N is a broadcast 1-row count riding INSIDE
+    * the plan (pmod by the count column is the identical arithmetic to the
+    * previous pmod-by-literal; the driver-side docs.count() it replaces
+    * was one full sequential driver job per graph query). */
+  private def md5Edges(documents: DataFrame): DataFrame = {
+    val docs = documents.select(col("doc_id"))
+    docs.crossJoin(broadcast(docs.agg(count(lit(1)).as("__n"))))
+      .select(col("doc_id").as("src"),
+        explode(array((0 to 2).map { j =>
+          pmod(conv(substring(md5(concat(col("doc_id").cast("string"), lit(s"#$j"))),
+            1, 12), 16, 10).cast("long"), col("__n"))
+        }: _*)).as("dst"))
+  }
+
   /** Deterministic k-means seed shared by q_kmeans / q_semantic_dedup: the
     * first 8 base embeddings by vec_id (the q_knn_ivf convention). */
   private def first8Centroids(emb: DataFrame): Seq[Seq[Double]] =
@@ -584,49 +600,30 @@ object SparkEntry {
     // link-graph centrality (exact-integer PageRank, 3 iterations) over a
     // deterministic synthetic link graph: each doc links to the 3 docs
     // whose ids are md5-48(doc_id#j) mod N — the same edges and the same
-    // integer recurrence replayed by unrolled DuckDB CTEs
+    // integer recurrence replayed by unrolled DuckDB CTEs. N rides into
+    // the plan as a broadcast 1-row count (same pmod arithmetic as the
+    // previous driver-side count literal — one sequential driver job
+    // fewer per graph query, the measured floor of this family)
     "q_pagerank" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"))
-      val n = docs.count()
-      val edges = docs.select(col("doc_id").as("src"),
-        explode(array((0 to 2).map { j =>
-          pmod(conv(substring(md5(concat(col("doc_id").cast("string"), lit(s"#$j"))),
-            1, 12), 16, 10).cast("long"), lit(n))
-        }: _*)).as("dst"))
-      graft.graph.PageRank.pageRank(edges, "src", "dst", iters = 3)
+      graft.graph.PageRank.pageRank(md5Edges(t(s, dir, "documents")), "src", "dst", iters = 3)
         .select(col("node").as("doc_id"), col("rank_scaled"),
           round(col("rank"), 6).as("rank"))
         .orderBy("doc_id")
     }),
     // HITS hubs/authorities: exact-integer downshift normalization over
     // the q_pagerank edge fixture — the same integer comparisons and
-    // divisions unrolled in SQL. Bench note: at sf scale this query is
-    // bound by its ~8 SEQUENTIAL driver actions (one max-collect per
-    // half-step is inherent to the shift rule) × the ~0.5 s fixed job
-    // floor — at deployment scale those driver round-trips amortize to
-    // nothing against the O(E) half-step jobs
+    // divisions unrolled in SQL. The per-half-step downshift rides the
+    // plan as a broadcast scalar (zero driver actions in the loop)
     "q_hits" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"))
-      val n = docs.count()
-      val edges = docs.select(col("doc_id").as("src"),
-        explode(array((0 to 2).map { j =>
-          pmod(conv(substring(md5(concat(col("doc_id").cast("string"), lit(s"#$j"))),
-            1, 12), 16, 10).cast("long"), lit(n))
-        }: _*)).as("dst"))
-      graft.graph.PageRank.hits(edges, "src", "dst", iters = 3, scaleBits = 40)
+      graft.graph.PageRank.hits(md5Edges(t(s, dir, "documents")), "src", "dst",
+        iters = 3, scaleBits = 40)
         .orderBy("node")
     }),
     // per-node link statistics over the same md5-derived edge fixture as
     // q_pagerank: degrees, distinct neighbors, reciprocal links
     "q_link_stats" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"))
-      val n = docs.count()
-      val edges = docs.select(col("doc_id").as("src"),
-        explode(array((0 to 2).map { j =>
-          pmod(conv(substring(md5(concat(col("doc_id").cast("string"), lit(s"#$j"))),
-            1, 12), 16, 10).cast("long"), lit(n))
-        }: _*)).as("dst"))
-      graft.graph.PageRank.linkStats(edges, "src", "dst").orderBy("node")
+      graft.graph.PageRank.linkStats(md5Edges(t(s, dir, "documents")), "src", "dst")
+        .orderBy("node")
     }),
     // int8 embedding quantization: exact closed-form rounding replayed by
     // DuckDB element-for-element (codes comma-joined — the hash comparator

@@ -42,7 +42,7 @@ object PageRank {
 
   private def prepare(
       edges: DataFrame, srcCol: String, dstCol: String, scaleBits: Int,
-      handle: graft.runtime.CacheHandle): Graph = {
+      handle: graft.runtime.CacheHandle, withMaxDegree: Boolean = false): (Graph, Long) = {
     require(scaleBits >= 20 && scaleBits <= 55, "scaleBits must be in [20, 55]")
     val k = 1L << scaleBits
     val e = handle.track(
@@ -56,20 +56,35 @@ object PageRank {
         .union(e.select(col("dst").as("node")))
         .distinct()
         .cache())
-    // ONE validation action (count + min in the same job — these tiny
-    // sequential driver jobs are the measured floor of the graph queries)
-    val stats = nodes.agg(count(lit(1)), min("node")).collect()(0)
+    val outdeg = handle.track(e.groupBy("src").agg(count(lit(1)).as("odeg")).cache())
+    // ONE validation action (count + min — and, when the caller needs it,
+    // the degree maximum, crossJoined in as a 1-row aggregate — all in the
+    // same job: these tiny sequential driver jobs are the measured floor
+    // of the graph queries)
+    val statsDf = nodes.agg(count(lit(1)).as("n"), min("node").as("mn"))
+    val stats =
+      if (!withMaxDegree) statsDf.collect()(0)
+      else statsDf.crossJoin(
+        outdeg.select(col("odeg").as("d"))
+          .union(e.groupBy("dst").agg(count(lit(1)).as("d")).select("d"))
+          .agg(max("d").as("maxd"))).collect()(0)
     val n = stats.getLong(0)
     require(n >= 1, "pageRank needs a non-empty graph")
     require(n <= k, s"node count $n exceeds the 2^$scaleBits rank grid")
     require(stats.getLong(1) >= 0,
       "pageRank needs non-negative node ids (integer div == floor only there)")
-    val outdeg = handle.track(e.groupBy("src").agg(count(lit(1)).as("odeg")).cache())
-    Graph(e, nodes, outdeg, n, (3L * k) / (20L * n), k)
+    val maxDeg = if (withMaxDegree) stats.getLong(2) else -1L
+    (Graph(e, nodes, outdeg, n, (3L * k) / (20L * n), k), maxDeg)
   }
 
-  /** One iteration of the integer recurrence; caches + materializes the
-    * next rank table so lineage stays one iteration deep. */
+  /** One iteration of the integer recurrence; caches the next rank table
+    * LAZILY — each rank table is referenced exactly once by the next
+    * iteration's join, so a single downstream action computes every
+    * iteration exactly once while filling the caches bottom-up. The
+    * cache is there so that LATER actions on the result (Verify's
+    * dump + hash, repeated collects) reuse the last table instead of
+    * replaying the loop; eager per-step counts were pure driver-action
+    * floor (~0.4 s each at bench SF) on top of that. */
   private def step(
       g: Graph, ranks: DataFrame, handle: graft.runtime.CacheHandle): DataFrame = {
     val inflow = g.e
@@ -77,14 +92,12 @@ object PageRank {
       .join(g.outdeg, "src")
       .groupBy(col("dst").as("node"))
       .agg(sum(expr("r div odeg")).as("inflow"))
-    val next = handle.track(
+    handle.track(
       g.nodes
         .join(inflow, Seq("node"), "left")
         .select(col("node"),
           (lit(g.base) + expr("(17 * coalesce(inflow, 0L)) div 20")).as("r"))
         .cache())
-    next.count()
-    next
   }
 
   private def finish(g: Graph, ranks: DataFrame): DataFrame =
@@ -100,15 +113,28 @@ object PageRank {
       handle: graft.runtime.CacheHandle = new graft.runtime.CacheHandle
   ): DataFrame = {
     require(iters >= 1, "pageRank needs at least one iteration")
-    val g = prepare(edges, srcCol, dstCol, scaleBits, handle)
+    val (g, _) = prepare(edges, srcCol, dstCol, scaleBits, handle)
     var ranks = handle.track(g.nodes.select(col("node"), lit(g.k / g.n).as("r")).cache())
-    for (_ <- 1 to iters) {
-      val next = step(g, ranks, handle) // step() materializes `next`
+    var anchor: DataFrame = null // last MATERIALIZED table — pinned so later
+    // actions replay at most 8 sweeps, not the whole loop
+    for (it <- 1 to iters) {
+      val next = step(g, ranks, handle) // lazily cached (see step)
       // superseded rank tables otherwise stay pinned until release() —
       // O(iters·N) storage AND a growing CacheManager sameResult scan per
-      // action (the halfStep lesson below)
-      ranks.unpersist(blocking = false)
+      // action (the halfStep lesson below). Unpersisting a PENDING lazy
+      // cache is always correct: substitution just doesn't happen and the
+      // single-reference chain recomputes that step exactly once.
+      if (ranks ne anchor) ranks.unpersist(blocking = false)
       ranks = next
+      // every 8th iteration, materialize: bounds the replay depth after a
+      // cache eviction to 8 O(E) joins and keeps the pending-cache chain
+      // short on long runs; costs one driver action per 8 sweeps (for the
+      // hours-per-sweep regime use pageRankResumable, which re-roots).
+      if (it % 8 == 0 && it < iters) {
+        next.count()
+        if (anchor != null) anchor.unpersist(blocking = false)
+        anchor = next
+      }
     }
     finish(g, ranks)
   }
@@ -141,7 +167,7 @@ object PageRank {
   ): DataFrame = {
     import graft.runtime.IterativeCheckpoint
     require(iters >= 1, "pageRank needs at least one iteration")
-    val g = prepare(edges, srcCol, dstCol, scaleBits, handle)
+    val (g, _) = prepare(edges, srcCol, dstCol, scaleBits, handle)
     val spark = edges.sparkSession
     // order-independent exact edge digest: decimal(38,0) sum of per-edge
     // hashes (the runtime/Lineage accumulation convention — a long sum
@@ -166,7 +192,8 @@ object PageRank {
     // everything below the one we resumed from (see prune ordering below)
     prune(spark, checkpointDir, below = done)
     for (it <- done + 1 to iters) {
-      val stepped = step(g, ranks, handle) // materialized by step()
+      val stepped = step(g, ranks, handle) // lazy; the write below is the
+      // one action that computes it (and fills the cache en route)
       // data first (overwrite clears any unmarked partial), marker second
       stepped.write.mode("overwrite").parquet(s"$checkpointDir/iter_$it")
       IterativeCheckpoint.save(spark, checkpointDir, it, mk)
@@ -234,9 +261,10 @@ object PageRank {
     * is what ranking consumes.
     *
     * Scale shape: per half-step one edge⋈score join + one
-    * map-side-combining groupBy (O(E) shuffle), one 1-row max aggregate
-    * driver-side, score tables cached/materialized per step (O(1)-deep
-    * lineage). Overflow guard: sums reach at most
+    * map-side-combining groupBy (O(E) shuffle, run once per half-step),
+    * the 1-row max riding a broadcast scalar join inside the plan (no
+    * driver round-trips in the loop), score tables lazily checkpointed
+    * per step (O(1)-deep plans). Overflow guard: sums reach at most
     * maxDegree · 2^scaleBits, so the operator ABORTS unless
     * maxDegree < 2^(62 − scaleBits) (the loud-guard convention).
     *
@@ -253,51 +281,55 @@ object PageRank {
   ): DataFrame = {
     require(iters >= 1, "hits needs at least one iteration")
     require(scaleBits >= 20 && scaleBits <= 50, "scaleBits must be in [20, 50]")
-    val g = prepare(edges, srcCol, dstCol, scaleBits, handle)
-    val spark = edges.sparkSession
-    // one action for both degree maxima (union of the two degree tables)
-    val maxDeg = g.outdeg.select(col("odeg").as("d"))
-      .union(g.e.groupBy("dst").agg(count(lit(1)).as("d")).select("d"))
-      .agg(max("d")).collect()(0).getLong(0)
+    // degree maxima fold into prepare's single validation job (one action
+    // fewer — these tiny sequential driver jobs are the floor of this query)
+    val (g, maxDeg) = prepare(edges, srcCol, dstCol, scaleBits, handle, withMaxDegree = true)
     require(maxDeg < (1L << (62 - scaleBits)),
       s"max degree $maxDeg would overflow the 2^$scaleBits HITS grid — lower scaleBits")
-    def shiftOf(maxRaw: Long): Int = {
-      val bitlen = 64 - java.lang.Long.numberOfLeadingZeros(maxRaw)
-      math.max(0, bitlen - scaleBits)
-    }
     // one half-step: inflow sum over `join` edges, renormalizing downshift.
-    // `raw` is deliberately NOT cached although it is referenced twice (max
-    // agg + out join): both references read the CACHED scores/nodes inputs,
-    // so the recompute is one tiny join+agg — whereas each extra cache
-    // entry carrying a deep iterative plan makes EVERY subsequent action's
-    // CacheManager lookup run sameResult against it (measured: caching raw
-    // took 3 iterations on an 8-edge graph from 3.9 s to 70 s)
+    // The downshift is a pure function of the 1-row max(raw), so it rides a
+    // broadcast scalar crossJoin INSIDE the plan (the Bm25 sanctioned
+    // pattern) instead of a driver round-trip: bitlen(max_raw) is exactly
+    // the string length of its base-2 conv (exact for non-negative longs,
+    // and raw sums are non-negative), shift = max(0, bitlen − scaleBits),
+    // and shiftright with a column shift amount is plain integer >>.
     def halfStep(scores: DataFrame, fromCol: String, toCol: String): DataFrame = {
-      val raw = g.e.join(scores.withColumnRenamed("node", fromCol), fromCol)
-        .groupBy(col(toCol).as("node"))
-        .agg(sum("s").as("raw"))
-      val maxRaw = raw.agg(max("raw")).collect()(0).getLong(0)
-      // cached but NOT eagerly counted: the NEXT half-step's max-collect
-      // reads this table and fills its cache (halving the sequential
-      // driver-action count, ~0.5 s each at bench SF)
-      handle.track(
+      // raw is checkpointed too: it is referenced twice (max agg + out
+      // join), and both references share one computed+persisted RDD — the
+      // O(E) edge⋈score join runs ONCE per half-step, not twice
+      val raw = handle.trackCheckpointed(
+        g.e.join(scores.withColumnRenamed("node", fromCol), fromCol)
+          .groupBy(col(toCol).as("node"))
+          .agg(sum("s").as("raw"))
+          .localCheckpoint(false))
+      val mx = raw.agg(max("raw").as("__max_raw"))
+      // LAZY localCheckpoint, not cache(): no action per half-step at all —
+      // the caller's one final action computes the whole chain, persisting
+      // each step's RDD at first touch so the double raw reference (max agg
+      // + out join) shares it. The checkpoint truncates the step's plan to
+      // a LogicalRDD LEAF, which is what makes a lazy chain survivable on
+      // the driver: with nested lazy CACHES every AQE event re-rendered the
+      // doubly-referenced tree (2^halfsteps expansions — measured 86 s of
+      // generateTreeString burn); an RDD leaf renders in O(1).
+      handle.trackCheckpointed(
         g.nodes.join(raw, Seq("node"), "left")
+          .crossJoin(broadcast(mx))
           .select(col("node"),
-            shiftright(coalesce(col("raw"), lit(0L)), shiftOf(maxRaw)).as("s"))
-          .cache())
+            call_function("shiftright",
+              coalesce(col("raw"), lit(0L)),
+              greatest(lit(0),
+                length(conv(col("__max_raw").cast("string"), 10, 2)) - lit(scaleBits))).as("s"))
+          .localCheckpoint(false))
     }
-    // LAG-2 unpersist: producing table t_k materializes t_{k-1} (the
-    // max-collect reads it), so t_{k-2} is then both SUPERSEDED and no
-    // longer reachable by any pending lazy cache fill — unpersisting it
-    // bounds pinned state to 3 tables instead of O(iters) (the CacheManager
-    // sameResult lesson) without paying an eager count per half-step.
+    // All 2·iters checkpointed RDDs stay persisted until the handle
+    // releases them (bounded O(N) each), and zero driver actions happen
+    // inside the loop — was: one max-collect per half-step, the measured
+    // ~80% of this query's bench time.
     val made = scala.collection.mutable.ArrayBuffer[DataFrame](
       handle.track(g.nodes.select(col("node"), lit(g.k).as("s")).cache()))
     for (_ <- 1 to iters) {
       made += halfStep(made.last, "src", "dst") // auth(v) = Σ_{u→v} hub(u)
-      if (made.size >= 3) made(made.size - 3).unpersist(blocking = false)
       made += halfStep(made.last, "dst", "src") // hub(u) = Σ_{u→v} auth(v)
-      if (made.size >= 3) made(made.size - 3).unpersist(blocking = false)
     }
     val hub = made.last
     val auth = made(made.size - 2)

@@ -30,9 +30,28 @@ import org.apache.spark.sql.DataFrame
   */
 final class CacheHandle {
   private val tracked = ArrayBuffer.empty[DataFrame]
+  private val rdds = ArrayBuffer.empty[org.apache.spark.rdd.RDD[_]]
 
   private[graft] def track(df: DataFrame): DataFrame = {
     synchronized { tracked += df }
+    df
+  }
+
+  /** Track a LAZY `localCheckpoint(eager = false)` result. Its persisted
+    * state is an RDD, not a CacheManager entry, so `Dataset.unpersist`
+    * cannot release it — the underlying RDD is captured from the
+    * checkpoint's `LogicalRDD` leaf and unpersisted at `release()`.
+    * (Iterative operators checkpoint each step because a lazily CACHED
+    * step chain is a driver hazard: nested `InMemoryRelation`s re-render
+    * the whole plan string per AQE event — measured 86 s of pure driver
+    * `generateTreeString` burn on q_hits — while `LogicalRDD` is an
+    * opaque leaf.) */
+  private[graft] def trackCheckpointed(df: DataFrame): DataFrame = {
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        synchronized { rdds += l.rdd }
+      case _ => () // not a checkpoint leaf — nothing persists, nothing to free
+    }
     df
   }
 
@@ -42,5 +61,7 @@ final class CacheHandle {
   def release(blocking: Boolean = true): Unit = synchronized {
     tracked.foreach(_.unpersist(blocking))
     tracked.clear()
+    rdds.foreach(_.unpersist(blocking))
+    rdds.clear()
   }
 }
