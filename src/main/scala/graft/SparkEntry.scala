@@ -475,7 +475,10 @@ object SparkEntry {
     // an operator oracled on its own; this query pins their COMPOSITION
     // (the filter->dedup->quota->split order a real corpus build runs)
     "q_curation_pipeline" -> ((s, dir) => {
-      val gated = t(s, dir, "documents")
+      // fanOut: quality/langid/fingerprint are per-row text work that
+      // otherwise runs on the corpus's ONE input split (measured: a 3.3 s
+      // single-task stage, ~the whole query)
+      val gated = graft.core.Partitions.fanOut(t(s, dir, "documents"))
         .withColumn("quality", round(TextFeatures.qualityScore(col("text")), 6))
         .withColumn("lang_pred", TextFeatures.langId(col("text")))
         .where(col("quality") >= 0.5 && col("lang_pred") === "en")
@@ -810,7 +813,7 @@ object SparkEntry {
       val feats = Seq("l_quantity", "l_extendedprice", "l_discount")
       val long = Melt.numeric(li, feats, keep = Seq("l_linestatus"))
         .select(col("feature"), col("value"), col("l_linestatus").as("y"))
-      Auc.scoresAuto(long)
+      Auc.scoresAuto(long, li.select(col("l_linestatus").as("y")))
         .select(col("feature"), round(col("score"), 6).as("score"))
         .orderBy("feature")
     }),

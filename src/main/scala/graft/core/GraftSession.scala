@@ -23,6 +23,15 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // AQE's coalescing floor (default 1m) is sized for byte-bound
+      // stages; the engine's count/rank tables are NARROW and CPU-dense
+      // (a <1 MB partition can carry 10^6 hash-agg rows), so the default
+      // floor coalesces compute-bound stages onto 2-3 cores. A lower
+      // floor only affects shuffles whose partitions are already tiny in
+      // bytes — at deployment scale (>>1 MB per partition) it is inert,
+      // and parallelismFirst (default true) still targets cluster
+      // parallelism rather than this floor.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

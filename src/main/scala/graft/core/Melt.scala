@@ -17,6 +17,12 @@ object Melt {
 
   /** Long form with a double-valued `value` column: one output row per input
     * row per feature. `keep` columns (e.g. the outcome) are carried along.
+    *
+    * NOT fanned out here (round-6 measurement): a blanket
+    * `Partitions.fanOut` inside the melt re-priced every caller's every
+    * action with the extra exchange — q_auc's class-discovery collect
+    * alone regressed +0.6 s while the heavy callers moved within noise.
+    * Callers whose post-melt work dominates fan out their INPUT instead.
     */
   def numeric(df: DataFrame, features: Seq[String], keep: Seq[String] = Nil): DataFrame = {
     val structs: Seq[Column] = features.map { f =>

@@ -23,6 +23,8 @@ object Partitions {
 
   def fanOut(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical._
+    if (df.isStreaming) return df // .rdd below would throw on a stream
+
     // guard: on a plan that already shuffles, `df.rdd` under AQE EXECUTES
     // every upstream exchange at plan-construction time and then discards
     // the work — and post-shuffle parallelism is already the session's, so

@@ -281,14 +281,14 @@ final case class MrmrStep(
     val classif = StepCommon.isClassification(df, outcome)
     val toCut = if (classif) numeric else numeric :+ outcome
     val cuts = if (toCut.nonEmpty) Binning.exactCuts(df, toCut.distinct, nbins) else Map.empty[String, Array[Double]]
-    val binned = df
+    val binned = graft.core.Partitions.fanOut(df
       .select(
         preds.map { p =>
           if (numeric.contains(p)) Binning.binByCuts(col(p), cuts(p)).cast("string").as(p)
           else col(p).cast("string").as(p)
         } :+ (if (classif) col(outcome).cast("string").as("__y")
               else Binning.binByCuts(col(outcome), cuts(outcome)).cast("string").as("__y")): _*
-      )
+      ))
     // cache only when the batched pairwise pass will rescan (chunked >1024
     // pairs) — with one chunk the single scan makes materialization a net loss
     val wantCache = (preds.size + 1).toLong * preds.size / 2 > 1024
@@ -412,7 +412,8 @@ final case class RocStep(
     val long = Melt
       .numeric(df, preds, keep = Seq(outcome))
       .select(col("feature"), col("value"), col(outcome).cast("string").as("y"))
-    val got = Auc.scoresAuto(long).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val got = Auc.scoresAuto(long, df.select(col(outcome).cast("string").as("y")))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     val scores = preds.map(p => p -> got.get(p).filterNot(_.isNaN))
     val (excluded, warns) =
       StepCommon.select(scores, topP, threshold, cutoff, maximize = true, name)
@@ -460,8 +461,8 @@ final case class FcbfStep(minimumSu: Double = 0.025, cutpoint: Double = 0.5,
         case Some(cut) => d.withColumn(c, Binning.medianSplitCol(col(c), cut))
       }
     }
-    val work = split
-      .select(usable.map(p => col(p).cast("string").as(p)) :+ col(outcome).cast("string").as("__y"): _*)
+    val work = graft.core.Partitions.fanOut(split
+      .select(usable.map(p => col(p).cast("string").as(p)) :+ col(outcome).cast("string").as("__y"): _*))
     // Small p (all pairs fit one chunk): compute SU(Xᵢ;Y) AND the complete
     // redundancy matrix SU(Xᵢ;Xⱼ) in ONE batched job and run the whole
     // elimination driver-side — no cache, single scan. Large p: wave-batch

@@ -44,34 +44,37 @@ object Correlation {
     *     single-partition row sort ever happens; midrank(v) =
     *     (#rows with value < v) + (ties(v) + 1)/2). Cached: it is referenced
     *     by both the feature-rank and the outcome-rank join.
-    *  2. ONE melted joint-counts pass builds the (feature, value, y-value)
-    *     distribution for ALL features — pairs with either side NULL drop
-    *     out, preserving `corr`'s pairwise-deletion semantics.
-    *  3. Ranks join onto the joint counts (tables of distinct-pair size,
-    *     not row count), and the count-weighted Pearson is computed with
-    *     the two-pass (subtract-the-mean) formulation — window means over
-    *     the feature partition reuse the final groupBy's partitioning, so
-    *     steps 2→3 are one exchange chain.
+    *  2. The melted rows join the BROADCAST rank tables map-side (pairs
+    *     with either side NULL drop out, preserving `corr`'s
+    *     pairwise-deletion semantics) into a lazily checkpointed
+    *     (feature, rf, ry) table — no exchange carries row volume.
+    *  3. Two map-side-combining p-group aggregation passes over it
+    *     compute the two-pass (subtract-the-mean) weighted Pearson, the
+    *     means riding back via a broadcast join.
     *
     * Identical results to the naive rank()-window formulation
     * (ScalableRankSpec pins equality at 1e-12). */
   def spearman(df: DataFrame, features: Seq[String], outcome: String): Map[String, Option[Double]] = {
     if (features.isEmpty) return Map.empty
-    val (stats, rankTable) = spearmanStats(df, features, outcome)
+    val handle = new graft.runtime.CacheHandle
+    val (stats, _) = spearmanStats(df, features, outcome, handle)
     try {
       val got = stats.collect().map { r =>
         val (sxy, sxx, syy) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
         r.getString(0) -> (sxy / math.sqrt(sxx * syy)) // 0/0 => NaN, like corr
       }.toMap
       features.map(f => f -> got.get(f)).toMap
-    } finally rankTable.unpersist(blocking = false)
+    } finally handle.release(blocking = false)
   }
 
   /** The per-feature weighted central moments (feature, sxy, sxx, syy, cnt)
-    * of the mid-ranks, plus the CACHED rank table the plan references twice
-    * — exposed so PlanSpec can pin the shuffle count; callers unpersist the
-    * rank table when done (as [[spearman]] does). */
-  private[graft] def spearmanStats(df: DataFrame, features: Seq[String], outcome: String): (DataFrame, DataFrame) = {
+    * of the mid-ranks, plus the CACHED rank table — exposed so PlanSpec can
+    * pin the shuffle count; `handle` owns the rank-table cache and the
+    * checkpointed joint-rank RDD (callers release(), as [[spearman]] does).
+    */
+  private[graft] def spearmanStats(
+      df: DataFrame, features: Seq[String], outcome: String,
+      handle: graft.runtime.CacheHandle = new graft.runtime.CacheHandle): (DataFrame, DataFrame) = {
     val cols = (features :+ outcome).distinct
     val counts = graft.core.Melt.numeric(df, cols)
       .where(col("value").isNotNull)
@@ -79,34 +82,47 @@ object Correlation {
       .agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy("feature").orderBy(col("value"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val rankTable = counts.select(
+    val rankTable = handle.track(counts.select(
       col("feature"), col("value"),
       (coalesce(sum("cnt").over(w), lit(0L)) + (col("cnt") + 1) / 2.0).as("midrank"))
-      .cache()
-    val joint = graft.core.Melt.numeric(
-        df.withColumn("__yv", col(outcome).cast("double")), features, keep = Seq("__yv"))
-      .where(col("value").isNotNull && col("__yv").isNotNull)
-      .groupBy("feature", "value", "__yv")
-      .agg(count(lit(1)).as("n"))
+      .cache())
     val yRank = rankTable.where(col("feature") === outcome)
       .select(col("value").as("__yv"), col("midrank").as("ry"))
-    val ranked = joint
-      .join(rankTable, Seq("feature", "value"))
-      .join(yRank, "__yv")
-      .select(col("feature"), col("n").cast("double").as("n"),
-        col("midrank").as("rf"), col("ry"))
-    // two-pass weighted Pearson: window means over the feature partition
-    // (partitionBy present — no global window), then centered sums in the
-    // groupBy that reuses the same hash partitioning
-    val wf = Window.partitionBy("feature")
-    val centered = ranked
-      .withColumn("mf", sum(col("n") * col("rf")).over(wf) / sum(col("n")).over(wf))
-      .withColumn("my", sum(col("n") * col("ry")).over(wf) / sum(col("n")).over(wf))
-    val stats = centered.groupBy("feature").agg(
-      sum(col("n") * (col("rf") - col("mf")) * (col("ry") - col("my"))).as("sxy"),
-      sum(col("n") * (col("rf") - col("mf")) * (col("rf") - col("mf"))).as("sxx"),
-      sum(col("n") * (col("ry") - col("my")) * (col("ry") - col("my"))).as("syy"),
-      sum(col("n")).as("cnt"))
+    // the rank tables are |distinct values| rows — BROADCAST them
+    // explicitly (left to its estimates the planner broadcast the joint
+    // side instead: a near-|rows| build side serialized on the driver
+    // while the tiny rank side probed). With both rank joins broadcast,
+    // the (feature, value, __yv) joint-counts groupBy the old formulation
+    // fed them from is PURE OVERHEAD: against a near-unique outcome it
+    // collapsed ~nothing, so its partial aggregation built |rows|-entry
+    // hash maps and shuffled |rows| anyway (the two slowest measured
+    // stages). Melted rows now join the broadcast ranks MAP-SIDE — no
+    // exchange at all before the final p-group aggregations — and the
+    // row-level table is checkpointed lazily so the two aggregation
+    // passes below share one computation.
+    val ranked = handle.trackCheckpointed(
+      graft.core.Melt.numeric(
+          df.withColumn("__yv", col(outcome).cast("double")), features, keep = Seq("__yv"))
+        .where(col("value").isNotNull && col("__yv").isNotNull)
+        .join(broadcast(rankTable), Seq("feature", "value"))
+        .join(broadcast(yRank), "__yv")
+        .select(col("feature"), col("midrank").as("rf"), col("ry"))
+        .localCheckpoint(false))
+    // two-pass weighted Pearson, both passes MAP-SIDE-COMBINING aggs over
+    // p groups: the per-feature means come from a parallel groupBy
+    // broadcast back onto the rows (the previous whole-partition window
+    // means serialized each feature's rows through one task — two
+    // single-threaded passes), then the centered sums aggregate in
+    // parallel. Same two-pass arithmetic on the same midranks; only the
+    // summation tree changes (well within the 1e-12 ScalableRankSpec pin).
+    val means = ranked.groupBy("feature").agg(
+      avg(col("rf")).as("mf"), avg(col("ry")).as("my"))
+    val stats = ranked.join(broadcast(means), "feature")
+      .groupBy("feature").agg(
+        sum((col("rf") - col("mf")) * (col("ry") - col("my"))).as("sxy"),
+        sum((col("rf") - col("mf")) * (col("rf") - col("mf"))).as("sxx"),
+        sum((col("ry") - col("my")) * (col("ry") - col("my"))).as("syy"),
+        count(lit(1)).cast("double").as("cnt"))
     (stats, rankTable)
   }
 

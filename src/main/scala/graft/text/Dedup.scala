@@ -84,9 +84,13 @@ object Dedup {
     // long form (one row per (doc, shingle) — LARGER than the input corpus):
     // the explodes below re-run per reference, but they read the cached
     // arrays, not the raw text + shingle computation. Sizes come free from
-    // size(array) — no aggregation shuffle.
+    // size(array) — no aggregation shuffle. The input fans out first: on a
+    // one-split corpus the shingle build otherwise fills the cache on ONE
+    // core (measured 0.94 s of this query's ~2 s — the r5 fanOut guidance:
+    // pays exactly where pre-shuffle per-row work dominates).
     val docSh = handle.track(
-      df.select(col(id), shingles(col(text), n).as("__sh")).cache())
+      graft.core.Partitions.fanOut(df.select(col(id), col(text)))
+        .select(col(id), shingles(col(text), n).as("__sh")).cache())
     val sh = docSh.select(col(id), explode(col("__sh")).as("shingle"))
     val sizes = docSh.select(col(id), size(col("__sh")).cast("long").as("sz"))
     val rare = sh
