@@ -38,43 +38,84 @@ import org.apache.spark.sql.functions._
 object PageRank {
 
   private case class Graph(
-      e: DataFrame, nodes: DataFrame, outdeg: DataFrame, n: Long, base: Long, k: Long)
+      e: DataFrame, nodes: DataFrame, outdeg: DataFrame, hot: Option[DataFrame],
+      nSalts: Int, n: Long, base: Long, k: Long)
+
+  private val NSalts = 16
 
   private def prepare(
       edges: DataFrame, srcCol: String, dstCol: String, scaleBits: Int,
-      handle: graft.runtime.CacheHandle, withMaxDegree: Boolean = false): (Graph, Long) = {
+      handle: graft.runtime.CacheHandle, withMaxDegree: Boolean = false,
+      saltHotAbove: Long = 0L): (Graph, Long) = {
     require(scaleBits >= 20 && scaleBits <= 55, "scaleBits must be in [20, 55]")
     val k = 1L << scaleBits
-    val e = handle.track(
-      edges
-        .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-        .where(col("src").isNotNull && col("dst").isNotNull)
-        .repartition(col("src"))
-        .cache())
+    val e0 = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+    val e = handle.track(e0.repartition(col("src")).cache())
     val nodes = handle.track(
       e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node")))
         .distinct()
         .cache())
     val outdeg = handle.track(e.groupBy("src").agg(count(lit(1)).as("odeg")).cache())
-    // ONE validation action (count + min — and, when the caller needs it,
-    // the degree maximum, crossJoined in as a 1-row aggregate — all in the
-    // same job: these tiny sequential driver jobs are the measured floor
-    // of the graph queries)
-    val statsDf = nodes.agg(count(lit(1)).as("n"), min("node").as("mn"))
-    val stats =
-      if (!withMaxDegree) statsDf.collect()(0)
-      else statsDf.crossJoin(
+    // ONE validation action (count + min — plus, crossJoined in as 1-row
+    // aggregates, the degree maximum when the caller needs it and the
+    // HOT-SOURCE count when salting is requested — all in the same job:
+    // these tiny sequential driver jobs are the measured floor of the
+    // graph queries)
+    val statsDf0 = nodes.agg(count(lit(1)).as("n"), min("node").as("mn"))
+    val statsDf1 =
+      if (!withMaxDegree) statsDf0
+      else statsDf0.crossJoin(
         outdeg.select(col("odeg").as("d"))
           .union(e.groupBy("dst").agg(count(lit(1)).as("d")).select("d"))
-          .agg(max("d").as("maxd"))).collect()(0)
+          .agg(max("d").as("maxd")))
+    val statsDf =
+      if (saltHotAbove <= 0) statsDf1
+      else statsDf1.crossJoin(
+        outdeg.agg(count(when(col("odeg") > saltHotAbove, 1)).as("nhot")))
+    val stats = statsDf.collect()(0)
     val n = stats.getLong(0)
     require(n >= 1, "pageRank needs a non-empty graph")
     require(n <= k, s"node count $n exceeds the 2^$scaleBits rank grid")
     require(stats.getLong(1) >= 0,
       "pageRank needs non-negative node ids (integer div == floor only there)")
     val maxDeg = if (withMaxDegree) stats.getLong(2) else -1L
-    (Graph(e, nodes, outdeg, n, (3L * k) / (20L * n), k), maxDeg)
+    val nHot = if (saltHotAbove <= 0) 0L else stats.getLong(stats.length - 1)
+    // HOT-SOURCE SALTING (round-5 verdict finding #3): the cached edge
+    // table is partitioned by src so every iteration's rank join reuses it
+    // with ZERO E-sized exchanges — but that pre-baked partitioning is
+    // exactly where AQE's skew-join splitting cannot help, so one
+    // unbounded-out-degree source (follower graphs; web out-degree is
+    // page-size-bounded) would straggle silently forever. When the
+    // validation action finds sources above `saltHotAbove` out-edges, the
+    // edge cache is REBUILT (from the cached unsalted table — one cheap
+    // extra pass, paid only by skewed graphs; typical web graphs take the
+    // zero-overhead path) partitioned by (src, dst-hash salt), and each
+    // iteration replicates only the HOT sources' rank rows (exact: the
+    // contribution r div odeg is identical per edge of u). The hot list is
+    // a tiny broadcast (out-degree > threshold sources). Multi-edges to
+    // ONE dst share a salt and remain unsplittable (deterministic by
+    // construction).
+    val (eFinal, hotDf) =
+      if (nHot == 0L) (e, None)
+      else {
+        val h = handle.track(
+          outdeg.where(col("odeg") > saltHotAbove)
+            .select(col("src"), lit(true).as("__hot")).cache())
+        val salted = handle.track(
+          e.join(broadcast(h), Seq("src"), "left")
+            .withColumn("__salt",
+              when(col("__hot").isNotNull,
+                pmod(xxhash64(col("dst")), lit(NSalts.toLong)).cast("int"))
+                .otherwise(lit(0)))
+            .drop("__hot")
+            .repartition(col("src"), col("__salt"))
+            .cache())
+        (salted, Some(h))
+      }
+    (Graph(eFinal, nodes, outdeg, hotDf, NSalts, n, (3L * k) / (20L * n), k), maxDeg)
   }
 
   /** One iteration of the integer recurrence; caches the next rank table
@@ -87,11 +128,25 @@ object PageRank {
     * floor (~0.4 s each at bench SF) on top of that. */
   private def step(
       g: Graph, ranks: DataFrame, handle: graft.runtime.CacheHandle): DataFrame = {
-    val inflow = g.e
-      .join(ranks.withColumnRenamed("node", "src"), "src")
+    // per-SOURCE contribution first (r div odeg is constant per src —
+    // one division per node instead of one per edge), then replicate only
+    // the HOT sources' rows across the salt range; cold rows carry salt 0,
+    // matching the cached edge partitioning either way.
+    val contrib = ranks.withColumnRenamed("node", "src")
       .join(g.outdeg, "src")
+      .select(col("src"), expr("r div odeg").as("c"))
+    val joined = g.hot match {
+      case None => g.e.join(contrib, "src")
+      case Some(h) =>
+        val rs = contrib.join(broadcast(h), Seq("src"), "left")
+          .select(col("src"), col("c"),
+            explode(when(col("__hot").isNotNull,
+              sequence(lit(0), lit(g.nSalts - 1))).otherwise(array(lit(0)))).as("__salt"))
+        g.e.join(rs, Seq("src", "__salt"))
+    }
+    val inflow = joined
       .groupBy(col("dst").as("node"))
-      .agg(sum(expr("r div odeg")).as("inflow"))
+      .agg(sum("c").as("inflow"))
     handle.track(
       g.nodes
         .join(inflow, Seq("node"), "left")
@@ -110,10 +165,12 @@ object PageRank {
       dstCol: String,
       iters: Int,
       scaleBits: Int = 50,
-      handle: graft.runtime.CacheHandle = new graft.runtime.CacheHandle
+      handle: graft.runtime.CacheHandle = new graft.runtime.CacheHandle,
+      hotSourceDegree: Long = 1L << 18
   ): DataFrame = {
     require(iters >= 1, "pageRank needs at least one iteration")
-    val (g, _) = prepare(edges, srcCol, dstCol, scaleBits, handle)
+    val (g, _) = prepare(edges, srcCol, dstCol, scaleBits, handle,
+      saltHotAbove = hotSourceDegree)
     var ranks = handle.track(g.nodes.select(col("node"), lit(g.k / g.n).as("r")).cache())
     var anchor: DataFrame = null // last MATERIALIZED table — pinned so later
     // actions replay at most 8 sweeps, not the whole loop
@@ -163,11 +220,13 @@ object PageRank {
       iters: Int,
       checkpointDir: String,
       scaleBits: Int = 50,
-      handle: graft.runtime.CacheHandle = new graft.runtime.CacheHandle
+      handle: graft.runtime.CacheHandle = new graft.runtime.CacheHandle,
+      hotSourceDegree: Long = 1L << 18
   ): DataFrame = {
     import graft.runtime.IterativeCheckpoint
     require(iters >= 1, "pageRank needs at least one iteration")
-    val (g, _) = prepare(edges, srcCol, dstCol, scaleBits, handle)
+    val (g, _) = prepare(edges, srcCol, dstCol, scaleBits, handle,
+      saltHotAbove = hotSourceDegree)
     val spark = edges.sparkSession
     // order-independent exact edge digest: decimal(38,0) sum of per-edge
     // hashes (the runtime/Lineage accumulation convention — a long sum

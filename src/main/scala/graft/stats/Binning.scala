@@ -14,9 +14,9 @@ import org.apache.spark.sql.functions._
   *  - [[ntileBins]]  — exact rank-based equal-frequency (SQL NTILE), used
   *    where oracle parity matters. Ties are broken by an explicit unique
   *    tiebreak column so the assignment is deterministic and identical across
-  *    engines. NOTE: ntile is a single ordered partition per feature — fine
-  *    for p small relative to cluster width (each feature sorts in parallel
-  *    with the others), but a skew hazard at extreme scale.
+  *    engines. NOTE: the rank window runs per feature over DISTINCT values
+  *    (tiny for binned/low-cardinality inputs, its regime); near-unique
+  *    columns should use the spearman-style two-phase bucketed prefix.
   *  - [[cutpointBins]] — compute exact quantile cut points (one distributed
   *    pass, relativeError = 0), broadcast them, and bin by value comparison.
   *    Fully scalable: no global sort, pure map-side `when` chain. Rows tied
@@ -47,7 +47,13 @@ object Binning {
     val wf = Window.partitionBy("feature")
     // __before and __n in ONE window pass over the counts table — a second
     // aggregation would re-execute the whole upstream scan (Catalyst does
-    // not share re-referenced subtrees)
+    // not share re-referenced subtrees). Round-6 measurement: the
+    // two-phase bucketed prefix (Correlation.spearmanStats' shape) was
+    // tried here and REVERTED — the entropy-path inputs are binned/
+    // low-cardinality, so the counts table is tiny and the per-feature
+    // window trivial; the extra checkpoint+exchanges cost ~0.4 s flat.
+    // For near-unique columns (where the serial window IS the hazard)
+    // use the spearman pattern.
     val cumTable = counts.select(
       col("feature").as("__f"), col("value").as("__v"),
       coalesce(sum("__cnt").over(wv), lit(0L)).as("__before"),

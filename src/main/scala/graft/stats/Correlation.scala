@@ -14,10 +14,10 @@ import org.apache.spark.sql.functions._
   * matrix: ω = R_X^{−1/2} · ρ_{Xy}.
   *
   * Scale shape: all p correlations in ONE aggregation pass (p `corr` aggs in
-  * a single `agg`, partial+final). Spearman ranks use one window per column —
-  * each a single ordered partition; acceptable for p features ranked in
-  * parallel, with the cutpoint-binned approximation available where a global
-  * per-column sort is infeasible.
+  * a single `agg`, partial+final). Spearman ranks are two-phase bucketed
+  * prefix sums over per-column DISTINCT-value counts — no single-partition
+  * sort at any scale — with the cutpoint-binned approximation available
+  * where even the distinct-count table is infeasible.
   */
 object Correlation {
 
@@ -44,10 +44,11 @@ object Correlation {
     *     single-partition row sort ever happens; midrank(v) =
     *     (#rows with value < v) + (ties(v) + 1)/2). Cached: it is referenced
     *     by both the feature-rank and the outcome-rank join.
-    *  2. The melted rows join the BROADCAST rank tables map-side (pairs
-    *     with either side NULL drop out, preserving `corr`'s
-    *     pairwise-deletion semantics) into a lazily checkpointed
-    *     (feature, rf, ry) table — no exchange carries row volume.
+    *  2. The melted rows join the rank tables (pairs with either side
+    *     NULL drop out, preserving `corr`'s pairwise-deletion semantics)
+    *     into a lazily checkpointed (feature, rf, ry) table — the planner
+    *     broadcasts the rank side whenever its size estimate allows,
+    *     which is the distinct-value-count regime this operator targets.
     *  3. Two map-side-combining p-group aggregation passes over it
     *     compute the two-pass (subtract-the-mean) weighted Pearson, the
     *     means riding back via a broadcast join.
@@ -80,32 +81,49 @@ object Correlation {
       .where(col("value").isNotNull)
       .groupBy("feature", "value")
       .agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy("feature").orderBy(col("value"))
+    // TWO-PHASE midranks over the counts table. The single
+    // Window.partitionBy(feature) this replaces serialized each feature's
+    // whole distinct-value set through ONE task — for a near-unique
+    // outcome that is a |rows|-sized sort on one core at any scale (the
+    // "skew hazard at extreme scale" note in Binning). Here the value's
+    // order-preserving bit image yields monotone range buckets for free
+    // (no quantile probe, no extra job): per-(feature, bucket) totals
+    // cumulate through a TINY per-feature window over bucket rows
+    // (≤ 2^20 rows per feature regardless of data size), bases join
+    // back, and the within-bucket prefix windows run in parallel. The
+    // summed cnt set per value is identical (exact longs), so midranks
+    // are bit-identical to the single-window formulation.
+    val bucketed = counts.withColumn("__bkt", graft.functions.DoubleBits.bucket(col("value"), 20))
+    val wb = Window.partitionBy("feature").orderBy("__bkt")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val rankTable = handle.track(counts.select(
-      col("feature"), col("value"),
-      (coalesce(sum("cnt").over(w), lit(0L)) + (col("cnt") + 1) / 2.0).as("midrank"))
+    val bases = bucketed.groupBy("feature", "__bkt").agg(sum("cnt").as("__bc"))
+      .select(col("feature"), col("__bkt"),
+        coalesce(sum("__bc").over(wb), lit(0L)).as("__base"))
+    val wv = Window.partitionBy("feature", "__bkt").orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val rankTable = handle.track(bucketed
+      .join(bases, Seq("feature", "__bkt"))
+      .select(col("feature"), col("value"),
+        (col("__base") + coalesce(sum("cnt").over(wv), lit(0L)) +
+          (col("cnt") + 1) / 2.0).as("midrank"))
       .cache())
     val yRank = rankTable.where(col("feature") === outcome)
       .select(col("value").as("__yv"), col("midrank").as("ry"))
-    // the rank tables are |distinct values| rows — BROADCAST them
-    // explicitly (left to its estimates the planner broadcast the joint
-    // side instead: a near-|rows| build side serialized on the driver
-    // while the tiny rank side probed). With both rank joins broadcast,
-    // the (feature, value, __yv) joint-counts groupBy the old formulation
-    // fed them from is PURE OVERHEAD: against a near-unique outcome it
-    // collapsed ~nothing, so its partial aggregation built |rows|-entry
-    // hash maps and shuffled |rows| anyway (the two slowest measured
-    // stages). Melted rows now join the broadcast ranks MAP-SIDE — no
-    // exchange at all before the final p-group aggregations — and the
-    // row-level table is checkpointed lazily so the two aggregation
+    // The (feature, value, __yv) joint-counts groupBy the old formulation
+    // fed its rank joins from was PURE OVERHEAD: against a near-unique
+    // outcome it collapsed ~nothing, so its partial aggregation built
+    // |rows|-entry hash maps and shuffled |rows| anyway (the two slowest
+    // measured stages). Melted rows now join the rank tables directly
+    // (size-based broadcast in the distinct-value-count regime; plain
+    // shuffle joins — the old shape — when ranks approach row count), and
+    // the row-level table is checkpointed lazily so the two aggregation
     // passes below share one computation.
     val ranked = handle.trackCheckpointed(
       graft.core.Melt.numeric(
           df.withColumn("__yv", col(outcome).cast("double")), features, keep = Seq("__yv"))
         .where(col("value").isNotNull && col("__yv").isNotNull)
-        .join(broadcast(rankTable), Seq("feature", "value"))
-        .join(broadcast(yRank), "__yv")
+        .join(rankTable, Seq("feature", "value"))
+        .join(yRank, "__yv")
         .select(col("feature"), col("midrank").as("rf"), col("ry"))
         .localCheckpoint(false))
     // two-pass weighted Pearson, both passes MAP-SIDE-COMBINING aggs over

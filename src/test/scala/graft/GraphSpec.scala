@@ -53,6 +53,27 @@ class GraphSpec extends AnyFunSuite {
       "handle released all pageRank caches")
   }
 
+  test("pageRank hot-hub salting: bit-identical on a 100k-out-degree source at any parallelism") {
+    // one hub (node 0) with 100k out-edges — the non-web shape (follower
+    // graph) whose src-partitioned edge cache would otherwise put every
+    // hub edge in ONE partition, beyond AQE skew-splitting's reach. With
+    // hotSourceDegree below the hub's degree the salted path activates;
+    // results must stay bit-identical to the local integer replay (the
+    // salted rank replica is exact: r div odeg is identical per edge).
+    val hub: Seq[(Long, Long)] =
+      (1L to 100000L).map(d => (0L, d)) ++ Seq((5L, 0L), (7L, 5L), (7L, 0L))
+    val h = new graft.runtime.CacheHandle
+    def run(parts: Int): Map[Long, Long] =
+      PageRank.pageRank(hub.toDF("s", "d").repartition(parts), "s", "d",
+        iters = 2, scaleBits = 40, handle = h, hotSourceDegree = 1000L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = run(3)
+    assert(got == run(17), "salted ranks must be bit-identical at any parallelism")
+    val expect = localPr(hub, 2, 40)
+    assert(got == expect, "salted ranks must equal the unsalted integer replay")
+    h.release()
+  }
+
   test("pageRankResumable: bit-exact resume from a marked checkpoint; marker guard") {
     val h = new graft.runtime.CacheHandle
     def ranksOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =

@@ -36,6 +36,29 @@ class ScalableRankSpec extends AnyFunSuite {
     assert(got(2L).isEmpty && got(1L).contains(1) && got(3L).contains(2))
   }
 
+  test("DoubleBits.monotone preserves Spark's ascending double order (NaN last, signs, subnormals)") {
+    val vals = Seq(
+      Double.NegativeInfinity, -1.7e308, -123.456, -1.0, -Double.MinPositiveValue,
+      0.0, Double.MinPositiveValue, 1e-300, 0.5, 1.0, 123.456, 1.7e308,
+      Double.PositiveInfinity, Double.NaN)
+    // pairwise: m(a) < m(b) iff a sorts before b (java.lang.Double.compare
+    // == Spark's ascending null-free double ordering)
+    for (a <- vals; b <- vals) {
+      val cmp = java.lang.Double.compare(a, b)
+      val m = java.lang.Long.compare(
+        graft.functions.DoubleBits.monotone(a), graft.functions.DoubleBits.monotone(b))
+      assert(Integer.signum(m) == Integer.signum(cmp), s"order($a, $b)")
+    }
+    // bucket is non-decreasing in the same order, and the codegen path
+    // agrees with the static helper
+    val df = vals.filterNot(_.isNaN).toDF("v").select(col("v").cast("double").as("v"))
+    val got = df.select(col("v"), graft.functions.DoubleBits.of(col("v")).as("m")).collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    vals.filterNot(_.isNaN).foreach { v =>
+      assert(got(v) == graft.functions.DoubleBits.monotone(v), s"codegen($v)")
+    }
+  }
+
   test("scalable spearman == midRanks-window spearman") {
     val rng = new scala.util.Random(12)
     val df = (0 until 500).map { _ =>

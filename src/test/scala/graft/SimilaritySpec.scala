@@ -490,5 +490,11 @@ class SimilaritySpec extends AnyFunSuite {
       Similarity.semanticDedup(corpus, "id", "v", cents, minCosine = 0.97, maxCellPairs = 1L)
     }
     assert(e.getMessage.contains("pairwise comparisons"))
+    // width-aware default budget: ~2^36 multiply-adds, floored at 2^20
+    // pairs; an explicit positive cap overrides
+    assert(Similarity.cellPairBudget(64, 0L) == (1L << 30))
+    assert(Similarity.cellPairBudget(1024, 0L) == (1L << 26))
+    assert(Similarity.cellPairBudget(1 << 20, 0L) == (1L << 20)) // floor
+    assert(Similarity.cellPairBudget(64, 12345L) == 12345L)
   }
 }
