@@ -165,27 +165,48 @@ final case class BorutaStep(
       val indexer = if (classif) Some(ModelBased.labelIndexer(base, outcome)) else None
       val hits = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
       val history = scala.collection.mutable.ArrayBuffer.empty[Map[String, Double]]
-      for (round <- 1 to maxRuns) {
+      // Rounds are INDEPENDENT given the one-pass shadow cache — each fit
+      // reads its own round's columns and its own seed — but each RF
+      // stats job only schedules ~fitParts tasks, far below session
+      // parallelism on the sampled inputs this step targets. Overlapping
+      // the fits from a small driver pool back-fills one round's stats-job
+      // tail with the next round's tasks; importances are a pure function
+      // of (data, seed, partition layout), which concurrency does not
+      // touch, so hits/decisions/history are identical to the sequential
+      // loop (StepsSpec pins the history values).
+      allRounds.count() // fill the shadow cache once, not per concurrent first job
+      def fitRound(round: Int): Map[String, Double] = {
         val keepCols = allRounds.columns
           .filterNot(_.startsWith("__sh_")).map(col) ++
           preds.map(p => col(s"__sh_${p}__r$round").as(s"__sh_$p"))
         val data = allRounds.select(keepCols.toSeq: _*)
-        val imps: Map[String, Double] =
-          if (classif) {
-            val m = new RandomForestClassifier()
-              .setFeaturesCol("__features").setLabelCol("__label")
-              .setNumTrees(trees).setMaxDepth(maxDepth).setMaxBins(maxBins)
-              .setSeed(seed + round)
-              .fit(ModelBased.assemble(indexer.get.transform(data), allFeats))
-            allFeats.zip(m.featureImportances.toArray).toMap
-          } else {
-            val m = new RandomForestRegressor()
-              .setFeaturesCol("__features").setLabelCol(outcome)
-              .setNumTrees(trees).setMaxDepth(maxDepth).setMaxBins(maxBins)
-              .setSeed(seed + round)
-              .fit(ModelBased.assemble(data, allFeats))
-            allFeats.zip(m.featureImportances.toArray).toMap
-          }
+        if (classif) {
+          val m = new RandomForestClassifier()
+            .setFeaturesCol("__features").setLabelCol("__label")
+            .setNumTrees(trees).setMaxDepth(maxDepth).setMaxBins(maxBins)
+            .setSeed(seed + round)
+            .fit(ModelBased.assemble(indexer.get.transform(data), allFeats))
+          allFeats.zip(m.featureImportances.toArray).toMap
+        } else {
+          val m = new RandomForestRegressor()
+            .setFeaturesCol("__features").setLabelCol(outcome)
+            .setNumTrees(trees).setMaxDepth(maxDepth).setMaxBins(maxBins)
+            .setSeed(seed + round)
+            .fit(ModelBased.assemble(data, allFeats))
+          allFeats.zip(m.featureImportances.toArray).toMap
+        }
+      }
+      val roundImps: Seq[Map[String, Double]] = {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(4, maxRuns))
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        try {
+          val futs = (1 to maxRuns).map(round => Future(fitRound(round)))
+          futs.map(Await.result(_, Duration.Inf))
+        } finally pool.shutdown()
+      }
+      for (imps <- roundImps) {
         val shadowImps = preds.map(p => imps(s"__sh_$p"))
         val shadowMax = shadowImps.max
         preds.foreach(p => if (imps(p) > shadowMax) hits(p) += 1)

@@ -61,23 +61,30 @@ object Correlation {
     val (stats, _) = spearmanStats(df, features, outcome, handle)
     try {
       val got = stats.collect().map { r =>
-        val (sxy, sxx, syy) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
-        r.getString(0) -> (sxy / math.sqrt(sxx * syy)) // 0/0 => NaN, like corr
+        // corr yields NULL for degenerate groups (n<2 / zero variance);
+        // surface it as NaN, the shape the old 0/0 two-pass produced
+        r.getString(0) -> (if (r.isNullAt(1)) Double.NaN else r.getDouble(1))
       }.toMap
       features.map(f => f -> got.get(f)).toMap
     } finally handle.release(blocking = false)
   }
 
-  /** The per-feature weighted central moments (feature, sxy, sxx, syy, cnt)
-    * of the mid-ranks, plus the CACHED rank table — exposed so PlanSpec can
-    * pin the shuffle count; `handle` owns the rank-table cache and the
-    * checkpointed joint-rank RDD (callers release(), as [[spearman]] does).
+  /** The per-feature mid-rank correlations (feature, rho), plus the CACHED
+    * rank table — exposed so PlanSpec can pin the shuffle count; `handle`
+    * owns the rank-table cache (callers release(), as [[spearman]] does).
     */
   private[graft] def spearmanStats(
       df: DataFrame, features: Seq[String], outcome: String,
       handle: graft.runtime.CacheHandle = new graft.runtime.CacheHandle): (DataFrame, DataFrame) = {
     val cols = (features :+ outcome).distinct
-    val counts = graft.core.Melt.numeric(df, cols)
+    // fanOut BEFORE the melt (projected to the needed columns, ~8 B each):
+    // an under-split source otherwise runs both melts' explode + partial
+    // aggregation on the input split count (measured: three 1.5-2 s
+    // 3-task stages at bench SF), and the two melt subtrees below share
+    // the one round-robin exchange via reuse
+    val src = graft.core.Partitions.fanOut(
+      df.select(cols.map(c => col(c).cast("double").as(c)): _*))
+    val counts = graft.core.Melt.numeric(src, cols)
       .where(col("value").isNotNull)
       .groupBy("feature", "value")
       .agg(count(lit(1)).as("cnt"))
@@ -115,32 +122,22 @@ object Correlation {
     // |rows|-entry hash maps and shuffled |rows| anyway (the two slowest
     // measured stages). Melted rows now join the rank tables directly
     // (size-based broadcast in the distinct-value-count regime; plain
-    // shuffle joins — the old shape — when ranks approach row count), and
-    // the row-level table is checkpointed lazily so the two aggregation
-    // passes below share one computation.
-    val ranked = handle.trackCheckpointed(
+    // shuffle joins — the old shape — when ranks approach row count).
+    val ranked =
       graft.core.Melt.numeric(
-          df.withColumn("__yv", col(outcome).cast("double")), features, keep = Seq("__yv"))
+          src.withColumn("__yv", col(outcome)), features, keep = Seq("__yv"))
         .where(col("value").isNotNull && col("__yv").isNotNull)
         .join(rankTable, Seq("feature", "value"))
         .join(yRank, "__yv")
         .select(col("feature"), col("midrank").as("rf"), col("ry"))
-        .localCheckpoint(false))
-    // two-pass weighted Pearson, both passes MAP-SIDE-COMBINING aggs over
-    // p groups: the per-feature means come from a parallel groupBy
-    // broadcast back onto the rows (the previous whole-partition window
-    // means serialized each feature's rows through one task — two
-    // single-threaded passes), then the centered sums aggregate in
-    // parallel. Same two-pass arithmetic on the same midranks; only the
-    // summation tree changes (well within the 1e-12 ScalableRankSpec pin).
-    val means = ranked.groupBy("feature").agg(
-      avg(col("rf")).as("mf"), avg(col("ry")).as("my"))
-    val stats = ranked.join(broadcast(means), "feature")
-      .groupBy("feature").agg(
-        sum((col("rf") - col("mf")) * (col("ry") - col("my"))).as("sxy"),
-        sum((col("rf") - col("mf")) * (col("rf") - col("mf"))).as("sxx"),
-        sum((col("ry") - col("my")) * (col("ry") - col("my"))).as("syy"),
-        count(lit(1)).cast("double").as("cnt"))
+    // ONE map-side-combining corr aggregation over p groups. The row-level
+    // rank table carries weight 1 per row, so Spark's one-pass stable
+    // co-moment corr IS the reference arithmetic the two-pass weighted
+    // Pearson was pinned against (ScalableRankSpec's oracle ends in
+    // Correlation.pearson over window midranks = the same Corr aggregate);
+    // dropping the second pass also drops the localCheckpoint
+    // materialization and the means broadcast join the old shape needed.
+    val stats = ranked.groupBy("feature").agg(corr(col("rf"), col("ry")).as("rho"))
     (stats, rankTable)
   }
 
