@@ -1,6 +1,7 @@
 package graft.core
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, xxhash64}
 
 /** Parallelism guard for expensive per-row projections (char-bigram
   * explodes, token hashing): when the source arrives UNDER-SPLIT — fewer
@@ -37,6 +38,13 @@ object Partitions {
     }
     if (shuffles) return df
     val want = df.sparkSession.sessionState.conf.numShufflePartitions
+    // keyless round-robin, DELIBERATELY: hash-repartitioning on
+    // xxhash64(all columns) was tried here (to skip round-robin's
+    // sortBeforeRepartition local sort) and REVERTED — real inputs carry
+    // duplicate full rows (lineitem's numeric projections), so the
+    // full-row key space collapses and the hash layout skews
+    // (q_corr_spearman 2.6 -> 4.6 s). The retry-determinism sort runs on
+    // the under-split source's few partitions and is the cheaper evil.
     if (df.rdd.getNumPartitions < want) df.repartition(want) else df
   }
 }

@@ -120,7 +120,12 @@ final case class LinearStep(
     val preds0 = StepCommon.resolvePredictors(df, outcome, predictors)
     val preds = StepCommon.numericPredictors(df, preds0)
     // complete cases, like R's na.omit (VectorAssembler's skip only covers
-    // invalid FEATURES — a null label would fail the MLlib fit)
+    // invalid FEATURES — a null label would fail the MLlib fit).
+    // fanOut was tried here and REVERTED: MLlib's fit + model summary are
+    // SEPARATE actions with no cross-action exchange reuse, so each one
+    // re-executed the repartition's under-split map side (three 0.5-0.8 s
+    // 3-task sort stages replaced two 0.4 s 3-task aggregates —
+    // q_linear 1.2 -> 2.4 s).
     val dfc = df.na.drop(preds :+ outcome)
     val coefs: Map[String, Double] =
       if (StepCommon.isClassification(df, outcome)) {

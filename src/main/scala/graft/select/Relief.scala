@@ -59,6 +59,14 @@ final case class ReliefStep(
     val preds = StepCommon.numericPredictors(df, preds0)
     val classif = StepCommon.isClassification(df, outcome)
     val data0 = df.na.drop(preds :+ outcome)
+    // fanOut was tried here (plain, then + cache for the three separate
+    // actions: ranges, anchors, the exploded pass) and REVERTED both
+    // times: uncached, every action re-executed the repartition's
+    // under-split map side (1.6 -> 2.4 s); cached, the fill +
+    // materialization cost still outweighed spreading the 1.0 s 3-task
+    // bounded-heap stage (1.6 -> 1.8 s). The heap pass is already
+    // payload-trimmed; at deployment split counts the source arrives
+    // well-split and neither variant applies.
     val data =
       if (classif)
         data0.select((preds.map(p => col(p).cast("double").as(p)) :+

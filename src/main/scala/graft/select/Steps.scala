@@ -280,15 +280,21 @@ final case class MrmrStep(
     val numeric = StepCommon.numericPredictors(df, preds)
     val classif = StepCommon.isClassification(df, outcome)
     val toCut = if (classif) numeric else numeric :+ outcome
+    // A/B-measured round 6 and left PLAIN: both fanOut(binned) (the prior
+    // shape) and a cached fanned projection shared by exactCuts' three
+    // jobs regressed q_mrmr here (2.2 -> 2.6-2.8 s) — the pairwise
+    // explode's map-side combine is cheap enough per row that the extra
+    // exchange (and the cache fill + in-memory rescans) cost more than
+    // the under-split scans they replace.
     val cuts = if (toCut.nonEmpty) Binning.exactCuts(df, toCut.distinct, nbins) else Map.empty[String, Array[Double]]
-    val binned = graft.core.Partitions.fanOut(df
+    val binned = df
       .select(
         preds.map { p =>
           if (numeric.contains(p)) Binning.binByCuts(col(p), cuts(p)).cast("string").as(p)
           else col(p).cast("string").as(p)
         } :+ (if (classif) col(outcome).cast("string").as("__y")
               else Binning.binByCuts(col(outcome), cuts(outcome)).cast("string").as("__y")): _*
-      ))
+      )
     // cache only when the batched pairwise pass will rescan (chunked >1024
     // pairs) — with one chunk the single scan makes materialization a net loss
     val wantCache = (preds.size + 1).toLong * preds.size / 2 > 1024
@@ -437,7 +443,16 @@ final case class FcbfStep(minimumSu: Double = 0.025, cutpoint: Double = 0.5,
   def fit(df: DataFrame, outcome: String, predictors: Seq[String]): FittedSelector = {
     val preds = StepCommon.resolvePredictors(df, outcome, predictors)
     val numeric = StepCommon.numericPredictors(df, preds)
-    val sel = df.select((preds :+ outcome).distinct.map(col): _*)
+    // ONE fanned projection of the needed columns, cached: the type-7
+    // quantile machinery runs three jobs (bracket sketch, fused counts,
+    // in-bracket collect) and the split+cast pairwise pass is a fourth —
+    // on an under-split input all of them otherwise run on the source's
+    // split count (measured: 0.6-0.8 s 3-task stages at bench SF). fanOut
+    // is the identity on well-split corpora; the cache is session-LRU
+    // evictable and released in the finally below.
+    val sel = graft.core.Partitions.fanOut(
+      df.select((preds :+ outcome).distinct.map(col): _*)).cache()
+    try {
     // type-7 cuts AND non-null counts of the numeric columns fall out of
     // one fused pass; only non-numeric predictors (if any) need a separate
     // tiny count aggregation for the all-NULL screen
@@ -461,8 +476,8 @@ final case class FcbfStep(minimumSu: Double = 0.025, cutpoint: Double = 0.5,
         case Some(cut) => d.withColumn(c, Binning.medianSplitCol(col(c), cut))
       }
     }
-    val work = graft.core.Partitions.fanOut(split
-      .select(usable.map(p => col(p).cast("string").as(p)) :+ col(outcome).cast("string").as("__y"): _*))
+    val work = split
+      .select(usable.map(p => col(p).cast("string").as(p)) :+ col(outcome).cast("string").as("__y"): _*)
     // Small p (all pairs fit one chunk): compute SU(Xᵢ;Y) AND the complete
     // redundancy matrix SU(Xᵢ;Xⱼ) in ONE batched job and run the whole
     // elimination driver-side — no cache, single scan. Large p: wave-batch
@@ -530,6 +545,7 @@ final case class FcbfStep(minimumSu: Double = 0.025, cutpoint: Double = 0.5,
       val excluded = preds.filterNot(keep.contains)
       FittedSelector(name, outcome, scores, excluded, warns)
     } finally work.unpersist()
+    } finally sel.unpersist(blocking = false)
   }
 }
 

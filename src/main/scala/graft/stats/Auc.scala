@@ -22,32 +22,64 @@ import org.apache.spark.sql.functions._
 object Auc {
 
   /** long: (feature, value: double, y: string). Returns (feature, auc) with
-    * direction-auto pairwise mean over the given class pairs. */
-  def scores(long: DataFrame, classPairs: Seq[(String, String)]): DataFrame = {
+    * direction-auto pairwise mean over the given class pairs. `handle` owns
+    * the per-(feature, pair, value) counts cache the two-phase rank build
+    * references twice (default arg = session-LRU lifetime, the registered-
+    * query convention; callers that fit repeatedly pass one and release). */
+  def scores(long: DataFrame, classPairs: Seq[(String, String)],
+             handle: graft.runtime.CacheHandle = new graft.runtime.CacheHandle): DataFrame = {
+    // aggregate to per-(feature, value, y) counts FIRST, then expand the
+    // counts table by class pair: the per-row pair explode this replaces
+    // multiplied the pre-aggregation row volume by |pairs| before any
+    // map-side combining happened (and for a near-unique feature the
+    // (feature, pair, value) key set is |pairs|× the (feature, value, y)
+    // one). cnt/cntPos per (feature, pair, value) are the same integer
+    // sums, associated differently — midranks and AUC are bit-identical.
+    val byY = long
+      .where(col("value").isNotNull && col("y").isNotNull)
+      .groupBy("feature", "value", "y")
+      .agg(count(lit(1)).as("c"))
     val pairStructs = classPairs.map { case (a, b) =>
       when(
         col("y") === a || col("y") === b,
         struct(lit(s"$a|$b").as("pair"), (col("y") === a).cast("long").as("isPos"))
       )
     }
-    val tagged = long
-      .where(col("value").isNotNull && col("y").isNotNull)
+    // CACHED: the two-phase rank build references this table twice (bases
+    // aggregation + the per-value join) and Catalyst re-executes
+    // re-referenced subtrees — unmaterialized, the whole melt + two
+    // groupBys ran twice (measured: q_auc 1.7 -> 3.5 s). cache() rather
+    // than a lazy localCheckpoint, also measured: the LogicalRDD leaf
+    // loses the size estimate that keeps the bases join broadcast
+    // (q_auc 1.9 -> 3.2 s on the checkpoint variant).
+    val byValue = handle.track(byY
       .withColumn("tag", explode(array(pairStructs: _*)))
       .where(col("tag").isNotNull)
-      .select(col("feature"), col("value"), col("tag.pair").as("pair"), col("tag.isPos").as("isPos"))
+      .groupBy(col("feature"), col("tag.pair").as("pair"), col("value"))
+      .agg(sum("c").as("cnt"), sum(col("tag.isPos") * col("c")).as("cntPos"))
+      .cache())
 
-    val byValue = tagged
-      .groupBy("feature", "pair", "value")
-      .agg(count(lit(1)).as("cnt"), sum("isPos").as("cntPos"))
-
-    val w = Window
-      .partitionBy("feature", "pair")
-      .orderBy("value")
+    // TWO-PHASE midranks over the counts table (the spearman shape): a
+    // near-unique feature otherwise cumulates its whole distinct-value set
+    // through ONE window task per (feature, pair). The value's monotone
+    // bit image yields range buckets for free; per-(feature, pair, bucket)
+    // totals cumulate through a tiny window and the within-bucket prefix
+    // windows run in parallel. Exact long sums — midranks bit-identical.
+    val bucketed = byValue.withColumn("__bkt",
+      graft.functions.DoubleBits.bucket(col("value"), 20))
+    val wb = Window.partitionBy("feature", "pair").orderBy("__bkt")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = byValue.withColumn(
-      "midrank",
-      coalesce(sum("cnt").over(w), lit(0L)) + (col("cnt") + 1) / 2.0
-    )
+    val bases = bucketed.groupBy("feature", "pair", "__bkt").agg(sum("cnt").as("__bc"))
+      .select(col("feature"), col("pair"), col("__bkt"),
+        coalesce(sum("__bc").over(wb), lit(0L)).as("__base"))
+    val wv = Window.partitionBy("feature", "pair", "__bkt").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = bucketed
+      .join(bases, Seq("feature", "pair", "__bkt"))
+      .withColumn(
+        "midrank",
+        col("__base") + coalesce(sum("cnt").over(wv), lit(0L)) + (col("cnt") + 1) / 2.0
+      )
 
     ranked
       .groupBy("feature", "pair")
