@@ -33,6 +33,10 @@ object GraftSession {
       // parallelism rather than this floor.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // NOT set (tried round 6, measured neutral-to-negative on the join
+      // family here): spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold
+      // — the engine's shuffle joins either broadcast already or carry
+      // sort-cheap narrow keys, so the SMJ→SHJ rewrite bought nothing
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // graft's Catalyst extensions: cosine-chain fusion rule + cosine_sim SQL fn

@@ -45,13 +45,13 @@ object Correlation {
     *     (#rows with value < v) + (ties(v) + 1)/2). Cached: it is referenced
     *     by both the feature-rank and the outcome-rank join.
     *  2. The melted rows join the rank tables (pairs with either side
-    *     NULL drop out, preserving `corr`'s pairwise-deletion semantics)
-    *     into a lazily checkpointed (feature, rf, ry) table — the planner
-    *     broadcasts the rank side whenever its size estimate allows,
-    *     which is the distinct-value-count regime this operator targets.
-    *  3. Two map-side-combining p-group aggregation passes over it
-    *     compute the two-pass (subtract-the-mean) weighted Pearson, the
-    *     means riding back via a broadcast join.
+    *     NULL drop out, preserving `corr`'s pairwise-deletion semantics) —
+    *     the planner broadcasts the rank side whenever its size estimate
+    *     allows, which is the distinct-value-count regime this operator
+    *     targets.
+    *  3. ONE map-side-combining `corr(rf, ry)` aggregation over p groups
+    *     (Spark's stable one-pass co-moment — the same arithmetic the
+    *     naive reference formulation ends in).
     *
     * Identical results to the naive rank()-window formulation
     * (ScalableRankSpec pins equality at 1e-12). */
@@ -80,10 +80,12 @@ object Correlation {
     // fanOut BEFORE the melt (projected to the needed columns, ~8 B each):
     // an under-split source otherwise runs both melts' explode + partial
     // aggregation on the input split count (measured: three 1.5-2 s
-    // 3-task stages at bench SF), and the two melt subtrees below share
-    // the one round-robin exchange via reuse
-    val src = graft.core.Partitions.fanOut(
-      df.select(cols.map(c => col(c).cast("double").as(c)): _*))
+    // 3-task stages at bench SF). CACHED because the counts build and the
+    // row-level rank join are SEPARATE jobs — exchange reuse does not
+    // cross actions, so uncached each job re-executed the repartition's
+    // under-split map side (two 0.4 s 3-task stages).
+    val src = handle.track(graft.core.Partitions.fanOut(
+      df.select(cols.map(c => col(c).cast("double").as(c)): _*)).cache())
     val counts = graft.core.Melt.numeric(src, cols)
       .where(col("value").isNotNull)
       .groupBy("feature", "value")
@@ -100,7 +102,12 @@ object Correlation {
     // back, and the within-bucket prefix windows run in parallel. The
     // summed cnt set per value is identical (exact longs), so midranks
     // are bit-identical to the single-window formulation.
-    val bucketed = counts.withColumn("__bkt", graft.functions.DoubleBits.bucket(col("value"), 20))
+    // CACHED: referenced twice (the per-value rank rows AND the bases
+    // aggregation) — uncached, the whole melt + counts groupBy executed
+    // twice inside the rank-table build (visible as two full scan→melt→agg
+    // chains in the physical plan)
+    val bucketed = handle.track(
+      counts.withColumn("__bkt", graft.functions.DoubleBits.bucket(col("value"), 20)).cache())
     val wb = Window.partitionBy("feature").orderBy("__bkt")
       .rowsBetween(Window.unboundedPreceding, -1)
     val bases = bucketed.groupBy("feature", "__bkt").agg(sum("cnt").as("__bc"))
