@@ -276,7 +276,11 @@ object SparkEntry {
     // per-domain quota: top-3 docs per source by quality (rounded to the
     // cross-engine-stable 6 dp before ordering), doc_id tiebreak
     "q_domain_quota" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      // fanOut: the quality-score regex chain is the dominant per-row work
+      // and otherwise runs on the one-split scan (measured: a 0.3 s
+      // single-task stage = ~half the query); one action downstream, so
+      // the exchange executes once (the curation-pipeline precedent)
+      val d = graft.core.Partitions.fanOut(t(s, dir, "documents"))
         .withColumn("quality", round(TextFeatures.qualityScore(col("text")), 6))
       Sampling.domainQuota(d, col("source"), 3, Seq(col("quality").desc, col("doc_id")))
         .select("doc_id", "source", "quality").orderBy("doc_id")
