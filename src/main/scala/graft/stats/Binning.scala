@@ -39,7 +39,14 @@ object Binning {
     * within the (feature, value) tie group. NTILE's bucket arithmetic
     * (first n mod k buckets get one extra row) is then closed-form.
     */
-  def ntileBins(long: DataFrame, nbins: Int, tiebreak: Column, outCol: String = "bin"): DataFrame = {
+  def ntileBins(long0: DataFrame, nbins: Int, tiebreak: Column, outCol: String = "bin",
+      handle: graft.runtime.CacheHandle = new graft.runtime.CacheHandle): DataFrame = {
+    // CACHED input: the melted long form is referenced three times (counts
+    // aggregation, the ranked row join, and the null-bin union) and
+    // Catalyst re-executes every re-referenced subtree — uncached, the
+    // upstream scan+melt ran 3x inside one action. Default handle =
+    // session-LRU (the registered-query convention).
+    val long = handle.track(long0.cache())
     val nn = long.where(col("value").isNotNull)
     val counts = nn.groupBy("feature", "value").agg(count(lit(1)).as("__cnt"))
     val wv = Window.partitionBy("feature").orderBy("value")
