@@ -199,7 +199,7 @@ final case class BorutaStep(
       val roundImps: Seq[Map[String, Double]] = {
         import scala.concurrent.{Await, ExecutionContext, Future}
         import scala.concurrent.duration.Duration
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(4, maxRuns))
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(6, maxRuns))
         implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
         try {
           val futs = (1 to maxRuns).map(round => Future(fitRound(round)))
